@@ -1,0 +1,49 @@
+"""Surrogate-key generation (SURVEY.md §1.4, op `key_surrogate_rownum`).
+
+The reference assigns 1-based positional ids with `np.arange`/`index+1`
+(/root/reference/transformation.py:160,188,277,395,405,442) — an
+artifact of single-process pandas where "position" is well-defined.
+Distributed, position must be made explicit:
+
+- `surrogate_key_rownum`: `row_number()` over an explicit natural-key
+  ordering. Deterministic and contiguous (oracle-parity mode), but the
+  unpartitioned window funnels through one task — fine for dimension
+  tables (they are small by definition), wrong for facts.
+- `surrogate_key_scalable`: zipWithIndex-style two-phase id — compute
+  per-partition counts, then offset within partitions. Contiguous,
+  parallel, for fact-scale key assignment at 100 TB. Deterministic only
+  up to the input partitioning, so keys are stable given a sorted
+  source but not across arbitrary re-reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def surrogate_key_rownum(df: DataFrame, order_by: tuple[str, ...], key_col: str = "id") -> DataFrame:
+    """Dense 1-based contiguous ids via a global row_number() window.
+
+    Use for small deduplicated dimensions only — the empty
+    partitionBy funnels all rows through a single task by design
+    (that is what "global contiguous" costs).
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(key_col, F.row_number().over(w))
+
+
+def surrogate_key_scalable(df: DataFrame, key_col: str = "id", start: int = 1) -> DataFrame:
+    """Contiguous ids without a single-partition window.
+
+    Two narrow passes: (1) count rows per partition, (2) cumulative
+    offsets broadcast back, id = offset + position-in-partition. This is
+    the distributed replacement for `np.arange(1, len+1)`
+    (/root/reference/transformation.py:160) at fact scale.
+    """
+    spark = df.sparkSession
+    rdd = df.rdd.zipWithIndex()
+    out_schema = df.schema.add(key_col, "long")
+    return spark.createDataFrame(
+        rdd.map(lambda pair: (*pair[0], pair[1] + start)), out_schema
+    )

@@ -1,0 +1,83 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+This is the driver contract surface (``__spark_entry__.py`` delegates
+here) and the line-by-line answer to SURVEY.md §2's inventory: each op
+key from the survey appears as a registry key.
+
+Determinism rules (so order-insensitive value hashes match the oracle):
+- money aggregates go through DECIMAL(18,2) casts on BOTH sides, so
+  sums are exact integers-in-disguise and bit-identical, then cast back
+  to double;
+- every computed column is aliased identically in Spark and SQL;
+- row_number windows always carry a total order (natural key
+  tiebreaks);
+- LIMIT queries order by a unique key suffix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register_sql(name: str, spark_sql: str, oracle: str | None = None) -> None:
+    """Layer-B query: same text semantics on Spark SQL and DuckDB
+    (SURVEY.md §2 layer B — the reference delegates full SQL to DuckDB,
+    we delegate to Catalyst)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = f"sql_{name}"
+    _QUERIES[name] = fn
+    _ORACLES[name] = oracle if oracle is not None else spark_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    from build_datawarehouse_demo_spark.sources.readers import register_star_views
+
+    register_star_views(spark, sf_dir)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from build_datawarehouse_demo_spark.registry_parity import register_parity  # noqa
+    from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
+    from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
+
+    register_parity()
+    register_layer_b()
+    register_extensions()
+    _LOADED = True

@@ -1,0 +1,243 @@
+"""Layer-B query surface (SURVEY.md §2, layer B).
+
+The reference delegates its whole interactive query capability to
+DuckDB SQL over the star schema (/root/reference/test_sql.py:5-14); we
+delegate the same surface to Spark SQL / Catalyst. These queries are
+written in the portable dialect both engines parse, so the oracle IS
+the query text — the strongest possible parity statement.
+
+Determinism: money aggregates in DECIMAL(18,2) (exact → identical
+doubles), explicit sum/count for averages, unique-key tiebreaks under
+every LIMIT and window ORDER BY.
+"""
+
+from __future__ import annotations
+
+from build_datawarehouse_demo_spark.registry import register_sql
+
+# exact decimal building blocks
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+
+
+def register_layer_b() -> None:
+    # TPC-H Q1: the canonical scan→hash-agg shape. Catalyst splits the
+    # aggregate into partial (map-side) + final automatically.
+    register_sql(
+        "sql_q1_pricing_summary",
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum({_QTY}) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+               CAST(sum({_REV} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(sum({_QTY}) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+    # TPC-H Q3 shape: selective join + agg + top-k with a unique
+    # tiebreak so LIMIT is deterministic.
+    register_sql(
+        "sql_q3_shipping_priority",
+        f"""
+        SELECT o.o_orderkey,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+        """,
+    )
+
+    # TPC-H Q5 shape: five-way join through the dimension chain.
+    # nation/region are broadcast-size; AQE converts at runtime.
+    register_sql(
+        "sql_q5_local_supplier_volume",
+        f"""
+        SELECT n.n_name,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+        """,
+    )
+
+    # TPC-H Q6 shape: pure filter + single-row aggregate — the
+    # pushdown showcase (all three predicates reach the parquet scan).
+    register_sql(
+        "sql_q6_forecast_revenue",
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+
+    # window: rank-per-group top-k (no equivalent in the reference ETL;
+    # part of the delivered DuckDB-SQL capability).
+    register_sql(
+        "sql_window_rank_topk",
+        """
+        SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 CAST(row_number() OVER (
+                     PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk
+          FROM customer
+        ) ranked
+        WHERE rk <= 5
+        """,
+    )
+
+    # window: running total over an ordered frame.
+    register_sql(
+        "sql_window_running_total",
+        f"""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(sum({_QTY}) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        FROM lineitem
+        WHERE l_suppkey <= 5
+        """,
+    )
+
+    # window: lag-based sessionization (30-minute inactivity gap).
+    register_sql(
+        "sql_window_sessionize",
+        """
+        SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions
+        FROM (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ) flagged
+        GROUP BY user_id
+        """,
+    )
+
+    # time-bucketed aggregation over the event stream (batch form of
+    # the streaming tumbling window in streaming/windows.py).
+    register_sql(
+        "sql_agg_events_hourly",
+        """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        """,
+    )
+
+    # grouping sets via ROLLUP (subtotals + grand total).
+    register_sql(
+        "sql_agg_rollup",
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum({_QTY}) AS DOUBLE) AS sum_qty,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+    )
+
+    # pivot expressed portably as conditional aggregation.
+    register_sql(
+        "sql_agg_pivot_conditional",
+        f"""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN {_QTY} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN {_QTY} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    )
+
+    # semi join (EXISTS) / anti join (NOT EXISTS): Catalyst plans these
+    # as LeftSemi/LeftAnti — no row duplication, no wide shuffle of the
+    # probe side's payload.
+    register_sql(
+        "sql_join_semi_exists",
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """,
+    )
+    register_sql(
+        "sql_join_anti_not_exists",
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+    )
+
+    # set ops beyond UNION ALL.
+    register_sql(
+        "sql_setop_intersect",
+        """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+    )
+    register_sql(
+        "sql_setop_except",
+        """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+    )
+
+    # scalar subquery against an exact-decimal average.
+    register_sql(
+        "sql_scalar_subquery",
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM orders)
+        """,
+    )
+
+    # CASE/conditional projection + IN-list predicate.
+    register_sql(
+        "sql_case_in_predicate",
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                    ELSE 'cold' END AS heat
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        """,
+    )

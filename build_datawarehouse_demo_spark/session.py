@@ -1,0 +1,66 @@
+"""SparkSession construction.
+
+The reference has no session concept — it opens ad-hoc MinIO clients per
+thread (/root/reference/transformation.py:56) and an embedded DuckDB
+connection (/root/reference/transformation.py:521). Here a single
+SparkSession is the engine: Catalyst supplies the logical-plan /
+optimizer stage the reference lacks (SURVEY.md §4).
+
+Scale notes (100 TB design):
+- AQE on: runtime coalescing, skew-join splitting, and
+  broadcast-join conversion replace the reference's hand-rolled
+  dict-lookup joins (/root/reference/transformation.py:334-338).
+- shuffle partitions default to cores locally; on a real cluster AQE's
+  coalescing makes the static number mostly a ceiling.
+- Arrow on for every pandas boundary (toPandas / pandas UDFs).
+- UTC session timezone so timestamp semantics match UTC-naive engines
+  (DuckDB oracle, parquet at rest).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "build_datawarehouse_demo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Local mode is a single JVM; on a cluster the same configs hold —
+    nothing here assumes local execution.
+    """
+    cpus = int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # read TIMESTAMP(NANOS) parquet columns as long instead of
+        # erroring; readers.read_parquet converts them back to
+        # timestamps with integer µs division (no double round-trip).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if master or not _in_active_session():
+        builder = builder.master(master or f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _in_active_session() -> bool:
+    return SparkSession.getActiveSession() is not None

@@ -1,0 +1,55 @@
+"""Generated dimensions (SURVEY.md §2.1, ops `gen_date_range`,
+`gen_range_small`).
+
+The reference builds a calendar spine 1948-09-06 → 2025-12-31 with
+pandas `date_range` + positional ids + strftime parts
+(/root/reference/transformation.py:89-137) and a 24-row hour dim
+(/root/reference/transformation.py:118-125). Spark-first: a single
+`sequence()` expression — generated on executors, no driver-side
+materialization, so a million-day spine costs the same as a thousand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def gen_date_range(
+    spark: SparkSession,
+    start_date: str = "1948-09-06",
+    end_date: str = "2025-12-31",
+) -> DataFrame:
+    """Calendar spine: one row per day, with the reference's full part
+    set (/root/reference/transformation.py:89-116,127-137):
+    datetime_id (1-based position), date_id (yyyymmdd int), weekday
+    name, day/month/year/quarter, full_date.
+
+    The positional id is derived arithmetically (datediff from start),
+    NOT via a global row_number() window — same values, no
+    single-partition shuffle, holds at any spine length.
+    """
+    start, end = F.lit(start_date).cast("date"), F.lit(end_date).cast("date")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(start, end, F.expr("interval 1 day"))).alias("full_date")
+    )
+    return spine.select(
+        (F.datediff(F.col("full_date"), start) + F.lit(1)).cast("int").alias("datetime_id"),
+        F.col("full_date").cast("timestamp").alias("full_timestamp"),
+        F.date_format("full_date", "yyyyMMdd").cast("int").alias("date_id"),
+        F.date_format("full_date", "EEEE").alias("weekday"),
+        F.dayofmonth("full_date").cast("int").alias("day"),
+        F.month("full_date").cast("int").alias("month"),
+        F.year("full_date").cast("int").alias("year"),
+        F.quarter("full_date").cast("int").alias("quarter"),
+        F.col("full_date"),
+    )
+
+
+def gen_hour_dim(spark: SparkSession) -> DataFrame:
+    """24-row hour dimension with zero-padded label
+    (/root/reference/transformation.py:118-125)."""
+    return spark.range(24).select(
+        F.col("id").cast("int").alias("hour_id"),
+        F.format_string("%02d:00", F.col("id").cast("int")).alias("hour_label"),
+    )

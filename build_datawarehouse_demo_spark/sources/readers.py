@@ -1,0 +1,217 @@
+"""Typed scans (SURVEY.md §2.1).
+
+The reference streams objects out of MinIO into pandas with inferred
+schemas and a hand-rolled 100k-row chunk loop
+(/root/reference/transformation.py:53-87). Spark-first: `spark.read`
+with an explicit StructType per source — no second inference pass over
+the data, fail-fast on drift — and input-split partitioning subsumes
+chunking (`spark.sql.files.maxPartitionBytes` bounds per-task memory at
+any scale).
+
+Raw-zone ingest (`load.py` in the reference) disappears as an engine
+concern: the raw zone is any path Spark can read (`file://`, `s3a://`,
+`hdfs://`); `spark.read` IS the ingest. S3-compatible stores (the
+reference's MinIO) are reached by the Hadoop S3A connector via the same
+API — see `s3a_options`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver's TPC-H-ish star schema (TESTDATA.md). Explicit schemas:
+# a scan that infers is a scan that reads the data twice.
+STAR_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+STAR_TABLE_NAMES = tuple(STAR_SCHEMAS)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Parquet scan — columnar, predicate/column pushdown for free.
+
+    When a schema is given we still let the parquet footer win on
+    physical layout but select/cast to the declared columns, so drift
+    surfaces as an analysis error, not silent reinterpretation.
+
+    TIMESTAMP(NANOS) columns (which Spark's vectorized reader rejects)
+    arrive as nanos-since-epoch longs via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted here with
+    integer µs division — a double round-trip would lose precision past
+    2^53 ns (~mid-2024 epoch values already exceed it).
+    """
+    # set defensively: the caller may hand us a session (the driver
+    # does) that didn't go through session.get_spark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if schema is None:
+        import pyarrow.parquet as pq
+
+        arrow_fields = {f.name: str(f.type) for f in pq.read_schema(_one_parquet_file(path))}
+        for field in df.schema.fields:
+            if isinstance(field.dataType, T.LongType) and arrow_fields.get(field.name, "").startswith(
+                "timestamp[ns"
+            ):
+                df = df.withColumn(field.name, F.expr(f"timestamp_micros(`{field.name}` div 1000)"))
+    return df
+
+
+def _one_parquet_file(path: str) -> str:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        return inner[0] if inner else path
+    return path
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Newline-delimited JSON scan with an explicit schema.
+
+    Replaces the reference's chunked pandas read
+    (/root/reference/transformation.py:53-75): JSON-lines is Spark's
+    native JSON format, splittable per line, so a 100 TB raw zone scans
+    in parallel with per-task memory bounded by input splits — the 100k
+    chunk loop is subsumed.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with header + explicit schema
+    (reference: /root/reference/transformation.py:77-87)."""
+    return spark.read.option("header", str(header).lower()).schema(schema).csv(path)
+
+
+def s3a_options(endpoint: str, access_key: str, secret_key: str, path_style: bool = True) -> dict[str, str]:
+    """Hadoop S3A configs for an S3-compatible object store (the
+    reference's MinIO, /root/reference/load.py:4-7). Apply via
+    ``get_spark(extra_conf=s3a_options(...))`` then read
+    ``s3a://bucket/prefix/...`` like any path. Requires the
+    hadoop-aws jar on the classpath (not bundled here)."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
+    }
+
+
+def load_star_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load the driver's test tables from a scale-factor directory."""
+    return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def register_star_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLE_NAMES) -> None:
+    """Register every test table as a temp view for the SQL surface
+    (layer B in SURVEY.md §2 — the reference delegates this to DuckDB,
+    we delegate to Catalyst)."""
+    for n, df in load_star_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
