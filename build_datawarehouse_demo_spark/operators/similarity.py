@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a real ANN stack would layer them:
+- brute-force cosine top-k: exact baseline. The probe set is broadcast;
+  each partition of the corpus scores its rows against every probe
+  locally (no shuffle of the corpus), then a per-probe top-k window on
+  the (tiny) scored output. At 100 TB the corpus never moves — only
+  probe × k result rows shuffle.
+- IVF (inverted-file) top-k: the scale path. Vectors are assigned to
+  their nearest centroid once (narrow map + broadcast centroids);
+  queries search only their cluster's inverted list. Recall < 1.0 by
+  construction, cost ~1/n_clusters of brute force.
+
+Dot products are `aggregate(zip_with(...))` expressions over
+array<double> — JVM-side, no Python. For k=64-dim this is fine; for
+4096-dim hot paths a pandas_udf over Arrow batches wins — see
+tests/test_similarity.py for the equivalence test between both kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-fold aggregate (deterministic
+    element order — reproducible bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` for every probe row.
+
+    probes: (probe_id, embedding). Broadcast-joined against the corpus
+    (cartesian per partition, corpus stays put), scored, then
+    row_number ≤ k per probe with (score DESC, id) tiebreak.
+    """
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv"))
+    p = probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv"))
+    scored = (
+        c.join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
+        .withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (broadcast
+    centroids, one narrow pass — this is the 'build the IVF index'
+    step; at 100 TB it's a single map stage)."""
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    cent = centroids.select(F.col(centroid_id_col), _as_double(vec_col).alias("__c"))
+    scored = c.join(F.broadcast(cent)).withColumn("sim", cosine(F.col("__v"), F.col("__c")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, centroid_id_col, F.col("__v").alias("__v"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF search: probes are routed to their nearest centroid and only
+    scored against that cluster's inverted list."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    probe_assigned = ivf_assign(probes, centroids, probe_id_col, vec_col).select(
+        probe_id_col, "centroid_id", F.col("__v").alias("__pv")
+    )
+    scored = (
+        assigned.join(probe_assigned, "centroid_id")
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .withColumn("cosine", cosine(F.col("__pv"), F.col("__v")))
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    All-pairs here (exact); at scale, route through ivf_assign and only
+    compare within clusters — same pattern as LSH banding in dedup.py.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__a"), F.col("__b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,12 +1,417 @@
 """Training-data-pipeline extension operators (BASELINE.json north
-star): dedup, similarity search, text analysis, multimodal plumbing.
+star): dedup, similarity search, text analysis, multimodal plumbing,
+streaming-equivalent windows.
 
-Filled in module-by-module; each op registers a query + oracle over the
-driver's documents/embeddings/events tables.
+Every op is oracle-checked: hashes are md5-derived so DuckDB reproduces
+them bit-for-bit (operators/dedup.py:hash32), cosine scores are rounded
+to 6dp after exact double math, ratios are exact integer divisions.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.registry import register
+from build_datawarehouse_demo_spark.sources.readers import read_parquet
+
+# shared DuckDB CTE fragments (tokenization identical to
+# operators/text.py:tokens — trim, split on \s+, drop empties)
+_TOK = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+_HASH32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
 
 def register_extensions() -> None:
-    pass
+    # ------------------------------------------------------------------
+    # deduplication
+    # ------------------------------------------------------------------
+
+    @register(
+        "dedup_exact",
+        oracle="""
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+    )
+    def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(_t(spark, sf_dir, "documents"))
+
+    @register(
+        "dedup_minhash_lsh",
+        oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOK} AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM tok, unnest(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3
+        ),
+        mh AS (
+          SELECT doc_id, h,
+                 min({_HASH32.format(expr="h || ':' || shingle")}) AS mhv
+          FROM sh, unnest(generate_series(0, 15)) AS g(h)
+          GROUP BY doc_id, h
+        ),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 string_agg(CAST(mhv AS VARCHAR), '_' ORDER BY h) AS band_key
+          FROM mh GROUP BY doc_id, h // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.8
+        """,
+    )
+    def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.dedup import minhash_dedup_pairs
+
+        return minhash_dedup_pairs(
+            _t(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=4, threshold=0.8
+        )
+
+    @register(
+        "dedup_simhash",
+        oracle=f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {_HASH32.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, 31)) AS g(i)
+          GROUP BY doc_id, i
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+        """,
+    )
+    def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.dedup import simhash
+
+        return simhash(_t(spark, sf_dir, "documents"))
+
+    @register(
+        "dedup_simhash_pairs",
+        oracle=f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {_HASH32.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, 31)) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        ),
+        blocked AS (
+          SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+          FROM sigs, unnest(generate_series(0, 3)) AS g(blk)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM blocked a
+        JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        """,
+    )
+    def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.dedup import simhash, simhash_near_pairs
+
+        sigs = simhash(_t(spark, sf_dir, "documents"))
+        return simhash_near_pairs(sigs, max_hamming=4, blocks=4)
+
+    @register(
+        "dedup_ngram_jaccard",
+        oracle=f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, lang, source, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM tok a
+          JOIN tok b ON a.lang = b.lang AND a.source = b.source AND a.tok = b.tok
+                    AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.9
+        """,
+    )
+    def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), block_cols=("lang", "source"), threshold=0.9
+        )
+
+    @register(
+        "dedup_embedding_cosine",
+        oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+    )
+    def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.similarity import embedding_near_dup_pairs
+
+        return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+    # ------------------------------------------------------------------
+    # similarity search
+    # ------------------------------------------------------------------
+
+    @register(
+        "sim_cosine_topk",
+        oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS c
+          FROM e, p WHERE e.vec_id <> p.probe_id
+        ),
+        ranked AS (
+          SELECT probe_id, vec_id, c,
+                 CAST(row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, round(c, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+        """,
+    )
+    def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.similarity import brute_force_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return brute_force_topk(emb, probes, k=5)
+
+    @register(
+        "sim_ivf_topk",
+        oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        assign_all AS (
+          SELECT vec_id, centroid_id, v FROM (
+            SELECT e.vec_id, c.centroid_id, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+            FROM e, cent c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS probe_id, centroid_id, v AS pv
+          FROM assign_all WHERE vec_id < 10
+        ),
+        scored AS (
+          SELECT p.probe_id, a.vec_id, list_cosine_similarity(p.pv, a.v) AS c
+          FROM assign_all a JOIN probes p ON a.centroid_id = p.centroid_id
+          WHERE a.vec_id <> p.probe_id
+        ),
+        ranked AS (
+          SELECT probe_id, vec_id, c,
+                 CAST(row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, round(c, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+        """,
+    )
+    def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.similarity import ivf_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return ivf_topk(emb, centroids, probes, k=5)
+
+    # ------------------------------------------------------------------
+    # text analysis
+    # ------------------------------------------------------------------
+
+    @register(
+        "text_token_count",
+        oracle=rf"""
+        SELECT doc_id,
+               CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_re_tokens
+        FROM documents
+        """,
+    )
+    def q_tok_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.text import token_count
+
+        return token_count(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_ws_tokens", "n_re_tokens"
+        )
+
+    @register(
+        "text_quality_score",
+        oracle=rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(list_filter({_TOK},
+                      x -> lower(x) IN ('the','a','and','of','to','is'))) AS DOUBLE) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct
+          FROM documents
+        ),
+        derived AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END AS avg_token_len,
+                 CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio
+          FROM base
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+               least(1.0, greatest(0.0,
+                 0.4 * (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 8 THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * stopword_ratio * 4
+                 + 0.2 * (1 - punct_ratio))) AS quality
+        FROM derived
+        """,
+    )
+    def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.text import quality_score
+
+        return quality_score(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality"
+        )
+
+    @register(
+        "text_lang_id",
+        oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+        hits AS (
+          SELECT doc_id, 'de' AS lang, len(list_filter(w, x -> lower(x) IN ('der','die','das','und','ist','nicht'))) AS h FROM toks
+          UNION ALL
+          SELECT doc_id, 'en', len(list_filter(w, x -> lower(x) IN ('the','a','and','of','to','is'))) FROM toks
+          UNION ALL
+          SELECT doc_id, 'es', len(list_filter(w, x -> lower(x) IN ('el','la','y','es','los','que'))) FROM toks
+          UNION ALL
+          SELECT doc_id, 'fr', len(list_filter(w, x -> lower(x) IN ('le','la','et','est','les','des'))) FROM toks
+          UNION ALL
+          SELECT doc_id, 'zh', len(list_filter(w, x -> lower(x) IN ('de5','shi4','le5','zai4','he2','you3'))) FROM toks
+        )
+        SELECT doc_id, lang AS pred_lang, CAST(h AS BIGINT) AS marker_hits
+        FROM hits
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) = 1
+        """,
+    )
+    def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.text import lang_id
+
+        return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang", "marker_hits")
+
+    @register(
+        "text_fingerprint",
+        oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOK})), chr(1))) AS fingerprint
+        FROM documents
+        """,
+    )
+    def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.text import fingerprint
+
+        return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+    # ------------------------------------------------------------------
+    # multimodal plumbing
+    # ------------------------------------------------------------------
+
+    @register(
+        "multimodal_metadata",
+        oracle="""
+        SELECT doc_id AS id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS fake_width,
+               CAST(ascii(substr(text, 2, 1)) AS INTEGER) AS fake_height,
+               md5(text) AS content_md5
+        FROM documents
+        """,
+    )
+    def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # binary-column plumbing: UTF-8 payload through an Arrow-batched
+        # mapInPandas "decode" (operators/multimodal.py) — the schema /
+        # batch shape a real image decoder would use.
+        from build_datawarehouse_demo_spark.operators.multimodal import (
+            attach_binary,
+            fake_decode_metadata,
+        )
+
+        return fake_decode_metadata(attach_binary(_t(spark, sf_dir, "documents")))
+
+    # ------------------------------------------------------------------
+    # streaming-equivalent windows
+    # ------------------------------------------------------------------
+
+    @register(
+        "streaming_tumbling_window",
+        oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+        """,
+    )
+    def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # batch execution of the streaming transform — the SAME function
+        # runs under readStream with a watermark (streaming/windows.py;
+        # exercised against this batch result in tests/test_streaming.py).
+        from build_datawarehouse_demo_spark.streaming.windows import tumbling_event_counts
+
+        return tumbling_event_counts(_t(spark, sf_dir, "events"))
