@@ -94,8 +94,11 @@ def parse_hour_ranges(
     """
     kv = explode_map(df, map_col, keep_cols=keep_cols, key_alias="day_of_week", value_alias="time_range")
     parts = F.split(F.col("time_range"), "-")
-    open_h = F.split(parts.getItem(0), ":").getItem(0).cast("int")
-    close_h = F.pmod(F.split(parts.getItem(1), ":").getItem(0).cast("int"), F.lit(24))
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
+    # hour would abort the job; the reference warns-and-skips instead
+    # (/root/reference/transformation.py:224-225).
+    open_h = F.split(parts.getItem(0), ":").getItem(0).try_cast("int")
+    close_h = F.pmod(F.split(parts.getItem(1), ":").getItem(0).try_cast("int"), F.lit(24))
     return (
         kv.withColumn("open_hour", open_h)
         .withColumn("close_hour", close_h)

@@ -1,0 +1,103 @@
+"""Similarity kernels vs numpy ground truth + pandas-UDF kernel parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from build_datawarehouse_demo_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+
+
+def _vec_df(spark, mat, id_col="vec_id"):
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(mat)]
+    return spark.createDataFrame(rows, f"{id_col} long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def mat():
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(40, 16)).astype(np.float32)
+    m[1] = m[0] * 1.5  # exact-direction duplicate of row 0
+    return m
+
+
+def test_cosine_matches_numpy(spark, mat):
+    df = _vec_df(spark, mat[:2])
+    a = df.filter("vec_id = 0").selectExpr("embedding AS a")
+    b = df.filter("vec_id = 1").selectExpr("embedding AS b")
+    got = (
+        a.crossJoin(b)
+        .select(cosine(F.col("a").cast("array<double>"), F.col("b").cast("array<double>")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    va, vb = mat[0].astype(np.float64), mat[1].astype(np.float64)
+    expect = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    assert abs(got - expect) < 1e-9
+
+
+def test_brute_force_topk_matches_numpy(spark, mat):
+    df = _vec_df(spark, mat)
+    probes = df.filter("vec_id < 2").selectExpr("vec_id AS probe_id", "embedding")
+    got = brute_force_topk(df, probes, k=3).collect()
+    m = mat.astype(np.float64)
+    sims = (m @ m.T) / (np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :])
+    for probe in (0, 1):
+        order = [i for i in np.argsort(-sims[probe]) if i != probe][:3]
+        got_ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.probe_id == probe]
+        assert got_ids == order
+
+
+def test_near_dup_finds_scaled_duplicate(spark, mat):
+    pairs = embedding_near_dup_pairs(_vec_df(spark, mat), threshold=0.999).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}
+
+
+def test_ivf_restricts_to_cluster_and_finds_dup(spark, mat):
+    # centroids disjoint from the near-dup pair: if a corpus vector IS
+    # its own centroid, colinear neighbors land in different clusters
+    # (cosine 1.0 to their own id wins the tiebreak) — the standard
+    # IVF recall caveat, observed directly when centroids included 0/1.
+    df = _vec_df(spark, mat)
+    centroids = df.filter("vec_id >= 4 AND vec_id < 8").selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )
+    probes = df.filter("vec_id = 0").selectExpr("vec_id AS probe_id", "embedding")
+    got = ivf_topk(df, centroids, probes, k=3).collect()
+    # rows 0 and 1 are colinear -> same centroid -> rank 1, cosine ~1
+    top = min(got, key=lambda r: r.rank)
+    assert top.vec_id == 1 and top.cosine == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pandas_udf_kernel_matches_expression_kernel(spark, mat):
+    """The Arrow-batched kernel (the high-dim hot path) must agree with
+    the zip_with/aggregate expression kernel."""
+    df = _vec_df(spark, mat)
+    probe = [float(x) for x in mat[0].astype(np.float64)]
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_to_probe(s: pd.Series) -> pd.Series:
+        p = np.array(probe)
+        m = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.Series((m @ p) / (np.linalg.norm(m, axis=1) * np.linalg.norm(p)))
+
+    expr_kernel = df.select(
+        "vec_id",
+        cosine(
+            F.col("embedding").cast("array<double>"),
+            F.lit(probe).cast("array<double>"),
+        ).alias("c_expr"),
+    )
+    udf_kernel = df.select("vec_id", cos_to_probe("embedding").alias("c_udf"))
+    joined = expr_kernel.join(udf_kernel, "vec_id").collect()
+    for r in joined:
+        assert abs(r.c_expr - r.c_udf) < 1e-9

@@ -1,0 +1,56 @@
+"""Sources, sinks, generators (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import types as T
+
+from build_datawarehouse_demo_spark.sources.generators import gen_date_range, gen_hour_dim
+from build_datawarehouse_demo_spark.sources.readers import read_csv, read_json_lines
+from build_datawarehouse_demo_spark.sources.writers import save_table
+
+
+def test_gen_date_range_parts(spark):
+    spine = gen_date_range(spark, "2020-02-28", "2020-03-02")  # leap boundary
+    rows = {r.date_id: r for r in spine.collect()}
+    assert sorted(rows) == [20200228, 20200229, 20200301, 20200302]
+    assert rows[20200229].weekday == "Saturday"
+    assert rows[20200301].quarter == 1
+    assert rows[20200228].datetime_id == 1 and rows[20200302].datetime_id == 4
+
+
+def test_gen_hour_dim(spark):
+    rows = gen_hour_dim(spark).collect()
+    assert len(rows) == 24
+    assert rows[0].hour_label == "00:00" and rows[23].hour_label == "23:00"
+
+
+def test_json_and_csv_roundtrip(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", -0.25)], schema)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").json(f"{d}/j")
+        df.write.mode("overwrite").option("header", "true").csv(f"{d}/c")
+        jr = read_json_lines(spark, f"{d}/j", schema)
+        cr = read_csv(spark, f"{d}/c", schema)
+        expect = {(1, "a", 1.5), (2, "b", -0.25)}
+        assert {tuple(r) for r in jr.collect()} == expect
+        assert {tuple(r) for r in cr.collect()} == expect
+
+
+def test_save_table_skips_empty(spark):
+    empty = spark.createDataFrame([], "id long, v string")
+    full = spark.createDataFrame([(1, "x")], "id long, v string")
+    with tempfile.TemporaryDirectory() as d:
+        assert save_table(empty, "t_empty_test", path=f"{d}/e") is False
+        assert save_table(full, "t_full_test", path=f"{d}/f") is True
+        assert spark.table("t_full_test").count() == 1
+        spark.sql("DROP TABLE IF EXISTS t_full_test")
+        spark.sql("DROP TABLE IF EXISTS t_empty_test")

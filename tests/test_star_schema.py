@@ -1,0 +1,170 @@
+"""End-to-end star-schema build over a Yelp-shaped synthetic fixture
+(FIXTURES.md §1-8) — the Spark re-expression of the reference's EP2
+(/root/reference/transformation.py:602-697)."""
+
+from __future__ import annotations
+
+import pytest
+
+from build_datawarehouse_demo_spark.plans.star_schema import build_warehouse
+
+EXPECTED_TABLES = {
+    "dim_datetime",
+    "dim_date",
+    "dim_hour",
+    "dim_business",
+    "dim_category",
+    "fact_business_categories",
+    "dim_attribute",
+    "fact_business_attributes",
+    "fact_business_hours",
+    "dim_user",
+    "dim_elite",
+    "fact_user_elite",
+    "dim_friend",
+    "fact_user_friend",
+    "fact_reviews",
+    "fact_checkins",
+    "fact_tips",
+    "fact_covid_features",
+    "dim_highlights",
+    "dim_temperature",
+    "dim_precipitation",
+}
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    business = spark.createDataFrame(
+        [
+            (
+                "b1", "Cafe One", "1 Main St", "Vegas", "NV", "89101", 36.1, -115.1, 4.5, 10, 1,
+                "Restaurants, Cafes",
+                {"WiFi": "free", "HasTV": "True"},
+                {"Monday": "9:0-22:0", "Tuesday": "20:0-26:0"},
+            ),
+            (
+                "b2", "Bar Two", "2 Side St", "Vegas", "NV", "89102", 36.2, -115.2, 3.0, 5, 0,
+                None, None, {"Friday": "garbage"},
+            ),
+        ],
+        "business_id string, name string, address string, city string, state string, "
+        "postal_code string, latitude double, longitude double, stars double, "
+        "review_count int, is_open int, categories string, "
+        "attributes map<string,string>, hours map<string,string>",
+    )
+    checkin = spark.createDataFrame(
+        [
+            ("b1", "2016-04-26 19:49:16, 2016-08-30 18:36:57, not-a-date"),
+            ("b2", "1900-01-01 00:00:00"),  # before spine start -> dropped
+        ],
+        "business_id string, date string",
+    )
+    review = spark.createDataFrame(
+        [
+            ("r1", "b1", "u1", 5.0, 1, 0, 0, "great", "2018-07-07 22:09:11"),
+            ("r2", "b2", "u2", 2.0, 0, 0, 0, "meh", "2030-01-01 00:00:00"),  # outside spine -> null id
+        ],
+        "review_id string, business_id string, user_id string, stars double, "
+        "useful int, funny int, cool int, text string, date string",
+    )
+    user = spark.createDataFrame(
+        [
+            ("u1", "Ann", 10, "2015-01-01 00:00:00", 1, 2, 3, 4, 4.2, "2015,2016", "u2,u3"),
+            ("u2", "Bob", 5, "2016-02-02 00:00:00", 0, 0, 0, 0, 3.0, "", ""),
+        ],
+        "user_id string, name string, review_count int, yelping_since string, "
+        "useful int, funny int, cool int, fans int, average_stars double, "
+        "elite string, friends string",
+    )
+    covid = spark.createDataFrame(
+        [
+            ("b1", "TRUE", "FALSE", "banner", "FALSE", "TRUE",
+             '[{"identifier":"h1","params":"p1","type":"t1"}]'),
+            ("b2", "FALSE", "FALSE", "", "FALSE", "FALSE", "not json"),
+        ],
+        "business_id string, `Grubhub enabled` string, `Request a Quote Enabled` string, "
+        "`Covid Banner` string, `Temporary Closed Until` string, "
+        "`Virtual Services Offered` string, highlights string",
+    )
+    tip = spark.createDataFrame(
+        [("nice", 1, "b1", "u1", "2019-05-05 12:00:00")],
+        "text string, compliment_count int, business_id string, user_id string, date string",
+    )
+    temperature = spark.createDataFrame(
+        [(20160426, 60.0, 90.0, 55.0, 88.0), (19000101, 1.0, 2.0, 1.0, 2.0)],
+        "date int, min double, max double, normal_min double, normal_max double",
+    )
+    precipitation = spark.createDataFrame(
+        [(20160426, 0.1, 0.2)], "date int, precipitation double, precipitation_normal double"
+    )
+    return {
+        "business": business,
+        "checkin": checkin,
+        "review": review,
+        "user": user,
+        "covid_features": covid,
+        "tip": tip,
+        "temperature": temperature,
+        "precipitation": precipitation,
+    }
+
+
+@pytest.fixture(scope="module")
+def wh(spark, raw):
+    return build_warehouse(spark, raw)
+
+
+def test_all_tables_present(wh):
+    assert set(wh) == EXPECTED_TABLES
+
+
+def test_category_bridge(wh):
+    cats = {r.category_name: r.category_id for r in wh["dim_category"].collect()}
+    assert set(cats) == {"Cafes", "Restaurants"}
+    bridge = {(r.business_id, r.category_id) for r in wh["fact_business_categories"].collect()}
+    assert bridge == {("b1", cats["Restaurants"]), ("b1", cats["Cafes"])}
+
+
+def test_hours_wrap_and_skip(wh):
+    rows = {(r.business_id, r.day_of_week, r.open_hour, r.close_hour)
+            for r in wh["fact_business_hours"].collect()}
+    assert rows == {("b1", "Monday", 9, 22), ("b1", "Tuesday", 20, 2)}
+
+
+def test_checkins_drop_miss_and_bad_dates(wh):
+    rows = wh["fact_checkins"].collect()
+    assert len(rows) == 2  # bad date dropped, out-of-spine dropped
+    assert all(r.business_id == "b1" and r.datetime_id is not None for r in rows)
+
+
+def test_reviews_keep_null_miss(wh):
+    rows = {r.review_id: r.datetime_id for r in wh["fact_reviews"].collect()}
+    assert rows["r1"] is not None and rows["r2"] is None
+
+
+def test_user_bridges(wh):
+    elite = {r.elite_year for r in wh["dim_elite"].collect()}
+    assert elite == {"2015", "2016"}
+    friends = {r.friend_name for r in wh["dim_friend"].collect()}
+    assert friends == {"u2", "u3"}
+    assert wh["fact_user_elite"].count() == 2
+    assert wh["fact_user_friend"].count() == 2
+
+
+def test_covid_highlights_malformed_skipped(wh):
+    hl = wh["dim_highlights"].collect()
+    assert [(h.identifier, h.params, h.type) for h in hl] == [("h1", "p1", "t1")]
+    flags = {r.business_id: r.grubhub_enabled for r in wh["fact_covid_features"].collect()}
+    assert flags == {"b1": "TRUE", "b2": "FALSE"}
+
+
+def test_weather_left_join(wh):
+    temps = {r.datetime_id is not None for r in wh["dim_temperature"].collect()}
+    assert temps == {True, False}  # 2016 matched, 1900-pre-spine... in spine? spine starts 1948
+    assert wh["dim_precipitation"].count() == 1
+
+
+def test_datetime_spine_matches_reference_range(wh):
+    first = wh["dim_datetime"].orderBy("datetime_id").first()
+    assert str(first.full_date) == "1948-09-06" and first.datetime_id == 1
