@@ -36,14 +36,37 @@ def surrogate_key_rownum(df: DataFrame, order_by: tuple[str, ...], key_col: str 
 def surrogate_key_scalable(df: DataFrame, key_col: str = "id", start: int = 1) -> DataFrame:
     """Contiguous ids without a single-partition window.
 
-    Two narrow passes: (1) count rows per partition, (2) cumulative
-    offsets broadcast back, id = offset + position-in-partition. This is
-    the distributed replacement for `np.arange(1, len+1)`
-    (/root/reference/transformation.py:160) at fact scale.
+    zipWithIndex semantics in pure DataFrame ops (no Python RDD
+    round-trip — rows never leave the JVM):
+
+    1. `monotonically_increasing_id()` encodes (partition << 33 | seq),
+       so `mono - (pid << 33)` is the row's position in its partition;
+    2. per-partition counts (a tiny aggregate — one row per partition)
+       become cumulative offsets on the driver;
+    3. id = offset[pid] + position + start, applied via a broadcast
+       join on pid.
+
+    This is the distributed replacement for `np.arange(1, len+1)`
+    (/root/reference/transformation.py:160) at fact scale: two narrow
+    passes + one broadcast, no global sort, no single-task window.
     """
+    tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__pos", F.monotonically_increasing_id() - F.shiftleft(F.spark_partition_id().cast("long"), 33)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
     spark = df.sparkSession
-    rdd = df.rdd.zipWithIndex()
-    out_schema = df.schema.add(key_col, "long")
-    return spark.createDataFrame(
-        rdd.map(lambda pair: (*pair[0], pair[1] + start)), out_schema
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    return (
+        tagged.join(F.broadcast(offset_df), "__pid")
+        .withColumn(key_col, (F.col("__offset") + F.col("__pos") + F.lit(start)).cast("long"))
+        .drop("__pid", "__pos", "__offset")
     )

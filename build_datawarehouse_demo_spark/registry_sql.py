@@ -241,3 +241,147 @@ def register_layer_b() -> None:
         WHERE o_orderstatus IN ('F', 'O')
         """,
     )
+
+    # full outer join: both dangling sides survive with nulls.
+    register_sql(
+        "sql_join_full_outer",
+        """
+        SELECT f.o_custkey AS custkey_f, o.o_custkey AS custkey_o,
+               f.n_f, o.n_o
+        FROM (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+        FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+          ON f.o_custkey = o.o_custkey
+        """,
+    )
+
+    # cross join (small × small — the only place a cartesian is sane).
+    register_sql(
+        "sql_join_cross",
+        """
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+        """,
+    )
+
+    # CUBE: all grouping-set combinations.
+    register_sql(
+        "sql_agg_cube",
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum({_QTY}) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+    )
+
+    # explicit GROUPING SETS with grouping() disambiguation of
+    # produced-null vs data-null.
+    register_sql(
+        "sql_agg_grouping_sets",
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    )
+
+    # HAVING over an exact-decimal aggregate.
+    register_sql(
+        "sql_agg_having",
+        f"""
+        SELECT l_suppkey, CAST(sum({_QTY}) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING sum({_QTY}) > 15000
+        """,
+    )
+
+    # TPC-H Q2 shape: correlated scalar subquery (min per correlated
+    # group) — Catalyst decorrelates this into a join + aggregate.
+    register_sql(
+        "sql_correlated_subquery",
+        """
+        SELECT p.p_partkey, p.p_retailprice
+        FROM part p
+        WHERE p.p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """,
+    )
+
+    # string predicates: LIKE / regexp filter on part names
+    # (regexp_like in Spark, regexp_matches in DuckDB — same regex).
+    register_sql(
+        "sql_string_predicates",
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_name LIKE '%red%' OR regexp_like(p_name, '^(small|large) ')
+        """,
+        oracle="""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_name LIKE '%red%' OR regexp_matches(p_name, '^(small|large) ')
+        """,
+    )
+
+    # deterministic ordered pagination (ORDER BY unique key + LIMIT/OFFSET).
+    register_sql(
+        "sql_order_limit_offset",
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """,
+    )
+
+    # UNION (distinct) — dedup across branches.
+    register_sql(
+        "sql_setop_union_distinct",
+        """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
+    )
+
+    # value windows: rank with gaps, dense_rank, percent_rank, ntile
+    # over a total order.
+    register_sql(
+        "sql_window_rank_family",
+        """
+        SELECT s_suppkey,
+               CAST(rank()         OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank()   OVER w AS INTEGER) AS drnk,
+               percent_rank()      OVER w AS prnk,
+               CAST(ntile(4)       OVER w AS INTEGER) AS quartile
+        FROM supplier
+        WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+        """,
+    )
+
+    # lead/lag navigation with defaults.
+    register_sql(
+        "sql_window_lead_lag",
+        """
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey, 1, CAST(-1 AS BIGINT)) OVER w AS prev_order,
+               lead(o_orderkey, 1, CAST(-1 AS BIGINT)) OVER w AS next_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+    )
+
+    # IN-subquery (planned as a semi join).
+    register_sql(
+        "sql_in_subquery",
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """,
+    )
