@@ -395,6 +395,70 @@ def register_extensions() -> None:
         return fake_decode_metadata(attach_binary(_t(spark, sf_dir, "documents")))
 
     # ------------------------------------------------------------------
+    # vectorized UDF surface (SURVEY.md §2.10)
+    # ------------------------------------------------------------------
+
+    @register(
+        "udf_pandas_scalar",
+        oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS net
+        FROM lineitem WHERE l_suppkey <= 10
+        """,
+    )
+    def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Arrow-batched scalar pandas UDF; per-row IEEE arithmetic is
+        # bit-identical to the SQL expression, so the oracle is exact.
+        from build_datawarehouse_demo_spark.operators.udfs import net_price
+
+        li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price("l_extendedprice", "l_discount").alias("net"),
+        )
+
+    @register(
+        "udf_grouped_zscore",
+        oracle="""
+        SELECT c_mktsegment, id, acctbal,
+               round((acctbal - avg(acctbal) OVER w) / stddev_samp(acctbal) OVER w, 6) AS zscore
+        FROM (SELECT c_mktsegment, c_custkey AS id, c_acctbal AS acctbal FROM customer)
+        WINDOW w AS (PARTITION BY c_mktsegment)
+        """,
+    )
+    def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # grouped-map applyInPandas (per-group pandas frame in/out);
+        # z-scores rounded to 6dp because pandas uses pairwise
+        # summation for mean/std while SQL engines sum sequentially —
+        # equal to ~1e-15, identical after rounding.
+        from build_datawarehouse_demo_spark.operators.udfs import grouped_zscore
+
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_mktsegment"), F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("acctbal")
+        )
+        out = grouped_zscore(cust, "c_mktsegment", "acctbal")
+        return out.withColumn("zscore", F.round("zscore", 6))
+
+    @register(
+        "udf_grouped_agg_weighted_mean",
+        oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+    def q_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # grouped-aggregate pandas UDF (Σwx/Σw); rounded for the same
+        # summation-order reason as above.
+        from build_datawarehouse_demo_spark.operators.udfs import weighted_mean
+
+        li = _t(spark, sf_dir, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(weighted_mean("l_extendedprice", "l_quantity"), 6).alias("wmean")
+        )
+
+    # ------------------------------------------------------------------
     # streaming-equivalent windows
     # ------------------------------------------------------------------
 

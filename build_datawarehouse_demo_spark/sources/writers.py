@@ -53,14 +53,46 @@ def save_table(
     return True
 
 
-def save_tables(dataframes: dict[str, DataFrame], **kwargs) -> dict[str, bool]:
+def save_tables(
+    dataframes: dict[str, DataFrame], base_path: str | None = None, **kwargs
+) -> dict[str, bool]:
     """Materialize a whole warehouse (the reference's `load_to_duckdb`,
-    /root/reference/transformation.py:517-547). Independent writes are
-    independent Spark jobs; under a FAIR scheduler they can be submitted
-    concurrently — the reference needed a thread pool for this
-    (/root/reference/transformation.py:619-637), Spark's scheduler gets
-    it from job-level parallelism."""
-    return {name: save_table(df, name, **kwargs) for name, df in dataframes.items()}
+    /root/reference/transformation.py:517-547). `base_path` makes each
+    table external at `{base_path}/{name}`."""
+    return {
+        name: save_table(
+            df, name, path=f"{base_path}/{name}" if base_path else None, **kwargs
+        )
+        for name, df in dataframes.items()
+    }
+
+
+def save_tables_concurrent(
+    dataframes: dict[str, DataFrame],
+    base_path: str | None = None,
+    max_workers: int = 4,
+    **kwargs,
+) -> dict[str, bool]:
+    """Materialize independent tables as concurrent Spark jobs — the
+    engine-level analogue of the reference's ThreadPoolExecutor fan-out
+    (/root/reference/transformation.py:40,619-637). Each save is an
+    independent job; with `spark.scheduler.mode=FAIR` they share the
+    cluster instead of queueing FIFO. Threads only submit jobs — all
+    real work happens on executors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {
+            name: pool.submit(
+                save_table,
+                df,
+                name,
+                path=f"{base_path}/{name}" if base_path else None,
+                **kwargs,
+            )
+            for name, df in dataframes.items()
+        }
+        return {name: fut.result() for name, fut in futures.items()}
 
 
 def register_views(dataframes: dict[str, DataFrame]) -> None:
