@@ -395,6 +395,75 @@ def register_extensions() -> None:
         return fake_decode_metadata(attach_binary(_t(spark, sf_dir, "documents")))
 
     # ------------------------------------------------------------------
+    # custom operators Spark lacks natively
+    # ------------------------------------------------------------------
+
+    @register(
+        "join_asof",
+        oracle="""
+        WITH b AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, b.o_orderkey AS last_orderkey,
+               b.o_orderdate AS asof_time
+        FROM events e
+        ASOF LEFT JOIN b ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate
+        """,
+    )
+    def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # as-of join via union + carry-forward window (operators/
+        # asof.py) — checked against DuckDB's native ASOF JOIN. The
+        # build side is pre-aggregated to unique (key, time) so "latest
+        # row" is well-defined in both engines.
+        from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+        events = _t(spark, sf_dir, "events").select("event_id", F.col("user_id"), "ts")
+        orders = (
+            _t(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+            .agg(F.max("o_orderkey").alias("last_orderkey"))
+        )
+        out = asof_join(
+            events,
+            orders,
+            key="user_id",
+            probe_time="ts",
+            build_time="o_orderdate",
+            build_cols=("last_orderkey",),
+        )
+        return out.select("event_id", "user_id", "last_orderkey", "asof_time")
+
+    @register(
+        "join_range_bucketed",
+        oracle="""
+        WITH bands AS (
+          SELECT CAST(range AS INTEGER) AS band_id,
+                 CAST(range * 60000 AS DOUBLE) AS lo,
+                 CAST((range + 1) * 60000 AS DOUBLE) AS hi
+          FROM range(12)
+        )
+        SELECT o.o_orderkey, b.band_id
+        FROM orders o JOIN bands b
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        """,
+    )
+    def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # interval-containment join rewritten as a grid-bucket
+        # equi-join (operators/asof.py:range_join_bucketed); the oracle
+        # states the naive inequality-join semantics.
+        from build_datawarehouse_demo_spark.operators.asof import range_join_bucketed
+
+        bands = spark.range(12).select(
+            F.col("id").cast("int").alias("band_id"),
+            (F.col("id") * 60000).cast("double").alias("lo"),
+            ((F.col("id") + 1) * 60000).cast("double").alias("hi"),
+        )
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        out = range_join_bucketed(orders, bands, "o_totalprice", "lo", "hi", bucket_width=20000.0)
+        return out.select("o_orderkey", "band_id")
+
+    # ------------------------------------------------------------------
     # vectorized UDF surface (SURVEY.md §2.10)
     # ------------------------------------------------------------------
 

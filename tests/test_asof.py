@@ -1,0 +1,72 @@
+"""As-of join + bucketed range join semantics on literal frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from build_datawarehouse_demo_spark.operators.asof import asof_join, range_join_bucketed
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-10 00:00:00")),
+            (2, "k1", _ts("2024-01-20 00:00:00")),
+            (3, "k2", _ts("2024-01-01 00:00:00")),  # before any build -> null
+        ],
+        "pid int, k string, t timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-05 00:00:00"), "v5"),
+            ("k1", _ts("2024-01-15 00:00:00"), "v15"),
+            ("k2", _ts("2024-06-01 00:00:00"), "vX"),
+        ],
+        "k string, bt timestamp, val string",
+    )
+    out = asof_join(probe, build, key="k", probe_time="t", build_time="bt", build_cols=("val",))
+    got = {r.pid: (r.val, r.asof_time) for r in out.collect()}
+    assert got[1] == ("v5", _ts("2024-01-05 00:00:00"))
+    assert got[2] == ("v15", _ts("2024-01-15 00:00:00"))
+    assert got[3] == (None, None)
+
+
+def test_asof_inclusive_vs_exclusive_on_exact_tie(spark):
+    probe = spark.createDataFrame([(1, "k", _ts("2024-01-05 00:00:00"))], "pid int, k string, t timestamp")
+    build = spark.createDataFrame(
+        [("k", _ts("2024-01-05 00:00:00"), "exact"), ("k", _ts("2024-01-01 00:00:00"), "earlier")],
+        "k string, bt timestamp, val string",
+    )
+    inc = asof_join(probe, build, "k", "t", "bt", ("val",), inclusive=True).collect()[0]
+    exc = asof_join(probe, build, "k", "t", "bt", ("val",), inclusive=False).collect()[0]
+    assert inc.val == "exact"
+    assert exc.val == "earlier"
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    points = spark.range(1000).selectExpr("id", "CAST(id * 7 % 997 AS DOUBLE) AS x")
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 100.0), (1, 100.0, 101.0), (2, 95.0, 300.0), (3, 900.0, 2000.0)],
+        "iid int, lo double, hi double",
+    )
+    naive = points.join(
+        intervals, (points.x >= intervals.lo) & (points.x < intervals.hi)
+    ).select("id", "iid")
+    fast = range_join_bucketed(points, intervals, "x", "lo", "hi", bucket_width=50.0).select(
+        "id", "iid"
+    )
+    assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in fast.collect()}
+    # boundary semantics: lo inclusive, hi exclusive
+    edge = range_join_bucketed(
+        spark.createDataFrame([(1, 100.0)], "id int, x double"),
+        intervals,
+        "x",
+        "lo",
+        "hi",
+        bucket_width=50.0,
+    ).select("iid")
+    assert {r.iid for r in edge.collect()} == {1, 2}
