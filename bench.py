@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # reference-parity surface
     "flagship_priority_revenue",
     "sql_q1_pricing_summary",
     "sql_q3_shipping_priority",
@@ -28,6 +29,13 @@ HEADLINE = [
     "sql_agg_events_hourly",
     "join_inner_single_key",
     "explode_split_tokens",
+    # training-data pipeline extensions
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_quality_score",
+    "join_asof",
 ]
 
 

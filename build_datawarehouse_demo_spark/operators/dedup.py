@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 from build_datawarehouse_demo_spark.operators.text import tokens
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a compute-amplifying input across all cores.
+
+    Explode/hash operators multiply work per input row; a small input
+    file arrives as ONE split, so without this the whole amplified
+    computation runs on one task (observed: 5k docs → 260k shingles →
+    4M md5s on a single thread). The shuffle moved is the small input,
+    the win is full parallelism on the amplified work. At 100 TB inputs
+    already span many splits and this becomes a cheap no-op rebalance.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
 def hash32(col: Column, seed: int = 0) -> Column:
     """Deterministic 32-bit hash: first 8 hex chars of md5(seed:value).
 
@@ -63,7 +77,7 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
+    return spread(df, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     ).filter(F.col("shingle") != "")
 
@@ -153,8 +167,14 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold."""
-    sh = word_shingles(df, id_col, text_col, k)
+    """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold.
+
+    The shingle table feeds three consumers (signatures, both sides of
+    the verify join); persisting it trades one materialization for
+    three recomputes of the tokenize+shingle scan — at 100 TB you'd
+    write it to parquet instead (same idea, durable).
+    """
+    sh = word_shingles(df, id_col, text_col, k).persist()
     sigs = minhash_signatures(sh, num_hashes, id_col)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
     return exact_jaccard(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
@@ -164,7 +184,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """32-bit SimHash: per token, hash32 bits vote ±1; sign of each
     bit-position sum forms the signature. Expressed as explode(token) ×
     explode(bit) + one groupBy — all codegen'd expressions."""
-    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    tok = spread(df, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
     hashed = tok.withColumn("h", hash32(F.col("tok")))
     bitted = hashed.select(
         id_col,
@@ -231,7 +253,7 @@ def ngram_jaccard_pairs(
     """Brute-force token-set Jaccard within blocking-key partitions
     (n-gram Jaccard with k=1 over word unigrams; pass block_cols like
     (lang, source) so the quadratic term is per-block, not global)."""
-    toked = df.select(
+    toked = spread(df, id_col).select(
         F.col(id_col), *block_cols, F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     sizes = toked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))

@@ -59,7 +59,10 @@ def brute_force_topk(
     (cartesian per partition, corpus stays put), scored, then
     row_number ≤ k per probe with (score DESC, id) tiebreak.
     """
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv"))
+    # spread the corpus: a single-file corpus otherwise scores every
+    # probe on one task (see dedup.spread)
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n).select(F.col(id_col), _as_double(vec_col).alias("__cv"))
     p = probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv"))
     scored = (
         c.join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
@@ -133,7 +136,8 @@ def embedding_near_dup_pairs(
     All-pairs here (exact); at scale, route through ivf_assign and only
     compare within clusters — same pattern as LSH banding in dedup.py.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__a"))
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    a = corpus.repartition(n).select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__a"))
     b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

@@ -18,6 +18,8 @@ SCRATCH = "/root/repo/.scratch"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # no rebalance: parity ops are scan/filter/join-shaped — pushdown
+    # to the parquet scan matters more than scan-stage parallelism
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
