@@ -398,6 +398,44 @@ def register_extensions() -> None:
         return fake_decode_metadata(attach_binary(_t(spark, sf_dir, "documents")))
 
     # ------------------------------------------------------------------
+    # exact + approximate distribution statistics
+    # ------------------------------------------------------------------
+
+    @register(
+        "agg_percentile_exact",
+        oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+               round(quantile_cont(o_totalprice, 0.90), 6) AS p90,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        """,
+    )
+    def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # exact interpolated percentiles: both engines implement the
+        # standard (n-1)p linear interpolation — verified equal to
+        # 1e-9 before registering; rounded to 6dp for safety.
+        o = _t(spark, sf_dir, "orders")
+        return o.groupBy("o_orderstatus").agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    @register("agg_approx_stats")  # no oracle: HLL/KLL sketches are
+    # engine-specific by construction — the driver records a rows-only
+    # check; exactness is covered by agg_percentile_exact above.
+    def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _t(spark, sf_dir, "lineitem")
+        return li.agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        )
+
+    # ------------------------------------------------------------------
     # custom operators Spark lacks natively
     # ------------------------------------------------------------------
 
@@ -533,6 +571,58 @@ def register_extensions() -> None:
     # ------------------------------------------------------------------
     # streaming-equivalent windows
     # ------------------------------------------------------------------
+
+    @register(
+        "streaming_sliding_window",
+        oracle="""
+        WITH ex AS (
+          SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE) AS window_start,
+                 event_type
+          FROM events, unnest(generate_series(0, 3)) AS g(k)
+        )
+        SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n_events
+        FROM ex GROUP BY 1, 2, 3
+        """,
+    )
+    def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # sliding windows: each event lands in window/slide = 4
+        # overlapping windows; the oracle expands them explicitly.
+        from build_datawarehouse_demo_spark.streaming.windows import sliding_event_counts
+
+        return sliding_event_counts(_t(spark, sf_dir, "events"))
+
+    @register(
+        "streaming_session_window",
+        oracle="""
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sess
+        """,
+    )
+    def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # native session_window vs the lag/cumsum islands construction.
+        # Boundary note: Spark starts a new session when the gap is
+        # EXACTLY equal; the oracle merges it — unobservable here since
+        # timestamps carry microsecond jitter.
+        from build_datawarehouse_demo_spark.streaming.windows import session_event_counts
+
+        return session_event_counts(_t(spark, sf_dir, "events"))
 
     @register(
         "streaming_tumbling_window",

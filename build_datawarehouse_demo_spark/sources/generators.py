@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from build_datawarehouse_demo_spark.functions.datetime_kit import date_id, date_parts
+
 
 def gen_date_range(
     spark: SparkSession,
@@ -33,15 +35,12 @@ def gen_date_range(
     spine = spark.range(1).select(
         F.explode(F.sequence(start, end, F.expr("interval 1 day"))).alias("full_date")
     )
+    parts = date_parts("full_date")
     return spine.select(
         (F.datediff(F.col("full_date"), start) + F.lit(1)).cast("int").alias("datetime_id"),
         F.col("full_date").cast("timestamp").alias("full_timestamp"),
-        F.date_format("full_date", "yyyyMMdd").cast("int").alias("date_id"),
-        F.date_format("full_date", "EEEE").alias("weekday"),
-        F.dayofmonth("full_date").cast("int").alias("day"),
-        F.month("full_date").cast("int").alias("month"),
-        F.year("full_date").cast("int").alias("year"),
-        F.quarter("full_date").cast("int").alias("quarter"),
+        date_id("full_date").alias("date_id"),
+        *[expr.alias(name) for name, expr in parts.items()],
         F.col("full_date"),
     )
 

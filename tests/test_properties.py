@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis): operators vs pure-Python models.
+
+Each example is a BATCH of inputs turned into one DataFrame, so a
+property run costs a handful of Spark jobs, not hundreds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.operators.dedup import hash32, word_shingles
+from build_datawarehouse_demo_spark.operators.flatten import explode_delimited
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+texts = st.lists(
+    st.text(alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F), max_size=12),
+    max_size=8,
+)
+
+
+@given(data=st.lists(texts, min_size=1, max_size=20))
+@SET
+def test_explode_delimited_matches_python_model(spark, data):
+    rows = [(i, ", ".join(words)) for i, words in enumerate(data)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r.id, r.tok) for r in explode_delimited(df, "s", "tok", keep_cols=("id",)).collect()}
+    expect = set()
+    for i, words in enumerate(data):
+        joined = ", ".join(words)
+        for part in re.split(r",\s*", joined):
+            part = part.strip()
+            if part:
+                expect.add((i, part))
+    assert got == expect
+
+
+@given(strings=st.lists(st.text(max_size=30), min_size=1, max_size=30), seed=st.integers(0, 100))
+@SET
+def test_hash32_matches_python_model(spark, strings, seed):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    got = {r.i: r.h for r in df.select("i", hash32(F.col("s"), seed=seed).alias("h")).collect()}
+    for i, s in enumerate(strings):
+        expect = int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
+        assert got[i] == expect
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=10), k=st.integers(2, 4))
+@SET
+def test_word_shingles_matches_python_model(spark, docs, k):
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.shingle) for r in word_shingles(df, k=k).collect()}
+    expect = set()
+    for i, words in enumerate(docs):
+        toks = [w for w in " ".join(words).strip().split() if w]
+        for j in range(len(toks) - k + 1):
+            sh = " ".join(toks[j : j + k])
+            if sh:
+                expect.add((i, sh))
+    assert got == expect
