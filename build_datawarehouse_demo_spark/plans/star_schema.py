@@ -294,8 +294,16 @@ def _covid_tables(covid: DataFrame) -> dict[str, DataFrame]:
 def _weather_table(weather: DataFrame, dim_datetime: DataFrame, value_cols: list[str]) -> DataFrame:
     """Climate CSV -> datetime-resolved dim, keep-null misses
     (/root/reference/transformation.py:446-514). `date` arrives as a
-    yyyymmdd int (stringified before lookup at :453)."""
-    base = weather.select(F.col("date").cast("string").alias("date_str"), *value_cols)
+    yyyymmdd int (stringified before lookup at :453).
+
+    Values go through try_cast: real NOAA precipitation columns carry
+    'T' for trace amounts (FIXTURES.md §8) — those become null instead
+    of aborting the job under ANSI mode.
+    """
+    base = weather.select(
+        F.col("date").cast("string").alias("date_str"),
+        *[F.col(c).try_cast("double").alias(c) for c in value_cols],
+    )
     dim_keyed = dim_datetime.select(
         F.date_format("full_timestamp", "yyyyMMdd").alias("date_str"), "datetime_id"
     )

@@ -385,3 +385,49 @@ def register_layer_b() -> None:
         WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
         """,
     )
+
+    # TPC-H Q4 shape: order-priority count gated by a correlated EXISTS.
+    register_sql(
+        "sql_q4_order_priority",
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """,
+    )
+
+    # TPC-H Q12 shape: priority-class buckets via conditional agg over
+    # a fact/dim join.
+    register_sql(
+        "sql_q12_priority_classes",
+        """
+        SELECT l.l_linestatus,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_linestatus
+        """,
+    )
+
+    # TPC-H Q14 shape: ratio of a conditional aggregate to the total —
+    # one pass, two exact-decimal sums.
+    register_sql(
+        "sql_q14_promo_ratio",
+        f"""
+        SELECT CAST(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY' THEN {_REV}
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum({_REV}) AS DOUBLE) AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        """,
+    )

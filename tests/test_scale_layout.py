@@ -1,0 +1,68 @@
+"""Physical-layout features that only matter at scale: bucketed joins
+(no exchange), partitioned writes with dynamic partition pruning.
+
+These are plan-shape assertions — the local data is tiny, but the plan
+is what would execute on the 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.sources.writers import save_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    big = spark.range(50000).selectExpr("id AS k", "id * 2 AS v1")
+    other = spark.range(50000).selectExpr("id AS k", "id * 3 AS v2")
+    with tempfile.TemporaryDirectory() as d:
+        save_table(big, "bt_big", bucket_by=(8, ("k",)), path=f"{d}/big")
+        save_table(other, "bt_other", bucket_by=(8, ("k",)), path=f"{d}/other")
+        yield "bt_big", "bt_other"
+        for t in ("bt_big", "bt_other"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    a, b = bucketed_tables
+    joined = spark.table(a).join(spark.table(b), "k")
+    # force the sort-merge path so bucketing (not broadcast) is what
+    # eliminates the exchange
+    joined = spark.table(a).hint("merge").join(spark.table(b), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() == 50000
+
+
+def test_partitioned_write_enables_partition_pruning(spark):
+    df = spark.range(10000).selectExpr("id", "CAST(id % 7 AS STRING) AS dt")
+    with tempfile.TemporaryDirectory() as d:
+        save_table(df, "pp_events", partition_by=("dt",), path=f"{d}/pp")
+        pruned = spark.table("pp_events").filter(F.col("dt") == "3")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # partition filter must appear as PartitionFilters, not a scan
+        # over all partitions + post-filter
+        assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200]
+        assert pruned.count() == 10000 // 7 + (1 if 3 < 10000 % 7 else 0)
+        spark.sql("DROP TABLE IF EXISTS pp_events")
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    fact = spark.range(20000).selectExpr("id", "CAST(id % 10 AS STRING) AS dt")
+    with tempfile.TemporaryDirectory() as d:
+        save_table(fact, "dpp_fact", partition_by=("dt",), path=f"{d}/f")
+        dim = spark.createDataFrame([("3", "x"), ("5", "y")], "dt string, tag string")
+        dim.createOrReplaceTempView("dpp_dim")
+        q = spark.sql(
+            "SELECT count(*) AS n FROM dpp_fact f JOIN dpp_dim d ON f.dt = d.dt WHERE d.tag = 'x'"
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert q.collect()[0].n == 2000
+        spark.sql("DROP TABLE IF EXISTS dpp_fact")
