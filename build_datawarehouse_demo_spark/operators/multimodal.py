@@ -65,6 +65,48 @@ def fake_decode_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=MULTIMODAL_META_SCHEMA)
 
 
+FRAME_SCHEMA = "id bigint, frame_idx int, frame_off int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 16, stride: int = 32
+) -> DataFrame:
+    """Frame-sampling over an opaque binary 'video' payload: emit every
+    stride-th frame_bytes window with its digest — the shape of a real
+    video keyframe sampler (decode stubbed; windowing, batch iteration,
+    and 1→N row fan-out are the real plumbing).
+
+    mapInPandas, not explode: a real sampler calls a codec per payload,
+    which needs Python bytes in hand, and Arrow batches bound memory by
+    batch size rather than partition size.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_id, out_idx, out_off, out_md5 = [], [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                idx = 0
+                for off in range(0, max(len(payload) - frame_bytes + 1, 0), stride):
+                    frame = payload[off : off + frame_bytes]
+                    out_id.append(rid)
+                    out_idx.append(idx)
+                    out_off.append(off)
+                    out_md5.append(hashlib.md5(frame).hexdigest())
+                    idx += 1
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_off": pd.Series(out_off, dtype="int32"),
+                    "frame_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """Real image decode — requires a codec library absent from this
     container. The plumbing (same shape as fake_decode_metadata) is the

@@ -125,6 +125,79 @@ def ivf_topk(
     )
 
 
+def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane set: sign of md5(plane:dim).
+
+    md5-derived (like dedup.hash32) so any engine — or the DuckDB
+    oracle — reproduces the planes exactly; no RNG state to ship.
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection signature: bit i = [vec · plane_i >= 0].
+
+    Projections are ordered zip_with/aggregate folds (NOT an
+    explode+groupBy sum): float addition order is fixed left-to-right,
+    so the signature is bit-stable across engines — an unordered
+    aggregation could flip a near-zero projection's sign.
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = dot(vec_col, F.array([F.lit(x) for x in plane]).cast("array<double>"))
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_rp_lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: score only corpus vectors whose
+    sign-projection signature equals the probe's.
+
+    The bucket equi-join replaces the probe×corpus cartesian — with B
+    balanced buckets the scored set shrinks ~B×; recall is whatever the
+    bucket recall is (raise by multi-probing neighboring signatures).
+    """
+    planes = rp_planes(n_planes, dim)
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")).withColumn(
+        "__sig", rp_lsh_signature(F.col("__cv"), planes)
+    )
+    p = probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")).withColumn(
+        "__sig", rp_lsh_signature(F.col("__pv"), planes)
+    )
+    scored = (
+        c.join(F.broadcast(p), "__sig")
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

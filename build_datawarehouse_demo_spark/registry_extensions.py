@@ -279,6 +279,72 @@ def register_extensions() -> None:
         )
         return ivf_topk(emb, centroids, probes, k=5)
 
+    from build_datawarehouse_demo_spark.operators.similarity import rp_planes
+
+    _planes = rp_planes(8, 64)
+    _plane_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in plane)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_planes)
+    )
+
+    @register(
+        "sim_ann_rp_lsh",
+        oracle=f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id, v, CAST({_plane_sql} AS INTEGER) AS s FROM e
+        ),
+        p AS (SELECT vec_id AS probe_id, v AS pv, s FROM sig WHERE vec_id < 10),
+        scored AS (
+          SELECT p.probe_id, c.vec_id, list_cosine_similarity(p.pv, c.v) AS cos
+          FROM sig c JOIN p ON c.s = p.s AND c.vec_id <> p.probe_id
+        ),
+        ranked AS (
+          SELECT probe_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+        """,
+    )
+    def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # sign-random-projection LSH buckets (md5-derived ±1 planes,
+        # ordered folds so the signature is engine-bit-stable); only
+        # same-bucket vectors are scored.
+        from build_datawarehouse_demo_spark.operators.similarity import ann_rp_lsh_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return ann_rp_lsh_topk(emb, probes, k=5, n_planes=8, dim=64)
+
+    @register(
+        "multimodal_frame_sample",
+        oracle="""
+        SELECT doc_id AS id,
+               CAST(g.k AS INTEGER) AS frame_idx,
+               CAST(g.k * 32 AS INTEGER) AS frame_off,
+               md5(substr(text, g.k * 32 + 1, 16)) AS frame_md5
+        FROM documents,
+             unnest(generate_series(0, (octet_length(encode(text)) - 16) // 32)) AS g(k)
+        WHERE octet_length(encode(text)) >= 16
+        """,
+    )
+    def q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # frame sampling over binary payloads via mapInPandas (ASCII
+        # text payloads make substr == byte slice, so SQL can mirror).
+        from build_datawarehouse_demo_spark.operators.multimodal import (
+            attach_binary,
+            sample_frames,
+        )
+
+        return sample_frames(attach_binary(_t(spark, sf_dir, "documents")))
+
     # ------------------------------------------------------------------
     # text analysis
     # ------------------------------------------------------------------
