@@ -242,12 +242,18 @@ def register_layer_b() -> None:
         """,
     )
 
-    # full outer join: both dangling sides survive with nulls.
+    # full outer join: both dangling sides survive. Nulls are COALESCEd
+    # to sentinels so the output columns stay non-null BIGINT — a
+    # nullable int column round-trips to pandas as float64 from Spark
+    # but nullable Int64 from DuckDB, which would desync the value hash
+    # (5.0 vs 5) even though the data matches.
     register_sql(
         "sql_join_full_outer",
         """
-        SELECT f.o_custkey AS custkey_f, o.o_custkey AS custkey_o,
-               f.n_f, o.n_o
+        SELECT coalesce(f.o_custkey, CAST(-1 AS BIGINT)) AS custkey_f,
+               coalesce(o.o_custkey, CAST(-1 AS BIGINT)) AS custkey_o,
+               coalesce(f.n_f, CAST(0 AS BIGINT)) AS n_f,
+               coalesce(o.n_o, CAST(0 AS BIGINT)) AS n_o
         FROM (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
         FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
           ON f.o_custkey = o.o_custkey
