@@ -32,12 +32,19 @@ def asof_join(
     build_time: str,
     build_cols: tuple[str, ...],
     inclusive: bool = True,
+    build_order: tuple[str, ...] = (),
 ) -> DataFrame:
     """Left as-of join: probe rows annotated with the latest build row
     whose time is <= (or < when inclusive=False) the probe time.
 
     probe keeps all its columns; `build_cols` (+ matched build time as
     `asof_time`) are appended, null when no build row precedes.
+
+    Duplicate (key, time) build rows: pass `build_order` and the LAST
+    row in that ascending order wins (e.g. build_order=("version",)
+    picks the max version) — this replaces a pre-aggregation groupBy,
+    saving its shuffle: the whole operator then moves data exactly
+    once, on the window's hashpartitioning(key).
     """
     p = probe.withColumn("__t", F.col(probe_time)).withColumn("__side", F.lit(1))
     b = (
@@ -71,11 +78,15 @@ def asof_join(
 
     # build rows sort before probe rows at equal times when inclusive
     # (so an exact-tie build row is visible to the probe), after when
-    # exclusive.
+    # exclusive; among equal-time build rows the last in build_order
+    # wins via last().
     side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
+    order_cols = [F.col("__t").asc(), side_order] + [
+        F.col(c).asc_nulls_first() for c in build_order
+    ]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__t").asc(), side_order)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
     carried = unioned.select(

@@ -524,12 +524,19 @@ def register_extensions() -> None:
         # build side is pre-aggregated to unique (key, time) so "latest
         # row" is well-defined in both engines.
         from build_datawarehouse_demo_spark.operators.asof import asof_join
+        from build_datawarehouse_demo_spark.sources.readers import read_parquet
 
-        events = _t(spark, sf_dir, "events").select("event_id", F.col("user_id"), "ts")
-        orders = (
-            _t(spark, sf_dir, "orders")
-            .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
-            .agg(F.max("o_orderkey").alias("last_orderkey"))
+        # no rebalance, no pre-agg groupBy: the window's
+        # hashpartitioning(user_id) is the operator's ONE shuffle;
+        # duplicate (key, date) build rows resolve to max orderkey via
+        # build_order instead of an aggregation exchange.
+        events = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+            "event_id", F.col("user_id"), "ts"
+        )
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("o_orderkey").alias("last_orderkey"),
         )
         out = asof_join(
             events,
@@ -538,6 +545,7 @@ def register_extensions() -> None:
             probe_time="ts",
             build_time="o_orderdate",
             build_cols=("last_orderkey",),
+            build_order=("last_orderkey",),
         )
         return out.select("event_id", "user_id", "last_orderkey", "asof_time")
 

@@ -423,6 +423,25 @@ def register_layer_b() -> None:
         """,
     )
 
+    # TPC-H Q10 shape: returned-item revenue per customer, top-20.
+    register_sql(
+        "sql_q10_returned_items",
+        f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+        """,
+    )
+
     # TPC-H Q14 shape: ratio of a conditional aggregate to the total —
     # one pass, two exact-decimal sums.
     register_sql(

@@ -51,6 +51,52 @@ def _hash_frame(pdf) -> tuple[int, list[str], str]:
     return len(pdf), cols, h
 
 
+def _dtype_kind(series) -> str:
+    """Normalize a pandas column to a comparable type kind — catches
+    pandas-level divergence (float64 vs Int64 nullable ints, date vs
+    datetime objects) that an order-insensitive value hash with float
+    normalization can mask but the driver's schema compare may not."""
+    s = str(series.dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime"):
+        return "ts"
+    if s == "bool":
+        return "bool"
+    if s == "object":
+        import datetime
+
+        for v in series.head(50):
+            if v is None:
+                continue
+            if isinstance(v, str):
+                return "str"
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            if isinstance(v, datetime.datetime):
+                return "ts"
+            if isinstance(v, datetime.date):
+                return "date"
+            return type(v).__name__
+        return "allnull"
+    return s
+
+
+def _dtype_mismatches(sp, du) -> list[str]:
+    out = []
+    for c in sorted(set(sp.columns) & set(du.columns)):
+        k1, k2 = _dtype_kind(sp[c]), _dtype_kind(du[c])
+        if k1 != k2 and "allnull" not in (k1, k2):
+            out.append(f"{c}: {k1} vs {k2}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
@@ -89,7 +135,8 @@ def main() -> int:
             failures.append(name)
             continue
         (n1, c1, h1), (n2, c2, h2) = _hash_frame(sp), _hash_frame(du)
-        status = "PASS" if (n1, c1, h1) == (n2, c2, h2) else "FAIL"
+        dtype_bad = _dtype_mismatches(sp, du)
+        status = "PASS" if (n1, c1, h1) == (n2, c2, h2) and not dtype_bad else "FAIL"
         detail = ""
         if status == "FAIL":
             failures.append(name)
@@ -97,6 +144,8 @@ def main() -> int:
                 detail = f" rows {n1} vs {n2}"
             elif c1 != c2:
                 detail = f" cols {c1} vs {c2}"
+            elif dtype_bad:
+                detail = f" dtype {dtype_bad}"
             else:
                 detail = f" value-hash mismatch ({n1} rows)"
         print(f"{status} {name}: {time.time()-t0:.1f}s{detail}")
