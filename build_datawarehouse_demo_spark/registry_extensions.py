@@ -464,6 +464,47 @@ def register_extensions() -> None:
         return fake_decode_metadata(attach_binary(_t(spark, sf_dir, "documents")))
 
     # ------------------------------------------------------------------
+    # warehouse change management (SCD2)
+    # ------------------------------------------------------------------
+
+    @register(
+        "scd2_apply_history",
+        oracle="""
+        WITH upd AS (
+          SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal
+          FROM customer WHERE c_acctbal > 5000
+        )
+        SELECT c.c_custkey, c.c_acctbal,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL THEN TIMESTAMP '2021-06-01 00:00:00'
+                    ELSE TIMESTAMP '2260-01-01 00:00:00' END AS valid_to,
+               (u.c_custkey IS NULL) AS is_current
+        FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '2021-06-01 00:00:00',
+               TIMESTAMP '2260-01-01 00:00:00', TRUE
+        FROM upd
+        """,
+    )
+    def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # type-2 dimension apply (operators/scd.py): close changed keys'
+        # open rows, append new versions; the oracle states the same
+        # history algebraically.
+        from build_datawarehouse_demo_spark.operators.scd import scd2_apply, scd2_bootstrap
+
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        cur = scd2_bootstrap(
+            cust.withColumn("effective_ts", F.lit("2020-01-01 00:00:00").cast("timestamp"))
+        )
+        upd = (
+            cust.filter(F.col("c_acctbal") > 5000)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+            .withColumn("effective_ts", F.lit("2021-06-01 00:00:00").cast("timestamp"))
+        )
+        return scd2_apply(cur, upd, key="c_custkey", tracked_cols=("c_acctbal",))
+
+    # ------------------------------------------------------------------
     # exact + approximate distribution statistics
     # ------------------------------------------------------------------
 

@@ -1,0 +1,73 @@
+"""SCD2 history semantics + incremental-rollup ≡ full-rebuild."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.operators.scd import (
+    scd2_apply,
+    scd2_as_of,
+    scd2_bootstrap,
+    upsert,
+)
+from build_datawarehouse_demo_spark.plans.rollup import (
+    incremental_rollup_update,
+    rollup_events_hourly,
+)
+from build_datawarehouse_demo_spark.sources.readers import read_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_upsert_overwrites_and_keeps(spark):
+    cur = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    got = {(r.k, r.v) for r in upsert(cur, upd, "k").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_close_insert_and_point_in_time(spark):
+    snap = spark.createDataFrame(
+        [(1, "alice", _ts("2020-01-01 00:00:00")), (2, "bob", _ts("2020-01-01 00:00:00"))],
+        "k long, name string, effective_ts timestamp",
+    )
+    hist = scd2_bootstrap(snap)
+    upd = spark.createDataFrame(
+        [(1, "alicia", _ts("2021-06-01 00:00:00")), (2, "bob", _ts("2021-06-01 00:00:00"))],
+        "k long, name string, effective_ts timestamp",
+    )
+    hist2 = scd2_apply(hist, upd, key="k", tracked_cols=("name",))
+    rows = sorted(
+        ((r.k, r.name, r.is_current) for r in hist2.collect())
+    )
+    # key 2 unchanged -> no new version; key 1 gets closed + new row
+    assert rows == [(1, "alice", False), (1, "alicia", True), (2, "bob", True)]
+    asof_2020 = {(r.k, r.name) for r in scd2_as_of(hist2, "2020-07-01 00:00:00").collect()}
+    asof_2022 = {(r.k, r.name) for r in scd2_as_of(hist2, "2022-01-01 00:00:00").collect()}
+    assert asof_2020 == {(1, "alice"), (2, "bob")}
+    assert asof_2022 == {(1, "alicia"), (2, "bob")}
+
+
+def test_incremental_rollup_equals_full_rebuild(spark):
+    events = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    cutoff = "2024-01-15 06:30:00"  # mid-range of the Jan-2024 events
+    old, new = events.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")), events
+    # first run on the old half, then incremental update with the full set
+    r1 = incremental_rollup_update(None, old)
+    r2 = incremental_rollup_update(r1, new)
+    full = rollup_events_hourly(events)
+    assert {tuple(r) for r in r2.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_incremental_rollup_bootstrap_none(spark):
+    events = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    r = incremental_rollup_update(None, events)
+    assert {tuple(x) for x in r.collect()} == {
+        tuple(x) for x in rollup_events_hourly(events).collect()
+    }
