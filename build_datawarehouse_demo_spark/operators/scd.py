@@ -61,9 +61,11 @@ def scd2_apply(
     upd_keys = updates.select(key, F.col(effective_ts_col).alias("__new_from"))
 
     # close currently-open rows of changed keys at the update's
-    # effective time
+    # effective time. No broadcast hint: update batches are usually
+    # dim-sized but nothing guarantees it — AQE converts at runtime
+    # when the build side actually is small.
     closed = (
-        current.join(F.broadcast(upd_keys), key, "left")
+        current.join(upd_keys, key, "left")
         .withColumn(
             "valid_to",
             F.when(
