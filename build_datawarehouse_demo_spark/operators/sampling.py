@@ -1,0 +1,76 @@
+"""Deterministic sampling & dataset splitting for training-data
+pipelines.
+
+`df.sample()` uses Spark's per-partition RNG: not reproducible across
+partitionings, engines, or reruns — useless for "which exact documents
+were in the training set?" questions. These operators key every
+decision off md5 of a stable id (operators/dedup.py:hash32 — the same
+engine-portable hash as the dedup family), so a sample is a pure
+function of the data: re-runnable anywhere, joinable years later,
+oracle-checkable.
+
+Scale shape: a narrow filter/projection — no shuffle, no state; the
+predicate rides to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.operators.dedup import hash32
+
+# hash32 yields 32-bit values; bucket to per-mille for rate precision
+_BUCKETS = 1000
+
+
+def _bucket(id_col: Column, seed: int) -> Column:
+    return F.pmod(hash32(id_col.cast("string"), seed=seed), F.lit(_BUCKETS))
+
+
+def sample_by_hash(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:
+    """Deterministic ~rate sample: keep rows whose id-hash bucket falls
+    below rate·1000. Same ids are kept on every run, every engine."""
+    return df.filter(_bucket(F.col(id_col), seed) < int(rate * _BUCKETS))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict[str, float], seed: int = 0
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare
+    languages, 10% of the head language). Strata missing from `rates`
+    are dropped — pass rate 1.0 to keep whole."""
+    threshold = None
+    for value, rate in sorted(rates.items()):
+        branch = F.when(F.col(strata_col) == value, F.lit(int(rate * _BUCKETS)))
+        threshold = branch if threshold is None else threshold.when(
+            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        )
+    threshold = threshold.otherwise(F.lit(0))
+    return df.filter(_bucket(F.col(id_col), seed) < threshold)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable split label from its id hash.
+
+    Disjoint and exhaustive by construction; membership never changes
+    when the dataset grows (a row's split depends only on its own id) —
+    the property that prevents train/test leakage across dataset
+    versions.
+    """
+    b = _bucket(F.col(id_col), seed)
+    val_hi = int(val_frac * _BUCKETS)
+    test_hi = val_hi + int(test_frac * _BUCKETS)
+    return df.withColumn(
+        split_col,
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

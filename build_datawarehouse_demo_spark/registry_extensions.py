@@ -464,6 +464,46 @@ def register_extensions() -> None:
         return fake_decode_metadata(attach_binary(_t(spark, sf_dir, "documents")))
 
     # ------------------------------------------------------------------
+    # deterministic sampling / dataset splits
+    # ------------------------------------------------------------------
+
+    @register(
+        "sample_hash_deterministic",
+        oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
+        """,
+    )
+    def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ~20% deterministic sample keyed on md5(doc_id) — reproducible
+        # across engines/runs, unlike df.sample()'s partition RNG.
+        from build_datawarehouse_demo_spark.operators.sampling import sample_by_hash
+
+        return sample_by_hash(_t(spark, sf_dir, "documents"), "doc_id", rate=0.2, seed=7).select(
+            "doc_id", "lang"
+        )
+
+    @register(
+        "sample_train_val_test_split",
+        oracle="""
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 'val'
+                    WHEN CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+        """,
+    )
+    def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # stable train/val/test assignment: a row's split is a pure
+        # function of its id, so membership survives dataset growth.
+        from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
+
+        return train_val_test_split(
+            _t(spark, sf_dir, "documents"), "doc_id", val_frac=0.1, test_frac=0.1
+        ).select("doc_id", "split")
+
+    # ------------------------------------------------------------------
     # warehouse change management (SCD2)
     # ------------------------------------------------------------------
 

@@ -1,0 +1,50 @@
+"""Deterministic sampling / split semantics."""
+
+from __future__ import annotations
+
+from build_datawarehouse_demo_spark.operators.sampling import (
+    sample_by_hash,
+    stratified_sample_by_hash,
+    train_val_test_split,
+)
+
+
+def test_sample_reproducible_and_roughly_sized(spark):
+    df = spark.range(10000).selectExpr("id")
+    s1 = {r.id for r in sample_by_hash(df, "id", 0.3, seed=1).collect()}
+    s2 = {r.id for r in sample_by_hash(df, "id", 0.3, seed=1).collect()}
+    assert s1 == s2
+    assert 0.25 < len(s1) / 10000 < 0.35
+    # a different seed gives a different (but equally stable) sample
+    s3 = {r.id for r in sample_by_hash(df, "id", 0.3, seed=2).collect()}
+    assert s3 != s1
+
+
+def test_sample_membership_stable_under_growth(spark):
+    small = spark.range(1000).selectExpr("id")
+    big = spark.range(5000).selectExpr("id")
+    s_small = {r.id for r in sample_by_hash(small, "id", 0.2).collect()}
+    s_big = {r.id for r in sample_by_hash(big, "id", 0.2).collect()}
+    assert s_small == {i for i in s_big if i < 1000}
+
+
+def test_stratified_rates(spark):
+    df = spark.range(8000).selectExpr("id", "CASE WHEN id % 4 = 0 THEN 'rare' ELSE 'head' END AS g")
+    out = stratified_sample_by_hash(df, "id", "g", {"rare": 1.0, "head": 0.1})
+    counts = {r.g: r.n for r in out.groupBy("g").agg({"*": "count"}).withColumnRenamed("count(1)", "n").collect()}
+    assert counts["rare"] == 2000
+    assert 400 < counts["head"] < 800
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    df = spark.range(5000).selectExpr("id")
+    out = train_val_test_split(df, "id", 0.1, 0.2)
+    counts = {r.split: r.n for r in out.groupBy("split").agg({"*": "count"}).withColumnRenamed("count(1)", "n").collect()}
+    assert sum(counts.values()) == 5000
+    assert 0.05 < counts["val"] / 5000 < 0.15
+    assert 0.15 < counts["test"] / 5000 < 0.25
+    # growth stability: first 1000 rows keep their labels
+    small = train_val_test_split(spark.range(1000).selectExpr("id"), "id", 0.1, 0.2)
+    lab_small = {(r.id, r.split) for r in small.collect()}
+    lab_big = {(r.id, r.split) for r in out.filter("id < 1000").collect()}
+    assert lab_small == lab_big
