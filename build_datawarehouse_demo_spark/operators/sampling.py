@@ -24,8 +24,14 @@ from build_datawarehouse_demo_spark.operators.dedup import hash32
 _BUCKETS = 1000
 
 
-def _bucket(id_col: Column, seed: int) -> Column:
-    return F.pmod(hash32(id_col.cast("string"), seed=seed), F.lit(_BUCKETS))
+def _bucket(id_col: Column, seed: int, purpose: str = "") -> Column:
+    """Per-mille bucket of an id. `purpose` salts the hash so different
+    operators never share bucket assignments at the same seed — without
+    it, a default-seed 10% sample would coincide EXACTLY with the val
+    split (both 'buckets < 100'), the leakage this module exists to
+    prevent."""
+    keyed = F.concat(F.lit(f"{purpose}:"), id_col.cast("string")) if purpose else id_col.cast("string")
+    return F.pmod(hash32(keyed, seed=seed), F.lit(_BUCKETS))
 
 
 def sample_by_hash(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:
@@ -39,14 +45,13 @@ def stratified_sample_by_hash(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. keep 100% of rare
     languages, 10% of the head language). Strata missing from `rates`
-    are dropped — pass rate 1.0 to keep whole."""
-    threshold = None
+    are dropped — pass rate 1.0 to keep whole; an empty `rates` drops
+    everything."""
+    threshold: Column = F.lit(0)
     for value, rate in sorted(rates.items()):
-        branch = F.when(F.col(strata_col) == value, F.lit(int(rate * _BUCKETS)))
-        threshold = branch if threshold is None else threshold.when(
-            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        threshold = F.when(F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))).otherwise(
+            threshold
         )
-    threshold = threshold.otherwise(F.lit(0))
     return df.filter(_bucket(F.col(id_col), seed) < threshold)
 
 
@@ -63,9 +68,14 @@ def train_val_test_split(
     Disjoint and exhaustive by construction; membership never changes
     when the dataset grows (a row's split depends only on its own id) —
     the property that prevents train/test leakage across dataset
-    versions.
+    versions. The hash is salted with 'split' so split assignments are
+    independent of any sample_by_hash draw at the same seed.
     """
-    b = _bucket(F.col(id_col), seed)
+    if not (0 <= val_frac and 0 <= test_frac and val_frac + test_frac <= 1):
+        raise ValueError(
+            f"val_frac={val_frac} and test_frac={test_frac} must be >= 0 and sum to <= 1"
+        )
+    b = _bucket(F.col(id_col), seed, purpose="split")
     val_hi = int(val_frac * _BUCKETS)
     test_hi = val_hi + int(test_frac * _BUCKETS)
     return df.withColumn(

@@ -469,10 +469,10 @@ def register_extensions() -> None:
 
     @register(
         "sample_hash_deterministic",
-        oracle="""
+        oracle=f"""
         SELECT doc_id, lang
         FROM documents
-        WHERE CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
+        WHERE {_HASH32.format(expr="'7:' || CAST(doc_id AS VARCHAR)")} % 1000 < 200
         """,
     )
     def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,10 +486,10 @@ def register_extensions() -> None:
 
     @register(
         "sample_train_val_test_split",
-        oracle="""
+        oracle=f"""
         SELECT doc_id,
-               CASE WHEN CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 'val'
-                    WHEN CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200 THEN 'test'
+               CASE WHEN {_HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100 THEN 'val'
+                    WHEN {_HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 200 THEN 'test'
                     ELSE 'train' END AS split
         FROM documents
         """,
