@@ -47,8 +47,12 @@ def asof_join(
     once, on the window's hashpartitioning(key).
     """
     p = probe.withColumn("__t", F.col(probe_time)).withColumn("__side", F.lit(1))
+    # null build times can never satisfy 'latest at or before' — and
+    # unfiltered they would sort FIRST and leak their payload into
+    # every probe row.
     b = (
-        build.select(
+        build.filter(F.col(build_time).isNotNull())
+        .select(
             F.col(key),
             F.col(build_time).alias("__t"),
             *[F.col(c) for c in build_cols],
@@ -56,8 +60,10 @@ def asof_join(
         .withColumn("__side", F.lit(0))
     )
     # align schemas for the union: probe carries null build payload,
-    # build carries null probe payload.
-    probe_payload = [c for c in probe.columns if c != key]
+    # build carries null probe payload. probe_time itself rides as __t
+    # and is renamed back at the end — including it here would emit a
+    # duplicate column of the same name.
+    probe_payload = [c for c in probe.columns if c not in (key, probe_time)]
     p_aligned = p.select(
         F.col(key),
         "__t",

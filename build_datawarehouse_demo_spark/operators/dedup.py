@@ -107,6 +107,10 @@ def lsh_candidate_pairs(
     collide in ≥1 band. The self-join runs per (band, band_key) bucket —
     the only pairs materialized are within-bucket ones.
     """
+    if num_hashes % bands != 0:
+        # a remainder would silently drop hash functions from banding;
+        # bands > num_hashes would make every band_key '' → O(n²)
+        raise ValueError(f"num_hashes={num_hashes} must divide evenly into bands={bands}")
     rows = num_hashes // bands
     band_structs = [
         F.struct(
@@ -170,11 +174,13 @@ def minhash_dedup_pairs(
     """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold.
 
     The shingle table feeds three consumers (signatures, both sides of
-    the verify join); persisting it trades one materialization for
-    three recomputes of the tokenize+shingle scan — at 100 TB you'd
-    write it to parquet instead (same idea, durable).
+    the verify join). It is NOT persisted here: a per-call persist with
+    no unpersist leaks cached blocks for the session's lifetime, and
+    measurement at sf0.1 showed no win (the recompute is a narrow
+    projection). At 100 TB, materialize the shingle table to parquet
+    once and run signatures + verify against that.
     """
-    sh = word_shingles(df, id_col, text_col, k).persist()
+    sh = word_shingles(df, id_col, text_col, k)
     sigs = minhash_signatures(sh, num_hashes, id_col)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
     return exact_jaccard(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
@@ -209,13 +215,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 4, blocks: int = 4, bits: int = 32
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4, bits: int = 32
 ) -> DataFrame:
     """Pairs within Hamming radius via the pigeonhole blocking trick:
-    with `blocks` > max_hamming/…, any pair ≤ max_hamming agrees on at
-    least one of (max_hamming+1) blocks — here 4 blocks of bits/4 for
-    radius ≤ 3-4. Equi-join on (block_idx, block_value), then exact
-    bit_count(xor) filter."""
+    any pair with ≤ max_hamming differing bits must agree on at least
+    one block when blocks >= max_hamming + 1 (defaults: radius 3,
+    4 blocks of 8 bits). Equi-join on (block_idx, block_value), then
+    exact bit_count(xor) filter. The constraint is enforced — with
+    blocks == max_hamming a pair could spread one flipped bit into
+    every block and be silently missed."""
+    if blocks < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole requires blocks >= max_hamming + 1 (got blocks={blocks}, "
+            f"max_hamming={max_hamming})"
+        )
     width = bits // blocks
     block_cols = [
         F.struct(

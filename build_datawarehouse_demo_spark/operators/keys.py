@@ -53,6 +53,13 @@ def surrogate_key_scalable(df: DataFrame, key_col: str = "id", start: int = 1) -
     tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__pos", F.monotonically_increasing_id() - F.shiftleft(F.spark_partition_id().cast("long"), 33)
     )
+    # persist: the tagged frame is evaluated twice (counts collect +
+    # final output). Without pinning it, a non-deterministic upstream
+    # (sample, round-robin repartition, AQE re-coalesce) could lay out
+    # partitions differently between the two jobs — mismatched counts
+    # would assign overlapping ids or silently drop rows in the pid
+    # join. The caller owns the cache; unpersist after materializing.
+    tagged = tagged.persist()
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -52,20 +52,27 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of `corpus` for every probe row.
 
     probes: (probe_id, embedding). Broadcast-joined against the corpus
     (cartesian per partition, corpus stays put), scored, then
     row_number ≤ k per probe with (score DESC, id) tiebreak.
+
+    exclude_self drops corpus rows whose id EQUALS the probe id — only
+    correct when probes are drawn from the corpus and share its id
+    space. Pass False for external queries, where an id collision is
+    coincidence, not identity.
     """
     # spread the corpus: a single-file corpus otherwise scores every
     # probe on one task (see dedup.spread)
     n = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(n).select(F.col(id_col), _as_double(vec_col).alias("__cv"))
     p = probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv"))
+    cond = F.col(id_col) != F.col(probe_id_col) if exclude_self else F.lit(True)
     scored = (
-        c.join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
+        c.join(F.broadcast(p), cond)
         .withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -150,11 +157,19 @@ def rp_lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     explode+groupBy sum): float addition order is fixed left-to-right,
     so the signature is bit-stable across engines — an unordered
     aggregation could flip a near-zero projection's sign.
+
+    Dimension mismatch (vector length != plane length) makes zip_with
+    pad with nulls → null projection → NULL signature, and null keys
+    never equi-join. The failure mode is therefore an EMPTY result
+    (loud, debuggable) — not the silent everything-matches-bucket-0
+    collapse that would turn LSH into a full cartesian.
     """
     bits = []
     for i, plane in enumerate(planes):
         proj = dot(vec_col, F.array([F.lit(x) for x in plane]).cast("array<double>"))
-        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bits.append(
+            F.when(proj >= 0, F.lit(1 << i)).when(proj < 0, F.lit(0)).otherwise(F.lit(None))
+        )
     out = bits[0]
     for b in bits[1:]:
         out = out + b

@@ -151,14 +151,14 @@ def register_extensions() -> None:
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM blocked a
         JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
     )
     def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from build_datawarehouse_demo_spark.operators.dedup import simhash, simhash_near_pairs
 
         sigs = simhash(_t(spark, sf_dir, "documents"))
-        return simhash_near_pairs(sigs, max_hamming=4, blocks=4)
+        return simhash_near_pairs(sigs, max_hamming=3, blocks=4)
 
     @register(
         "dedup_ngram_jaccard",

@@ -35,6 +35,24 @@ def test_asof_picks_latest_at_or_before(spark):
     assert got[3] == (None, None)
 
 
+def test_asof_output_columns_unique_and_time_selectable(spark):
+    # regression: probe_time used to be emitted twice (once from the
+    # probe payload, once renamed from __t), making select('t') raise
+    # AMBIGUOUS_REFERENCE and parquet writes fail.
+    probe = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-10 00:00:00"))], "pid int, k string, t timestamp"
+    )
+    build = spark.createDataFrame(
+        [("k", _ts("2024-01-05 00:00:00"), "v"), ("k", None, "null-time-leaker")],
+        "k string, bt timestamp, val string",
+    )
+    out = asof_join(probe, build, "k", "t", "bt", ("val",))
+    assert out.columns.count("t") == 1
+    row = out.select("pid", "t", "val").collect()[0]
+    # the null-timed build row must not have leaked its payload
+    assert (row.pid, row.val) == (1, "v")
+
+
 def test_asof_inclusive_vs_exclusive_on_exact_tie(spark):
     probe = spark.createDataFrame([(1, "k", _ts("2024-01-05 00:00:00"))], "pid int, k string, t timestamp")
     build = spark.createDataFrame(
