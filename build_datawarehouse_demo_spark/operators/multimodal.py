@@ -51,7 +51,10 @@ def fake_decode_metadata(df: DataFrame) -> DataFrame:
         import hashlib
 
         for pdf in batches:
-            payloads = pdf["payload"]
+            # null payloads (null source text) decode as empty bytes —
+            # len(None) would otherwise kill the task, and one null row
+            # aborting a 100 TB scan is the wrong trade.
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -87,6 +90,8 @@ def sample_frames(
         for pdf in batches:
             out_id, out_idx, out_off, out_md5 = [], [], [], []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue  # null payload -> no frames, not a crash
                 idx = 0
                 for off in range(0, max(len(payload) - frame_bytes + 1, 0), stride):
                     frame = payload[off : off + frame_bytes]

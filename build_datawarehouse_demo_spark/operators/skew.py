@@ -52,8 +52,11 @@ def salted_count_per_key(df: DataFrame, key: str, salt_buckets: int = 32) -> Dat
     collect_set, exact distinct — where map-side partials blow memory
     on one task.)
     """
+    # salt must vary PER ROW — hash(key) % N is constant for every row
+    # of a given key, which would leave the hot key's rows in a single
+    # group and mitigate nothing.
     return (
-        df.withColumn("__salt", F.pmod(F.hash(F.col(key)), F.lit(salt_buckets)))
+        df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
         .groupBy(key, "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
         .groupBy(key)

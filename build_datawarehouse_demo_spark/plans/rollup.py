@@ -19,6 +19,8 @@ batch catch-up / backfill twin.
 
 from __future__ import annotations
 
+import datetime as dt  # noqa: F401  (referenced in annotations)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,37 +28,42 @@ from build_datawarehouse_demo_spark.operators.scd import upsert
 from build_datawarehouse_demo_spark.streaming.windows import tumbling_event_counts
 
 
-def rollup_events_hourly(events: DataFrame) -> DataFrame:
+def rollup_events_hourly(events: DataFrame, bucket_len: str = "1 hour") -> DataFrame:
     """The full-rebuild rollup (baseline, and the backfill path)."""
-    return tumbling_event_counts(events)
+    return tumbling_event_counts(events, window_len=bucket_len)
 
 
 def incremental_rollup_update(
     rollup: DataFrame | None,
     events: DataFrame,
     bucket_len: str = "1 hour",
+    late_tolerance: "dt.timedelta | None" = None,
 ) -> DataFrame:
-    """Merge new events into an existing hourly rollup, recomputing only
-    affected buckets.
+    """Merge new events into an existing rollup of `bucket_len`
+    buckets, recomputing only affected buckets.
 
-    rollup: previous output of rollup_events_hourly (or None for the
-    first run). Returns the updated rollup; result is always identical
-    to a full rebuild over the union of all events ever seen — the
-    incremental path is an optimization, not a semantic change (tested
-    in tests/test_rollup_scd.py by equivalence).
+    rollup: previous output of rollup_events_hourly at the SAME
+    bucket_len (or None for the first run). The result equals a full
+    rebuild over all events PROVIDED no event arrives with ts older
+    than (high-water bucket - late_tolerance) — the same bounded-
+    lateness contract the streaming twin's watermark enforces. Pass
+    late_tolerance matching your ingestion disorder; events later than
+    that need a backfill over their buckets (tested for equivalence in
+    tests/test_rollup_scd.py, including the late-arrival case).
     """
     if rollup is None:
-        return rollup_events_hourly(events)
+        return rollup_events_hourly(events, bucket_len)
 
     hwm_row = rollup.agg(F.max("window_start").alias("hwm")).collect()[0]
     hwm = hwm_row.hwm
     if hwm is None:
-        return rollup_events_hourly(events)
+        return rollup_events_hourly(events, bucket_len)
 
-    # reprocess from the high-water bucket (it may be incomplete);
-    # this predicate prunes the events scan.
-    fresh_events = events.filter(F.col("ts") >= F.lit(hwm))
-    fresh_buckets = rollup_events_hourly(fresh_events)
+    # reprocess from the high-water bucket (it may be incomplete) minus
+    # the lateness allowance; this predicate prunes the events scan.
+    cutoff = hwm - late_tolerance if late_tolerance is not None else hwm
+    fresh_events = events.filter(F.col("ts") >= F.lit(cutoff))
+    fresh_buckets = rollup_events_hourly(fresh_events, bucket_len)
     return upsert(
         rollup.withColumn(
             "__k", F.concat_ws("|", F.col("window_start").cast("string"), "event_type")

@@ -92,12 +92,24 @@ def build_warehouse(
     if (covid := raw.get("covid_features")) is not None:
         out.update(_covid_tables(covid))
     if (temp := raw.get("temperature")) is not None:
+        # renames per the reference (/root/reference/transformation.py:
+        # 460-466): also keeps 'min'/'max' out of SQL-keyword territory
         out["dim_temperature"] = _weather_table(
-            temp, dim_datetime, ["min", "max", "normal_min", "normal_max"]
+            temp,
+            dim_datetime,
+            {
+                "min": "min_temperature",
+                "max": "max_temperature",
+                "normal_min": "normal_min_temperature",
+                "normal_max": "normal_max_temperature",
+            },
         )
     if (precip := raw.get("precipitation")) is not None:
+        # (/root/reference/transformation.py:496-500)
         out["dim_precipitation"] = _weather_table(
-            precip, dim_datetime, ["precipitation", "precipitation_normal"]
+            precip,
+            dim_datetime,
+            {"precipitation": "precipitation", "precipitation_normal": "normal_precipitation"},
         )
     return out
 
@@ -240,12 +252,17 @@ def _fact_checkins(checkin: DataFrame, dim_datetime: DataFrame) -> DataFrame:
     parsed = exploded.withColumn(
         "checkin_ts", F.try_to_timestamp(F.trim(F.col("checkin_raw")))
     ).na.drop(subset=["checkin_ts"])
-    return resolve_datetime_id(
+    resolved = resolve_datetime_id(
         parsed,
         dim_datetime,
         F.date_format("checkin_ts", "yyyy-MM-dd"),
         drop_miss=True,
     ).select("business_id", "checkin_ts", "datetime_id")
+    # checkin_id surrogate (/root/reference/transformation.py:276-277):
+    # fact-scale, so the scalable contiguous-id op, not a global window.
+    from build_datawarehouse_demo_spark.operators.keys import surrogate_key_scalable
+
+    return surrogate_key_scalable(resolved, key_col="checkin_id")
 
 
 def _fact_tips(tip: DataFrame, dim_datetime: DataFrame) -> DataFrame:
@@ -288,10 +305,23 @@ def _covid_tables(covid: DataFrame) -> dict[str, DataFrame]:
         order_by=("identifier", "params", "type"),
         key_col="highlight_id",
     )
-    return {"fact_covid_features": fact_covid_features, "dim_highlights": dim_highlights}
+    # bridge preserves the reference's business↔highlight association
+    # (/root/reference/transformation.py:304-325 keeps business_id per
+    # highlight row); without it "which businesses offer highlight X"
+    # would be unanswerable from the warehouse.
+    fact_business_highlights = broadcast_dim_join(
+        highlights, dim_highlights, on=["identifier", "params", "type"]
+    ).select("business_id", "highlight_id")
+    return {
+        "fact_covid_features": fact_covid_features,
+        "dim_highlights": dim_highlights,
+        "fact_business_highlights": fact_business_highlights,
+    }
 
 
-def _weather_table(weather: DataFrame, dim_datetime: DataFrame, value_cols: list[str]) -> DataFrame:
+def _weather_table(
+    weather: DataFrame, dim_datetime: DataFrame, value_cols: dict[str, str]
+) -> DataFrame:
     """Climate CSV -> datetime-resolved dim, keep-null misses
     (/root/reference/transformation.py:446-514). `date` arrives as a
     yyyymmdd int (stringified before lookup at :453).
@@ -302,7 +332,7 @@ def _weather_table(weather: DataFrame, dim_datetime: DataFrame, value_cols: list
     """
     base = weather.select(
         F.col("date").cast("string").alias("date_str"),
-        *[F.col(c).try_cast("double").alias(c) for c in value_cols],
+        *[F.col(src).try_cast("double").alias(dst) for src, dst in value_cols.items()],
     )
     dim_keyed = dim_datetime.select(
         F.date_format("full_timestamp", "yyyyMMdd").alias("date_str"), "datetime_id"

@@ -25,7 +25,7 @@ def _require_jar_format(spark: SparkSession, fmt: str) -> None:
         raise ValueError(f"unknown format {fmt!r}; native: {NATIVE_FORMATS}, jar-backed: {tuple(JAR_FORMATS)}")
     probe_class = {
         "delta": "org.apache.spark.sql.delta.sources.DeltaDataSource",
-        "iceberg": "org.apache.iceberg.spark.source.SparkSource",
+        "iceberg": "org.apache.iceberg.spark.source.IcebergSource",
         "hudi": "org.apache.hudi.DefaultSource",
     }[fmt]
     try:

@@ -141,11 +141,12 @@ def read_parquet(
     # set defensively: the caller may hand us a session (the driver
     # does) that didn't go through session.get_spark.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.parquet(path)
-    if schema is None:
+    df = spark.read.parquet(path)
+    if _is_local_path(path):
+        # nanos detection needs the parquet footer; pyarrow can only
+        # open local paths. Remote stores (s3a/hdfs) skip the probe —
+        # their TIMESTAMP(NANOS) columns surface as longs for the
+        # caller to convert (rare: NANOS parquet is itself unusual).
         import pyarrow.parquet as pq
 
         arrow_fields = {f.name: str(f.type) for f in pq.read_schema(_one_parquet_file(path))}
@@ -154,6 +155,13 @@ def read_parquet(
                 "timestamp[ns"
             ):
                 df = df.withColumn(field.name, F.expr(f"timestamp_micros(`{field.name}` div 1000)"))
+    if schema is not None:
+        # select+cast AFTER the footer read (never reader.schema):
+        # a missing/renamed column raises an AnalysisException here
+        # (the documented fail-fast) instead of silently reading NULLs,
+        # and the nanos conversion above composes with declared
+        # TimestampType columns instead of fighting it at scan time.
+        df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
     if rebalance:
         # Parquet can't split inside a row group, so a single-row-group
         # file scans as ONE task no matter how small maxPartitionBytes
@@ -166,6 +174,11 @@ def read_parquet(
         if df.rdd.getNumPartitions() < max(2, target // 4):
             df = df.repartition(target)
     return df
+
+
+def _is_local_path(path: str) -> bool:
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme in ("", "file")
 
 
 def _one_parquet_file(path: str) -> str:

@@ -28,6 +28,7 @@ EXPECTED_TABLES = {
     "fact_tips",
     "fact_covid_features",
     "dim_highlights",
+    "fact_business_highlights",
     "dim_temperature",
     "dim_precipitation",
 }
@@ -157,6 +158,28 @@ def test_covid_highlights_malformed_skipped(wh):
     assert [(h.identifier, h.params, h.type) for h in hl] == [("h1", "p1", "t1")]
     flags = {r.business_id: r.grubhub_enabled for r in wh["fact_covid_features"].collect()}
     assert flags == {"b1": "TRUE", "b2": "FALSE"}
+    bridge = {(r.business_id, r.highlight_id) for r in wh["fact_business_highlights"].collect()}
+    assert bridge == {("b1", hl[0].highlight_id)}
+
+
+def test_checkins_have_contiguous_ids(wh):
+    ids = sorted(r.checkin_id for r in wh["fact_checkins"].collect())
+    assert ids == [1, 2]
+
+
+def test_weather_reference_column_names(wh):
+    assert set(wh["dim_temperature"].columns) == {
+        "min_temperature",
+        "max_temperature",
+        "normal_min_temperature",
+        "normal_max_temperature",
+        "datetime_id",
+    }
+    assert set(wh["dim_precipitation"].columns) == {
+        "precipitation",
+        "normal_precipitation",
+        "datetime_id",
+    }
 
 
 def test_weather_left_join(wh):
