@@ -33,12 +33,13 @@ def weekday_name(col: str | Column) -> Column:
 
 
 def date_parts(col: str | Column) -> dict[str, Column]:
-    """The reference's full part set
-    (/root/reference/transformation.py:103-107,130-135)."""
+    """The reference's full part set, under the reference's own column
+    names (/root/reference/transformation.py:103-107: `day_of_week`,
+    `day_of_month`, `month`, `year`, `quarter`)."""
     c = _c(col)
     return {
-        "weekday": weekday_name(c),
-        "day": F.dayofmonth(c).cast("int"),
+        "day_of_week": weekday_name(c),
+        "day_of_month": F.dayofmonth(c).cast("int"),
         "month": F.month(c).cast("int"),
         "year": F.year(c).cast("int"),
         "quarter": F.quarter(c).cast("int"),

@@ -37,7 +37,7 @@ def _bucket(id_col: Column, seed: int, purpose: str = "") -> Column:
 def sample_by_hash(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:
     """Deterministic ~rate sample: keep rows whose id-hash bucket falls
     below rate·1000. Same ids are kept on every run, every engine."""
-    return df.filter(_bucket(F.col(id_col), seed) < int(rate * _BUCKETS))
+    return df.filter(_bucket(F.col(id_col), seed) < round(rate * _BUCKETS))
 
 
 def stratified_sample_by_hash(
@@ -49,7 +49,7 @@ def stratified_sample_by_hash(
     everything."""
     threshold: Column = F.lit(0)
     for value, rate in sorted(rates.items()):
-        threshold = F.when(F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))).otherwise(
+        threshold = F.when(F.col(strata_col) == value, F.lit(round(rate * _BUCKETS))).otherwise(
             threshold
         )
     return df.filter(_bucket(F.col(id_col), seed) < threshold)
@@ -76,8 +76,10 @@ def train_val_test_split(
             f"val_frac={val_frac} and test_frac={test_frac} must be >= 0 and sum to <= 1"
         )
     b = _bucket(F.col(id_col), seed, purpose="split")
-    val_hi = int(val_frac * _BUCKETS)
-    test_hi = val_hi + int(test_frac * _BUCKETS)
+    # round, not int(): float repr can land just under the product
+    # (0.3*1000 = 299.999…) and int() would undershoot by a bucket.
+    val_hi = round(val_frac * _BUCKETS)
+    test_hi = val_hi + round(test_frac * _BUCKETS)
     return df.withColumn(
         split_col,
         F.when(b < val_hi, F.lit("val"))

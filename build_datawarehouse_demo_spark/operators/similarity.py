@@ -213,22 +213,92 @@ def ann_rp_lsh_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold.
-
-    All-pairs here (exact); at scale, route through ivf_assign and only
-    compare within clusters — same pattern as LSH banding in dedup.py.
-    """
+    """All-pairs embedding-cosine near-dup pairs — the EXACT small-N
+    verifier for embedding_near_dup_pairs_bucketed (recall ground
+    truth in tests/test_similarity.py). O(n²) in corpus size: never
+    the registered scale path; see the bucketed variant below."""
     n = corpus.sparkSession.sparkContext.defaultParallelism
     a = corpus.repartition(n).select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("__a"))
     b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("__b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__a"), F.col("__b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-random-projection
+    LSH — the 100 TB path (VERDICT round 1 item 2: the all-pairs cross
+    join must never be the registered op).
+
+    Candidate generation is the MinHash-LSH banding pattern
+    (operators/dedup.py) transplanted to RP signatures: bands×r planes,
+    one int signature per band; two vectors are candidates iff SOME
+    band's signatures collide. Exact cosine then verifies candidates
+    only. Recall for a pair at angle θ is 1-(1-(1-θ/π)^r)^bands —
+    approximate by design, like every production embedding dedup;
+    raise bands (or lower r) to trade cost for recall.
+
+    Scale shape — every join is an equi-join, nothing nested-loop:
+      1. signatures: narrow projection (bands·r ordered folds per row);
+      2. candidates: self equi-join on (band, signature) shuffling only
+         (id, band, sig) triples — never the vectors;
+      3. distinct candidate pairs, then TWO hash joins back to the
+         corpus fetch just the candidate vectors for verification.
+    Shuffle volume is ids + candidate vectors, not bands× the corpus.
+
+    Null signatures (dim-mismatched vectors) never equi-join — loud
+    empty output, same failure mode as ann_rp_lsh_topk.
+    """
+    planes = rp_planes(bands * rows_per_band, dim)
+    vecs = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_lsh_signature(
+                    F.col("__v"), planes[b * rows_per_band : (b + 1) * rows_per_band]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    tagged = (
+        vecs.select(F.col(id_col), F.explode(band_sigs).alias("bs"))
+        .select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    cand = (
+        tagged.alias("a")
+        .join(
+            tagged.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__a"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine(F.col("__a"), F.col("__b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -33,6 +33,12 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     executor memory — use Window mean/stddev instead when groups are
     huge; this is the per-group-model-fit shape (the thing windows
     can't express), demonstrated on a computable statistic.
+
+    Zero-variance convention: singleton and constant groups emit
+    zscore 0.0 (deviation from the mean IS zero), where plain SQL
+    ``(x-avg)/stddev_samp`` would yield NULL. The registered oracle
+    mirrors this with COALESCE(.../nullif(std,0), 0.0) — the
+    convention is deliberate, not drift.
     """
     out_schema = f"{group_col} string, id bigint, {value_col} double, zscore double"
 

@@ -28,6 +28,24 @@ from build_datawarehouse_demo_spark.operators.scd import upsert
 from build_datawarehouse_demo_spark.streaming.windows import tumbling_event_counts
 
 
+def _parse_bucket_len(bucket_len: str) -> "dt.timedelta":
+    """'N {day|hour|minute|second}[s]' -> timedelta (the subset of
+    Spark's interval syntax a bucket length needs; months/years are
+    not fixed-width and can't back an aligned arithmetic cutoff)."""
+    import datetime
+
+    n_str, unit = bucket_len.strip().split()
+    unit_td = {
+        "day": datetime.timedelta(days=1),
+        "hour": datetime.timedelta(hours=1),
+        "minute": datetime.timedelta(minutes=1),
+        "second": datetime.timedelta(seconds=1),
+    }.get(unit.rstrip("s").lower())
+    if unit_td is None:
+        raise ValueError(f"unsupported bucket_len unit: {bucket_len!r}")
+    return int(n_str) * unit_td
+
+
 def rollup_events_hourly(events: DataFrame, bucket_len: str = "1 hour") -> DataFrame:
     """The full-rebuild rollup (baseline, and the backfill path)."""
     return tumbling_event_counts(events, window_len=bucket_len)
@@ -61,7 +79,17 @@ def incremental_rollup_update(
 
     # reprocess from the high-water bucket (it may be incomplete) minus
     # the lateness allowance; this predicate prunes the events scan.
-    cutoff = hwm - late_tolerance if late_tolerance is not None else hwm
+    # The cutoff MUST sit on a bucket boundary: hwm is bucket-aligned,
+    # but hwm - late_tolerance is not when the tolerance isn't a bucket
+    # multiple, and an unaligned cutoff would recompute the boundary
+    # bucket from only its post-cutoff events — upserting a partial
+    # count over a complete row. Widen to whole buckets (ceil).
+    if late_tolerance is not None:
+        bucket = _parse_bucket_len(bucket_len)
+        n_buckets = -(-late_tolerance // bucket)  # ceil division
+        cutoff = hwm - n_buckets * bucket
+    else:
+        cutoff = hwm
     fresh_events = events.filter(F.col("ts") >= F.lit(cutoff))
     fresh_buckets = rollup_events_hourly(fresh_events, bucket_len)
     return upsert(

@@ -72,11 +72,18 @@ def build_warehouse(
     dim_datetime = gen_date_range(spark, start_date, end_date)
     out["dim_datetime"] = dim_datetime
     out["dim_hour"] = gen_hour_dim(spark)
-    # dim_date: one row per date_id with the date parts
-    # (/root/reference/transformation.py:127-137); parts are
+    # dim_date: one row per date_id with the date parts, under the
+    # reference's create_dim_date column names (`day`, `day_of_week` —
+    # /root/reference/transformation.py:127-137); parts are
     # functionally dependent on date_id so subset-dedup is exact.
     out["dim_date"] = dim_datetime.select(
-        "date_id", "weekday", "day", "month", "year", "quarter", "full_date"
+        "date_id",
+        "full_date",
+        "year",
+        "month",
+        F.col("day_of_month").alias("day"),
+        "day_of_week",
+        "quarter",
     ).dropDuplicates(["date_id"])
 
     if (business := raw.get("business")) is not None:

@@ -190,20 +190,62 @@ def register_extensions() -> None:
             _t(spark, sf_dir, "documents"), block_cols=("lang", "source"), threshold=0.9
         )
 
+    # banded RP-LSH near-dup: the oracle replicates the EXACT bucketing
+    # (same md5-derived planes, same band slicing, same bit weights), so
+    # Spark and DuckDB agree bit-for-bit on the approximate result —
+    # candidate recall is a documented property of the operator, not
+    # drift (operators/similarity.py:embedding_near_dup_pairs_bucketed;
+    # recall vs the exact all-pairs verifier is asserted in
+    # tests/test_similarity.py).
+    from build_datawarehouse_demo_spark.operators.similarity import rp_planes as _rp_planes
+
+    _ND_BANDS, _ND_R, _ND_DIM = 8, 4, 64
+    _nd_planes = _rp_planes(_ND_BANDS * _ND_R, _ND_DIM)
+
+    def _band_sig_sql(b: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in plane)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(_nd_planes[b * _ND_R : (b + 1) * _ND_R])
+        )
+        return f"CAST({terms} AS INTEGER)"
+
+    _nd_sigs_sql = ", ".join(_band_sig_sql(b) for b in range(_ND_BANDS))
+
     @register(
         "dedup_embedding_cosine",
-        oracle="""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, [{_nd_sigs_sql}] AS sigs FROM e),
+        bands AS (
+          SELECT vec_id, i AS band, sigs[i + 1] AS sig
+          FROM sig, unnest(generate_series(0, {_ND_BANDS - 1})) AS g(i)
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
         """,
     )
     def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from build_datawarehouse_demo_spark.operators.similarity import embedding_near_dup_pairs
+        from build_datawarehouse_demo_spark.operators.similarity import (
+            embedding_near_dup_pairs_bucketed,
+        )
 
-        return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+        return embedding_near_dup_pairs_bucketed(
+            _t(spark, sf_dir, "embeddings"),
+            threshold=0.4,
+            bands=_ND_BANDS,
+            rows_per_band=_ND_R,
+            dim=_ND_DIM,
+        )
 
     # ------------------------------------------------------------------
     # similarity search
@@ -687,7 +729,8 @@ def register_extensions() -> None:
         "udf_grouped_zscore",
         oracle="""
         SELECT c_mktsegment, id, acctbal,
-               round((acctbal - avg(acctbal) OVER w) / stddev_samp(acctbal) OVER w, 6) AS zscore
+               round(COALESCE((acctbal - avg(acctbal) OVER w)
+                              / nullif(stddev_samp(acctbal) OVER w, 0), 0.0), 6) AS zscore
         FROM (SELECT c_mktsegment, c_custkey AS id, c_acctbal AS acctbal FROM customer)
         WINDOW w AS (PARTITION BY c_mktsegment)
         """,

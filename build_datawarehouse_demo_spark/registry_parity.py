@@ -59,14 +59,15 @@ def register_parity() -> None:
     @register(
         "gen_date_range",
         oracle="""
-        SELECT CAST(datediff('day', DATE '1992-01-01', CAST(d AS DATE)) + 1 AS INTEGER) AS datetime_id,
+        SELECT CAST(datediff('day', DATE '1992-01-01', CAST(d AS DATE)) AS INTEGER) AS datetime_id,
                d AS full_timestamp,
                CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_id,
-               dayname(d) AS weekday,
-               CAST(dayofmonth(d) AS INTEGER) AS day,
+               dayname(d) AS day_of_week,
+               CAST(dayofmonth(d) AS INTEGER) AS day_of_month,
                CAST(month(d) AS INTEGER) AS month,
                CAST(year(d) AS INTEGER) AS year,
                CAST(quarter(d) AS INTEGER) AS quarter,
+               CAST(0 AS INTEGER) AS hour_id,
                strftime(d, '%Y-%m-%d') AS full_date
         FROM generate_series(DATE '1992-01-01', DATE '2000-12-31', INTERVAL 1 DAY) AS t(d)
         """,
@@ -86,7 +87,7 @@ def register_parity() -> None:
         "gen_range_small",
         oracle="""
         SELECT CAST(range AS INTEGER) AS hour_id,
-               printf('%02d:00', range) AS hour_label
+               printf('%02d', range) AS hour_of_day
         FROM range(24)
         """,
     )
@@ -214,7 +215,7 @@ def register_parity() -> None:
         "filter_dropna_subset",
         oracle="""
         WITH spine AS (
-          SELECT CAST(datediff('day', DATE '1995-01-01', CAST(d AS DATE)) + 1 AS INTEGER) AS datetime_id,
+          SELECT CAST(datediff('day', DATE '1995-01-01', CAST(d AS DATE)) AS INTEGER) AS datetime_id,
                  strftime(d, '%Y-%m-%d') AS date_key
           FROM generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY) AS t(d)
         )
@@ -407,7 +408,7 @@ def register_parity() -> None:
         "join_lookup_date_inner",
         oracle="""
         WITH spine AS (
-          SELECT CAST(datediff('day', DATE '2024-01-01', CAST(d AS DATE)) + 1 AS INTEGER) AS datetime_id,
+          SELECT CAST(datediff('day', DATE '2024-01-01', CAST(d AS DATE)) AS INTEGER) AS datetime_id,
                  strftime(d, '%Y-%m-%d') AS date_key
           FROM generate_series(DATE '2024-01-01', DATE '2024-01-15', INTERVAL 1 DAY) AS t(d)
         )
@@ -432,7 +433,7 @@ def register_parity() -> None:
         "join_lookup_date_left",
         oracle="""
         WITH spine AS (
-          SELECT CAST(datediff('day', DATE '2024-01-01', CAST(d AS DATE)) + 1 AS INTEGER) AS datetime_id,
+          SELECT CAST(datediff('day', DATE '2024-01-01', CAST(d AS DATE)) AS INTEGER) AS datetime_id,
                  strftime(d, '%Y-%m-%d') AS date_key
           FROM generate_series(DATE '2024-01-01', DATE '2024-01-15', INTERVAL 1 DAY) AS t(d)
         )

@@ -22,10 +22,14 @@ def gen_date_range(
     start_date: str = "1948-09-06",
     end_date: str = "2025-12-31",
 ) -> DataFrame:
-    """Calendar spine: one row per day, with the reference's full part
-    set (/root/reference/transformation.py:89-116,127-137):
-    datetime_id (1-based position), date_id (yyyymmdd int), weekday
-    name, day/month/year/quarter, full_date.
+    """Calendar spine: one row per day, with the reference's full
+    column set (/root/reference/transformation.py:89-116): datetime_id
+    (0-based position, matching the reference's `range(len(df))` at
+    transformation.py:100), date_id (yyyymmdd int), day_of_week name,
+    day_of_month/month/year/quarter, and the reference's degenerate
+    always-0 `hour_id` (transformation.py:109-114 — hour granularity
+    lives in dim_hour). `full_date` is an extra convenience column the
+    reference derives later in create_dim_date.
 
     The positional id is derived arithmetically (datediff from start),
     NOT via a global row_number() window — same values, no
@@ -37,18 +41,20 @@ def gen_date_range(
     )
     parts = date_parts("full_date")
     return spine.select(
-        (F.datediff(F.col("full_date"), start) + F.lit(1)).cast("int").alias("datetime_id"),
+        F.datediff(F.col("full_date"), start).cast("int").alias("datetime_id"),
         F.col("full_date").cast("timestamp").alias("full_timestamp"),
         date_id("full_date").alias("date_id"),
         *[expr.alias(name) for name, expr in parts.items()],
+        F.lit(0).cast("int").alias("hour_id"),
         F.col("full_date"),
     )
 
 
 def gen_hour_dim(spark: SparkSession) -> DataFrame:
-    """24-row hour dimension with zero-padded label
-    (/root/reference/transformation.py:118-125)."""
+    """24-row hour dimension: hour_id + the reference's zero-padded
+    `hour_of_day` label ('00'..'23', f'{h:02d}' at
+    /root/reference/transformation.py:118-125)."""
     return spark.range(24).select(
         F.col("id").cast("int").alias("hour_id"),
-        F.format_string("%02d:00", F.col("id").cast("int")).alias("hour_label"),
+        F.format_string("%02d", F.col("id").cast("int")).alias("hour_of_day"),
     )

@@ -216,18 +216,27 @@ def read_csv(
     return spark.read.option("header", str(header).lower()).schema(schema).csv(path)
 
 
-def s3a_options(endpoint: str, access_key: str, secret_key: str, path_style: bool = True) -> dict[str, str]:
+def s3a_options(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style: bool = True,
+    ssl: bool = True,
+) -> dict[str, str]:
     """Hadoop S3A configs for an S3-compatible object store (the
     reference's MinIO, /root/reference/load.py:4-7). Apply via
     ``get_spark(extra_conf=s3a_options(...))`` then read
     ``s3a://bucket/prefix/...`` like any path. Requires the
-    hadoop-aws jar on the classpath (not bundled here)."""
+    hadoop-aws jar on the classpath (not bundled here).
+
+    ssl defaults to True — credentials and data stay on TLS unless the
+    caller explicitly opts out for a plaintext local MinIO."""
     return {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.access.key": access_key,
         "spark.hadoop.fs.s3a.secret.key": secret_key,
         "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
-        "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
     }
 
 

@@ -46,7 +46,7 @@ def test_resolve_datetime_id_drop_vs_keep(spark):
     kept = resolve_datetime_id(fact, spine, F.col("d"), drop_miss=False)
     assert [r.id for r in dropped.collect()] == ["a"]
     got = {(r.id, r.datetime_id) for r in kept.collect()}
-    assert got == {("a", 3), ("b", None)}
+    assert got == {("a", 2), ("b", None)}  # 0-based spine ids
 
 
 def test_broadcast_join_is_broadcast_in_plan(spark):

@@ -65,6 +65,38 @@ def test_incremental_rollup_equals_full_rebuild(spark):
     assert {tuple(r) for r in r2.collect()} == {tuple(r) for r in full.collect()}
 
 
+def test_incremental_rollup_unaligned_tolerance(spark):
+    """Advisor repro (ADVICE round 1, high): a late event within a
+    30-min tolerance on 1-hour buckets must not shrink its bucket —
+    the cutoff has to floor to the bucket boundary."""
+    base = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:05:00"), "click", 1.0),
+            (2, _ts("2024-01-01 10:20:00"), "click", 1.0),
+            (3, _ts("2024-01-01 11:10:00"), "click", 1.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    # late event lands at 10:40 — inside the 30-min tolerance measured
+    # from the 11:00 high-water bucket, but BEFORE 11:00 - 30min = 10:30
+    late = spark.createDataFrame(
+        [(4, _ts("2024-01-01 10:40:00"), "click", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    r1 = incremental_rollup_update(None, base)
+    r2 = incremental_rollup_update(
+        r1, base.unionAll(late), late_tolerance=dt.timedelta(minutes=30)
+    )
+    full = rollup_events_hourly(base.unionAll(late))
+    assert {tuple(r) for r in r2.collect()} == {tuple(r) for r in full.collect()}
+    # the 10:00 bucket specifically must count all 3 of its events
+    got = {
+        (r.window_start, r.n_events)
+        for r in r2.filter(F.col("window_start") == F.lit("2024-01-01 10:00:00").cast("timestamp")).collect()
+    }
+    assert got == {(_ts("2024-01-01 10:00:00"), 3)}
+
+
 def test_incremental_rollup_bootstrap_none(spark):
     events = read_parquet(spark, f"{SF_DIR}/events.parquet")
     r = incremental_rollup_update(None, events)

@@ -12,7 +12,8 @@ from pyspark.sql import types as T
 from build_datawarehouse_demo_spark.operators.similarity import (
     brute_force_topk,
     cosine,
-    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_bucketed,
+    embedding_near_dup_pairs_exact,
     ivf_topk,
 )
 
@@ -57,9 +58,38 @@ def test_brute_force_topk_matches_numpy(spark, mat):
         assert got_ids == order
 
 
-def test_near_dup_finds_scaled_duplicate(spark, mat):
-    pairs = embedding_near_dup_pairs(_vec_df(spark, mat), threshold=0.999).collect()
+def test_near_dup_exact_finds_scaled_duplicate(spark, mat):
+    pairs = embedding_near_dup_pairs_exact(_vec_df(spark, mat), threshold=0.999).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}
+
+
+def test_near_dup_bucketed_subset_of_exact_and_full_recall_on_colinear(spark, mat):
+    """Bucketed pairs must be a SUBSET of all-pairs truth (LSH never
+    invents pairs — every candidate is exact-verified), and a colinear
+    duplicate (angle 0 ⇒ every band collides) must always be found."""
+    df = _vec_df(spark, mat)
+    exact = {
+        (p.id_a, p.id_b, p.cosine)
+        for p in embedding_near_dup_pairs_exact(df, threshold=0.9).collect()
+    }
+    bucketed = {
+        (p.id_a, p.id_b, p.cosine)
+        for p in embedding_near_dup_pairs_bucketed(
+            df, threshold=0.9, bands=8, rows_per_band=4, dim=16
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert (0, 1, 1.0) in bucketed  # identical-direction pair: recall 1 by construction
+
+
+def test_near_dup_bucketed_plan_has_no_nested_loop_join(spark, mat):
+    """The round-1 verdict's scale-killer: the registered embedding
+    near-dup must not contain a cartesian/broadcast-nested-loop join."""
+    plan = embedding_near_dup_pairs_bucketed(
+        _vec_df(spark, mat), bands=4, rows_per_band=4, dim=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_ivf_restricts_to_cluster_and_finds_dup(spark, mat):

@@ -15,15 +15,36 @@ def test_gen_date_range_parts(spark):
     spine = gen_date_range(spark, "2020-02-28", "2020-03-02")  # leap boundary
     rows = {r.date_id: r for r in spine.collect()}
     assert sorted(rows) == [20200228, 20200229, 20200301, 20200302]
-    assert rows[20200229].weekday == "Saturday"
+    assert rows[20200229].day_of_week == "Saturday"
+    assert rows[20200229].day_of_month == 29
     assert rows[20200301].quarter == 1
-    assert rows[20200228].datetime_id == 1 and rows[20200302].datetime_id == 4
+    # 0-based positional id, matching the reference's range(len(df))
+    # (/root/reference/transformation.py:100)
+    assert rows[20200228].datetime_id == 0 and rows[20200302].datetime_id == 3
+    # degenerate hour_id column (/root/reference/transformation.py:109-114)
+    assert {r.hour_id for r in rows.values()} == {0}
+
+
+def test_gen_date_range_reference_columns(spark):
+    # the reference's create_dim_datetime column set, plus full_date
+    assert set(gen_date_range(spark, "2020-01-01", "2020-01-02").columns) == {
+        "datetime_id",
+        "full_timestamp",
+        "date_id",
+        "day_of_week",
+        "day_of_month",
+        "month",
+        "year",
+        "quarter",
+        "hour_id",
+        "full_date",
+    }
 
 
 def test_gen_hour_dim(spark):
     rows = gen_hour_dim(spark).collect()
     assert len(rows) == 24
-    assert rows[0].hour_label == "00:00" and rows[23].hour_label == "23:00"
+    assert rows[0].hour_of_day == "00" and rows[23].hour_of_day == "23"
 
 
 def test_json_and_csv_roundtrip(spark):

@@ -190,4 +190,18 @@ def test_weather_left_join(wh):
 
 def test_datetime_spine_matches_reference_range(wh):
     first = wh["dim_datetime"].orderBy("datetime_id").first()
-    assert str(first.full_date) == "1948-09-06" and first.datetime_id == 1
+    assert str(first.full_date) == "1948-09-06" and first.datetime_id == 0
+
+
+def test_dim_date_reference_column_names(wh):
+    # reference create_dim_date (/root/reference/transformation.py:127-137)
+    assert set(wh["dim_date"].columns) == {
+        "date_id",
+        "full_date",
+        "year",
+        "month",
+        "day",
+        "day_of_week",
+        "quarter",
+    }
+    assert set(wh["dim_hour"].columns) == {"hour_id", "hour_of_day"}
