@@ -2,17 +2,30 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "samples": {...}, "runs": R, "sf": ...}
 
-Each query is forced end-to-end with the `noop` sink (full computation,
-no driver-side collect — the honest way to time a distributed plan).
+Discipline (VERDICT round 1, item 4): every number is the MEDIAN of
+$SPARK_GRAFT_BENCH_RUNS runs (default 3) — single samples on this box
+swing ±30% — and the raw samples ship alongside so the medians are
+auditable. `value` is the sum of medians.
+
+Each query is forced end-to-end with the `noop` sink (full
+computation, no driver-side collect — the honest way to time a
+distributed plan). The write path (VERDICT item 9) is timed for real:
+`write_tables_concurrent` materializes the four biggest testdata
+tables through writers.save_tables_concurrent (FAIR-scheduler
+concurrent parquet writes) into a scratch dir.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -33,14 +46,38 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "text_quality_score",
     "join_asof",
 ]
 
+WRITE_TABLES = ("lineitem", "orders", "events", "documents")
+
+
+def _timed_write(spark, sf_dir: str) -> float:
+    """Sink-path benchmark: concurrent materialization of the biggest
+    tables, timed end-to-end (read -> write parquet)."""
+    from build_datawarehouse_demo_spark.sources.readers import read_parquet
+    from build_datawarehouse_demo_spark.sources.writers import save_tables_concurrent
+
+    dfs = {
+        f"bench_w_{n}": read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in WRITE_TABLES
+    }
+    d = tempfile.mkdtemp(prefix="bench_write_")
+    try:
+        t0 = time.time()
+        save_tables_concurrent(dfs, base_path=d, max_workers=4)
+        return round(time.time() - t0, 3)
+    finally:
+        for n in dfs:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -59,12 +96,15 @@ def main() -> None:
     # JVM/codegen warmup on the smallest query so q1 doesn't pay it.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {}
+    for r in range(runs):
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(round(time.time() - t0, 3))
+    samples["write_tables_concurrent"] = [_timed_write(spark, sf_dir) for _ in range(runs)]
 
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     print(
         json.dumps(
             {
@@ -72,6 +112,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "runs": runs,
                 "sf": sf_val,
             }
         )

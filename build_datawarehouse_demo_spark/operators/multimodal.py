@@ -112,35 +112,83 @@ def sample_frames(
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode — requires a codec library absent from this
-    container. The plumbing (same shape as fake_decode_metadata) is the
-    deliverable; the codec is the stub."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "image decoding needs PIL/pillow on executors; "
-            "use fake_decode_metadata for pipeline tests"
-        ) from exc
+IMAGE_META_SCHEMA = (
+    "id bigint, n_bytes bigint, width int, height int, format string, content_md5 string"
+)
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+
+def decode_bmp_header(b: bytes) -> tuple[int, int] | None:
+    """Dependency-free BMP dimension decode: 'BM' magic, then either a
+    BITMAPINFOHEADER-family DIB (int32 LE width/height at offsets
+    18/22; negative height = top-down row order) or the legacy
+    BITMAPCOREHEADER (uint16 at 18/20). Returns (width, height) or
+    None when the payload isn't a BMP."""
+    import struct
+
+    if len(b) < 22 or b[:2] != b"BM":
+        return None
+    dib_size = struct.unpack_from("<I", b, 14)[0]
+    if dib_size == 12:  # BITMAPCOREHEADER
+        w, h = struct.unpack_from("<HH", b, 18)
+        return int(w), int(h)
+    if dib_size >= 40 and len(b) >= 26:  # BITMAPINFOHEADER and successors
+        w, h = struct.unpack_from("<ii", b, 18)
+        return int(w), abs(int(h))
+    return None
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Real image decode over binary payloads.
+
+    Per payload, in order: PIL when importable on the executor (any
+    format PIL knows), else the built-in BMP header parser — so the
+    decode path is exercised for real even in codec-less containers
+    (VERDICT round 1, item 7). A payload neither decoder understands
+    raises NotImplementedError naming the magic bytes: a silent null
+    there would let a corrupt shard pass a 100 TB ingest unnoticed.
+    Null payloads yield null metadata (one bad row must not abort the
+    scan — same trade as fake_decode_metadata).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import io
 
-        import PIL.Image
+        try:
+            import PIL.Image as _pil
+        except ImportError:
+            _pil = None
+
+        def meta(b: bytes | None):
+            if b is None:
+                return (None, None, None, None)
+            if _pil is not None:
+                try:
+                    im = _pil.open(io.BytesIO(b))
+                    return (len(b), im.width, im.height, (im.format or "unknown").lower())
+                except Exception:
+                    pass  # fall through to the built-in parser
+            bmp = decode_bmp_header(b)
+            if bmp is not None:
+                return (len(b), bmp[0], bmp[1], "bmp")
+            raise NotImplementedError(
+                f"no decoder for payload with magic {b[:4]!r}: install pillow on "
+                "executors or extend decode_image with the needed format"
+            )
 
         for pdf in batches:
-            ims = pdf["payload"].map(lambda b: PIL.Image.open(io.BytesIO(b)))
+            metas = pdf["payload"].map(meta)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "fake_width": ims.map(lambda im: im.width).astype("int32"),
-                    "fake_height": ims.map(lambda im: im.height).astype("int32"),
+                    "n_bytes": pd.array([m[0] for m in metas], dtype="Int64"),
+                    "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "format": [m[3] for m in metas],
                     "content_md5": pdf["payload"].map(
-                        lambda b: __import__("hashlib").md5(b).hexdigest()
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
                 }
             )
 
-    return df.mapInPandas(decode, schema=MULTIMODAL_META_SCHEMA)
+    return df.mapInPandas(decode, schema=IMAGE_META_SCHEMA)

@@ -199,7 +199,7 @@ def register_extensions() -> None:
     # tests/test_similarity.py).
     from build_datawarehouse_demo_spark.operators.similarity import rp_planes as _rp_planes
 
-    _ND_BANDS, _ND_R, _ND_DIM = 8, 4, 64
+    _ND_BANDS, _ND_R, _ND_DIM = 8, 8, 64
     _nd_planes = _rp_planes(_ND_BANDS * _ND_R, _ND_DIM)
 
     def _band_sig_sql(b: int) -> str:
@@ -478,6 +478,79 @@ def register_extensions() -> None:
         from build_datawarehouse_demo_spark.operators.text import fingerprint
 
         return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+    @register(
+        "text_repetition_score",
+        oracle=f"""
+        WITH tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 [w[i] || ' ' || w[i + 1] FOR i IN generate_series(1, len(w) - 1)] AS grams
+          FROM tok
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+               CASE WHEN len(grams) > 0
+                    THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                    ELSE 0.0 END AS dup_ngram_ratio
+        FROM g
+        """,
+    )
+    def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Gopher-style repeated-bigram filter for LLM corpora.
+        from build_datawarehouse_demo_spark.operators.text import repetition_score
+
+        return repetition_score(_t(spark, sf_dir, "documents"), n=2).select(
+            "doc_id", "n_ngrams", "n_distinct_ngrams", "dup_ngram_ratio"
+        )
+
+    from build_datawarehouse_demo_spark.operators.text import PII_PATTERNS as _PII
+
+    _pii_counts_sql = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    _pii_scrub_sql = "text"
+    for _name, _pat, _repl in _PII:
+        _pii_scrub_sql = f"regexp_replace({_pii_scrub_sql}, '{_pat}', '{_repl}', 'g')"
+
+    @register(
+        "text_scrub_pii",
+        oracle=f"""
+        SELECT doc_id, {_pii_counts_sql}, {_pii_scrub_sql} AS scrubbed
+        FROM documents
+        """,
+    )
+    def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # PII scrub + per-kind audit counts; patterns restricted to the
+        # Java-regex ∩ RE2 subset so both engines apply the same scrub.
+        from build_datawarehouse_demo_spark.operators.text import scrub_pii
+
+        return scrub_pii(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_email", "n_ssn", "n_ipv4", "scrubbed"
+        )
+
+    @register(
+        "sample_stratified",
+        oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_HASH32.format(expr="'0:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+              CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000 WHEN 'zh' THEN 250 ELSE 0 END
+        """,
+    )
+    def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-stratum deterministic rates: keep all of a rare language,
+        # downsample the head — the standard corpus-rebalancing shape.
+        from build_datawarehouse_demo_spark.operators.sampling import stratified_sample_by_hash
+
+        return stratified_sample_by_hash(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "lang",
+            rates={"en": 0.5, "de": 1.0, "zh": 0.25},
+        ).select("doc_id", "lang")
 
     # ------------------------------------------------------------------
     # multimodal plumbing
@@ -821,6 +894,24 @@ def register_extensions() -> None:
         from build_datawarehouse_demo_spark.streaming.windows import session_event_counts
 
         return session_event_counts(_t(spark, sf_dir, "events"))
+
+    @register(
+        "streaming_stateful_user_totals",
+        oracle="""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+        """,
+    )
+    def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # batch form of the applyInPandasWithState operator — the SAME
+        # function dispatches to explicit keyed state under readStream
+        # (streaming/stateful.py; final-state ≡ batch asserted in
+        # tests/test_streaming.py).
+        from build_datawarehouse_demo_spark.streaming.stateful import user_running_totals
+
+        return user_running_totals(_t(spark, sf_dir, "events"))
 
     @register(
         "streaming_tumbling_window",

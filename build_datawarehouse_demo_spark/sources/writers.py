@@ -18,6 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 log = logging.getLogger(__name__)
 
 
+def _release_surrogate_caches() -> None:
+    """Cache hygiene: surrogate_key_scalable pins its tagged frame for
+    id stability; once a warehouse is materialized the pin has done its
+    job — release it so repeated builds in one session don't accumulate
+    cached blocks (VERDICT round 1, item 6)."""
+    from build_datawarehouse_demo_spark.operators.keys import release_pinned_caches
+
+    release_pinned_caches()
+
+
 def save_table(
     df: DataFrame,
     name: str,
@@ -59,12 +69,14 @@ def save_tables(
     """Materialize a whole warehouse (the reference's `load_to_duckdb`,
     /root/reference/transformation.py:517-547). `base_path` makes each
     table external at `{base_path}/{name}`."""
-    return {
+    out = {
         name: save_table(
             df, name, path=f"{base_path}/{name}" if base_path else None, **kwargs
         )
         for name, df in dataframes.items()
     }
+    _release_surrogate_caches()
+    return out
 
 
 def save_tables_concurrent(
@@ -92,7 +104,9 @@ def save_tables_concurrent(
             )
             for name, df in dataframes.items()
         }
-        return {name: fut.result() for name, fut in futures.items()}
+        out = {name: fut.result() for name, fut in futures.items()}
+    _release_surrogate_caches()
+    return out
 
 
 def register_views(dataframes: dict[str, DataFrame]) -> None:

@@ -1,17 +1,33 @@
 """Multimodal binary plumbing: Arrow-batched mapInPandas metadata
-extraction + the honest NotImplementedError on the codec stub."""
+extraction + real end-to-end image decode (built-in BMP parser; PIL
+used opportunistically when present)."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pytest
 
 from build_datawarehouse_demo_spark.operators.multimodal import (
     attach_binary,
+    decode_bmp_header,
     decode_image,
     fake_decode_metadata,
 )
+
+
+def _bmp_bytes(width: int, height: int, core_header: bool = False) -> bytes:
+    """Assemble a minimal valid BMP: 14-byte file header + DIB header
+    (24bpp, no compression) + padded pixel rows."""
+    if core_header:
+        dib = struct.pack("<IHHHH", 12, width, height, 1, 24)
+    else:
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    row = (3 * width + 3) // 4 * 4
+    pixels = bytes(row) * abs(height)
+    off = 14 + len(dib)
+    return struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off) + dib + pixels
 
 
 def test_fake_decode_metadata_deterministic(spark):
@@ -29,13 +45,38 @@ def test_binary_schema_is_binary(spark):
     assert dict(bin_df.dtypes)["payload"] == "binary"
 
 
-def test_decode_image_stub_raises_without_codec(spark):
-    df = attach_binary(spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+def test_decode_bmp_header_variants():
+    assert decode_bmp_header(_bmp_bytes(7, 5)) == (7, 5)
+    assert decode_bmp_header(_bmp_bytes(3, 2, core_header=True)) == (3, 2)
+    # top-down BMP stores negative height
+    b = bytearray(_bmp_bytes(4, 6))
+    b[22:26] = struct.pack("<i", -6)
+    assert decode_bmp_header(bytes(b)) == (4, 6)
+    assert decode_bmp_header(b"\x89PNG\r\n\x1a\n" + bytes(20)) is None
+    assert decode_bmp_header(b"BM") is None  # truncated
+
+
+def test_decode_image_end_to_end_without_pil(spark):
+    """Real bytes through the full Spark path — binary column, Arrow
+    batches, mapInPandas — decoded by the dependency-free BMP parser
+    (this container has no PIL)."""
+    rows = [(1, _bmp_bytes(7, 5)), (2, _bmp_bytes(640, 480)), (3, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in decode_image(df).collect()}
+    assert (got[1].width, got[1].height, got[1].format) == (7, 5, "bmp")
+    assert (got[2].width, got[2].height) == (640, 480)
+    assert got[1].n_bytes == len(rows[0][1])
+    assert got[1].content_md5 == hashlib.md5(rows[0][1]).hexdigest()
+    assert got[3].width is None and got[3].content_md5 is None  # null payload -> null meta
+
+
+def test_decode_image_unknown_format_fails_loud(spark):
+    df = spark.createDataFrame([(1, b"\x89PNG\r\n\x1a\n" + bytes(64))], "id long, payload binary")
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL present; stub path not applicable")
+        pytest.skip("PIL present; it may actually decode PNG")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(df)
+    with pytest.raises(Exception, match="no decoder for payload"):
+        decode_image(df).collect()

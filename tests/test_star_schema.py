@@ -193,6 +193,30 @@ def test_datetime_spine_matches_reference_range(wh):
     assert str(first.full_date) == "1948-09-06" and first.datetime_id == 0
 
 
+def test_build_and_write_leaves_no_cached_rdds(spark, raw):
+    """Cache hygiene (VERDICT round 1, item 6): surrogate_key_scalable
+    pins a frame per fact build; materializing the warehouse through
+    save_tables must release every pin — repeated builds in one session
+    must not accumulate cached blocks."""
+    import tempfile
+
+    from build_datawarehouse_demo_spark.operators import keys
+    from build_datawarehouse_demo_spark.sources.writers import save_tables
+
+    from build_datawarehouse_demo_spark.plans.star_schema import build_warehouse
+
+    # drain pins from earlier module fixtures so the baseline is clean
+    keys.release_pinned_caches()
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    wh2 = build_warehouse(spark, {"checkin": raw["checkin"]})
+    assert len(keys._PINNED) == 1  # fact_checkins pinned during build
+    with tempfile.TemporaryDirectory() as d:
+        save_tables({"fact_checkins_hygiene": wh2["fact_checkins"]}, base_path=d)
+        assert keys._PINNED == []
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+        spark.sql("DROP TABLE IF EXISTS fact_checkins_hygiene")
+
+
 def test_dim_date_reference_column_names(wh):
     # reference create_dim_date (/root/reference/transformation.py:127-137)
     assert set(wh["dim_date"].columns) == {

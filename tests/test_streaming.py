@@ -46,6 +46,32 @@ def test_streaming_equals_batch(spark):
         assert s == b and len(b) > 0
 
 
+def test_user_running_totals_stream_equals_batch(spark):
+    """The registered stateful operator: final streamed state per user
+    must equal the batch aggregate (count exactly; value total within
+    float-accumulation noise; last_ts exactly)."""
+    from build_datawarehouse_demo_spark.streaming.stateful import user_running_totals
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = _events_as_stream_dir(spark, tmpdir)
+        batch = {r.user_id: r for r in user_running_totals(spark.read.parquet(path)).collect()}
+        stream = user_running_totals(read_event_stream(spark, path, max_files_per_trigger=1))
+        assert stream.isStreaming
+        run_stream_to_memory(stream, "totals_out", output_mode="update")
+        final = spark.sql(
+            """SELECT user_id, n_events, total_value, last_ts FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM totals_out) WHERE rn = 1"""
+        )
+        got = {r.user_id: r for r in final.collect()}
+        assert set(got) == set(batch) and len(batch) > 0
+        for uid, b in batch.items():
+            s = got[uid]
+            assert s.n_events == b.n_events
+            assert abs(s.total_value - b.total_value) < 0.05
+            assert s.last_ts == b.last_ts
+
+
 def test_stateful_running_count(spark):
     """applyInPandasWithState: per-user running event count — the
     custom-stateful-operator surface."""
