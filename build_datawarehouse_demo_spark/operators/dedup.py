@@ -289,3 +289,89 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph:
+    (node, component) where component = min node id in the component.
+
+    This is the step every production dedup needs after pair
+    generation — pairs (a,b),(b,c) must collapse to ONE kept document,
+    which pairwise drop-the-larger logic gets wrong.
+
+    Algorithm: min-label propagation to fixpoint. Each round every
+    node takes the min of its own label and its neighbors' labels —
+    one equi-join + partial-aggregated groupBy per round, converging
+    in graph-diameter rounds (near-dup components are shallow: dup
+    clusters, not social graphs). Labels are localCheckpoint'ed each
+    round so lineage stays O(1) instead of growing per iteration; on a
+    production cluster prefer `spark.sparkContext.setCheckpointDir` +
+    `checkpoint()` for executor-loss resilience, and for adversarially
+    deep graphs switch to the large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which needs
+    O(log n) rounds.
+
+    Raises if max_iterations rounds don't reach the fixpoint (an
+    unconverged labeling silently under-merges components).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nmin") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("__changed"), 1).otherwise(0)).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.drop("__changed")
+        if not changed:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "the pair graph is deeper than a dedup clustering should be — raise "
+        "max_iterations or use a star-contraction algorithm"
+    )
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate every row with its near-dup component and the keep
+    decision: a row survives iff it IS its component's representative
+    (the min id). Rows in no pair are their own singleton component."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("component_id")
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("component_id", F.coalesce(F.col("component_id"), F.col(id_col)))
+        .withColumn("is_kept", F.col("component_id") == F.col(id_col))
+    )

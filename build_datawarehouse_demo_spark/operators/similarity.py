@@ -321,3 +321,66 @@ def embedding_near_dup_pairs_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def kmeans_lloyd_step(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its max-cosine
+    centroid (ivf_assign — broadcast centroids, narrow pass), then
+    recompute each centroid as the element-wise mean of its members.
+
+    The iterative-ML primitive a training-data pipeline runs to build
+    IVF/clustering indexes. Scale shape: assignment is one broadcast
+    pass over the corpus; the mean is posexplode -> (cluster, dim)
+    partial-aggregated avg -> rebuild, so the shuffle carries one
+    (cluster, dim, partial sum) row per partition×cluster×dim, never
+    vectors. Clusters that lose all members are dropped (standard
+    Lloyd degeneracy; callers reseed if needed).
+
+    round_to rounds each mean coordinate (oracle determinism: partial
+    vs sequential float summation differs below 6dp).
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+    dims = assigned.select(
+        centroid_id_col, F.posexplode(F.col("__v")).alias("dim", "x")
+    )
+    mean_col = F.avg("x")
+    if round_to is not None:
+        mean_col = F.round(mean_col, round_to)
+    per_dim = dims.groupBy(centroid_id_col, "dim").agg(mean_col.alias("m"))
+    return (
+        per_dim.groupBy(centroid_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ).alias("__dm")
+        )
+        .select(
+            centroid_id_col,
+            F.transform(F.col("__dm"), lambda s: s.getField("m")).alias(vec_col),
+        )
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """n_iter Lloyd iterations (driver-side loop over lazy steps; each
+    step's centroids are localCheckpoint'ed so lineage stays O(1) —
+    the same iterative-plan discipline as dedup.connected_components)."""
+    cents = centroids
+    for _ in range(n_iter):
+        cents = kmeans_lloyd_step(
+            corpus, cents, id_col=id_col, vec_col=vec_col, round_to=None
+        ).localCheckpoint()
+    return cents

@@ -122,10 +122,10 @@ def register_extensions() -> None:
 
         return simhash(_t(spark, sf_dir, "documents"))
 
-    @register(
-        "dedup_simhash_pairs",
-        oracle=f"""
-        WITH tok AS (
+    # simhash signature + pigeonhole-blocked pair CTEs, shared by the
+    # pair entry and the connected-components clustering entry.
+    _simhash_pair_ctes = f"""
+        tok AS (
           SELECT DISTINCT doc_id, tok
           FROM documents, unnest({_TOK}) AS t(tok)
         ),
@@ -146,12 +146,20 @@ def register_extensions() -> None:
         blocked AS (
           SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
           FROM sigs, unnest(generate_series(0, 3)) AS g(blk)
-        )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        FROM blocked a
-        JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM blocked a
+          JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        )"""
+
+    @register(
+        "dedup_simhash_pairs",
+        oracle=f"""
+        WITH {_simhash_pair_ctes}
+        SELECT id_a, id_b, hamming FROM pairs
         """,
     )
     def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +167,45 @@ def register_extensions() -> None:
 
         sigs = simhash(_t(spark, sf_dir, "documents"))
         return simhash_near_pairs(sigs, max_hamming=3, blocks=4)
+
+    @register(
+        "dedup_cluster_components",
+        oracle=f"""
+        WITH RECURSIVE {_simhash_pair_ctes},
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s)
+        SELECT doc.doc_id,
+               COALESCE(c.component, doc.doc_id) AS component_id,
+               COALESCE(c.component, doc.doc_id) = doc.doc_id AS is_kept
+        FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        """,
+    )
+    def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # pair graph -> connected components -> one kept representative
+        # per near-dup cluster (min-label propagation to fixpoint; the
+        # oracle states the same labeling as a recursive transitive
+        # closure). The step pairwise dedup logic cannot do correctly:
+        # (a,b),(b,c) must keep exactly one of {a,b,c}.
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            connected_components,
+            dedup_keep_representatives,
+            simhash,
+            simhash_near_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = simhash_near_pairs(simhash(docs), max_hamming=3, blocks=4)
+        comp = connected_components(pairs)
+        return dedup_keep_representatives(docs, comp).select(
+            "doc_id", "component_id", "is_kept"
+        )
 
     @register(
         "dedup_ngram_jaccard",
@@ -364,6 +411,58 @@ def register_extensions() -> None:
             F.col("vec_id").alias("probe_id"), "embedding"
         )
         return ann_rp_lsh_topk(emb, probes, k=5, n_planes=8, dim=64)
+
+    @register(
+        "ml_kmeans_lloyd_step",
+        oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, centroid_id, v FROM (
+            SELECT e.vec_id, c.centroid_id, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+            FROM e, cent c
+          ) WHERE rn = 1
+        ),
+        dims AS (
+          SELECT centroid_id, i AS dim, round(avg(v[i]), 6) AS m
+          FROM assigned, unnest(generate_series(1, 64)) AS g(i)
+          GROUP BY 1, 2
+        )
+        SELECT centroid_id, list(m ORDER BY dim) AS embedding
+        FROM dims GROUP BY centroid_id
+        """,
+    )
+    def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # one Lloyd iteration — the iterative-ML primitive behind IVF
+        # index builds; assignment reuses ivf_assign, means shuffle
+        # (cluster, dim) partials, never vectors.
+        from build_datawarehouse_demo_spark.operators.similarity import kmeans_lloyd_step
+
+        emb = _t(spark, sf_dir, "embeddings")
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        return kmeans_lloyd_step(emb, centroids)
+
+    @register(
+        "streaming_interval_join",
+        oracle="""
+        SELECT a.event_id, b.event_id AS prior_event_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND b.ts < a.ts
+         AND b.ts >= a.ts - INTERVAL 1 HOUR
+        """,
+    )
+    def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # batch form of the stream-stream interval join (streaming/
+        # joins.py): same condition runs under two readStreams with
+        # watermarks, asserted equivalent in tests/test_streaming.py.
+        from build_datawarehouse_demo_spark.streaming.joins import prior_events_interval_join
+
+        ev = _t(spark, sf_dir, "events")
+        return prior_events_interval_join(ev, ev)
 
     @register(
         "multimodal_frame_sample",

@@ -70,3 +70,43 @@ def test_ngram_jaccard_blocked(spark):
     )
     pairs = ngram_jaccard_pairs(df, block_cols=("lang", "source"), threshold=0.5).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """(a,b),(b,c) must collapse to one component with min-id rep;
+    disjoint pairs stay separate; unpaired docs are their own
+    singleton component."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 10, 11, 99)], "doc_id long")
+    got = {
+        r.doc_id: (r.component_id, r.is_kept)
+        for r in dedup_keep_representatives(docs, connected_components(pairs)).collect()
+    }
+    assert got[99] == (99, True)  # unpaired -> own singleton
+    assert [d for d, (c, kept) in got.items() if kept] == sorted(
+        d for d, (c, kept) in got.items() if kept
+    )
+    assert {c for c, _ in got.values()} == {1, 10, 99}
+    assert sum(kept for _, kept in got.values()) == 3  # one rep per component
+
+
+def test_connected_components_raises_on_no_convergence(spark):
+    import pytest as _pytest
+
+    from build_datawarehouse_demo_spark.operators.dedup import connected_components
+
+    # a 6-node path needs ~5 rounds; cap at 1 must raise, not return
+    # an under-merged labeling
+    path = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(path, max_iterations=1)

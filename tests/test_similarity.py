@@ -131,3 +131,26 @@ def test_pandas_udf_kernel_matches_expression_kernel(spark, mat):
     joined = expr_kernel.join(udf_kernel, "vec_id").collect()
     for r in joined:
         assert abs(r.c_expr - r.c_udf) < 1e-9
+
+
+def test_kmeans_lloyd_converges_on_blobs(spark):
+    """Two well-separated direction blobs: after a few Lloyd steps the
+    two surviving centroids' members must match the true blobs."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(loc=(5, 0, 0, 0), scale=0.1, size=(20, 4))
+    b = rng.normal(loc=(0, 5, 0, 0), scale=0.1, size=(20, 4))
+    m = np.vstack([a, b]).astype(np.float32)
+    df = _vec_df(spark, m)
+    seeds = df.filter("vec_id IN (0, 20)").selectExpr("vec_id AS centroid_id", "embedding")
+    cents = kmeans_train(df, seeds, n_iter=3)
+    assign = ivf_assign(df, cents.selectExpr("centroid_id", "embedding"))
+    groups: dict[int, set[int]] = {}
+    for r in assign.collect():
+        groups.setdefault(r.centroid_id, set()).add(r.vec_id)
+    assert sorted(map(len, groups.values())) == [20, 20]
+    assert set(range(20)) in groups.values() and set(range(20, 40)) in groups.values()

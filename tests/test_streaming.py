@@ -106,3 +106,27 @@ def test_stateful_running_count(spark):
         got = spark.sql("SELECT user_id, max(n_events) AS n FROM state_out GROUP BY user_id")
         expect = spark.read.parquet(path).groupBy("user_id").agg(F.count("*").alias("n"))
         assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream interval self-join (watermarks + bounded time
+    condition -> expirable state) must produce the batch pairs."""
+    from build_datawarehouse_demo_spark.streaming.joins import prior_events_interval_join
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = _events_as_stream_dir(spark, tmpdir)
+        batch_df = spark.read.parquet(path)
+        expect = {
+            (r.event_id, r.prior_event_id)
+            for r in prior_events_interval_join(batch_df, batch_df).collect()
+        }
+        s1 = read_event_stream(spark, path, max_files_per_trigger=1)
+        s2 = read_event_stream(spark, path, max_files_per_trigger=1)
+        joined = prior_events_interval_join(s1, s2)
+        assert joined.isStreaming
+        run_stream_to_memory(joined, "ivj_out", output_mode="append")
+        got = {
+            (r.event_id, r.prior_event_id)
+            for r in spark.sql("SELECT * FROM ivj_out").collect()
+        }
+        assert got == expect and len(expect) > 0
