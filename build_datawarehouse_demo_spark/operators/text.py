@@ -208,3 +208,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     (the token-set analogue of a rolling hash)."""
     canon = F.concat_ws("\x01", F.sort_array(F.array_distinct(tokens(text_col))))
     return df.withColumn(out_col, F.md5(canon))
+
+
+def clean_normalize(df: DataFrame, text_col: str = "text", out_col: str = "cleaned") -> DataFrame:
+    """Corpus text normalization: strip control characters, collapse
+    whitespace runs to single spaces, trim, lowercase — the standard
+    pre-tokenization cleanup pass. Pure regexp_replace/lower (one
+    codegen'd scan stage); patterns live in the Java-regex ∩ RE2
+    subset so any engine applies the identical cleanup."""
+    c = F.regexp_replace(F.col(text_col), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.withColumn(out_col, F.lower(F.trim(c)))
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-N tokens by occurrence count with
+    document frequency — the input to tokenizer/vocab training.
+
+    Scale shape: explode -> groupBy(token) with map-side partial
+    aggregation (shuffle carries one row per distinct token per
+    partition), then TakeOrdered for the top-N — no global window over
+    the full vocabulary; the rank is assigned on the N surviving rows
+    only. Ties break on the token string, so the cut is deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col("doc_id"), F.explode(tokens(text_col)).alias("__tok")
+    ).withColumn("__tok", F.lower(F.col("__tok")))
+    counts = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("__tok")).limit(top_n)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("__tok"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("__tok").alias("token"), "n_occurrences", "n_docs", "rank"
+    )

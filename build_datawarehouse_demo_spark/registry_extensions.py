@@ -566,6 +566,48 @@ def register_extensions() -> None:
         return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang", "marker_hits")
 
     @register(
+        "text_clean_normalize",
+        oracle=r"""
+        SELECT doc_id,
+               lower(trim(regexp_replace(
+                 regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS cleaned
+        FROM documents
+        """,
+    )
+    def q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # control-strip + whitespace-collapse + trim + lowercase — the
+        # standard pre-tokenization cleanup, identical regex subset in
+        # both engines.
+        from build_datawarehouse_demo_spark.operators.text import clean_normalize
+
+        return clean_normalize(_t(spark, sf_dir, "documents")).select("doc_id", "cleaned")
+
+    @register(
+        "text_vocabulary",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, lower(tok) AS tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        counts AS (
+          SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+          FROM toks GROUP BY tok
+        )
+        SELECT tok AS token, n_occurrences, n_docs,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok) AS INTEGER) AS rank
+        FROM counts
+        QUALIFY rank <= 100
+        """,
+    )
+    def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # top-N vocabulary with doc frequency: partial-agg token counts,
+        # TakeOrdered top-N (no global window over the full vocab).
+        from build_datawarehouse_demo_spark.operators.text import vocabulary
+
+        return vocabulary(_t(spark, sf_dir, "documents"), top_n=100)
+
+    @register(
         "text_fingerprint",
         oracle=f"""
         SELECT doc_id,

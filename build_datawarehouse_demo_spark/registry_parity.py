@@ -133,6 +133,43 @@ def register_parity() -> None:
         )
         return read_csv(spark, path, schema).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
+    @register("src_orc_scan", oracle="SELECT r_regionkey, r_name FROM region")
+    def q_src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ORC round-trip: Spark's second built-in columnar format, same
+        # pushdown/pruning behavior as parquet — the raw zone is format-
+        # agnostic (SURVEY §2.1: any Spark-readable path is ingestable).
+        from build_datawarehouse_demo_spark.sources.readers import read_orc
+
+        path = f"{SCRATCH}/region_orc"
+        _t(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").orc(path)
+        schema = T.StructType(
+            [
+                T.StructField("r_regionkey", T.IntegerType()),
+                T.StructField("r_name", T.StringType()),
+            ]
+        )
+        return read_orc(spark, path, schema).select("r_regionkey", "r_name")
+
+    @register(
+        "sink_partitioned_prune",
+        oracle="SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'",
+    )
+    def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # hive-style partitionBy write + partition-PRUNED read: the
+        # filter on the partition column eliminates directories at
+        # planning time (PartitionFilters in the scan, asserted in
+        # tests/test_scale_layout.py) — at 100 TB this is the difference
+        # between scanning one event_type and scanning all of them.
+        path = f"{SCRATCH}/events_by_type"
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(path)
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "event_type")
+        )
+
     @register(
         "sink_table_overwrite",
         oracle="""

@@ -216,6 +216,16 @@ def read_csv(
     return spark.read.option("header", str(header).lower()).schema(schema).csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — Spark's second built-in columnar format (predicate
+    pushdown + column pruning like parquet). Same fail-fast select/cast
+    discipline as read_parquet when a schema is declared."""
+    df = spark.read.orc(path)
+    if schema is not None:
+        df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+    return df
+
+
 def s3a_options(
     endpoint: str,
     access_key: str,

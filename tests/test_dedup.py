@@ -110,3 +110,17 @@ def test_connected_components_raises_on_no_convergence(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(path, max_iterations=1)
+
+
+def test_connected_components_empty_pairs(spark):
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_representatives,
+    )
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    got = {r.doc_id: (r.component_id, r.is_kept)
+           for r in dedup_keep_representatives(docs, connected_components(pairs)).collect()}
+    assert got == {5: (5, True), 6: (6, True)}

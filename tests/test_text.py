@@ -49,3 +49,51 @@ def test_fingerprint_order_insensitive(spark):
     )
     rows = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert rows[1] == rows[2] != rows[3]
+
+
+def test_clean_normalize(spark):
+    from build_datawarehouse_demo_spark.operators.text import clean_normalize
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\x00\x07 World\t\t MIXED  Case \x1f!  "), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cleaned for r in clean_normalize(df).collect()}
+    assert got[1] == "hello world mixed case !"
+    assert got[2] == ""
+
+
+def test_vocabulary_top_n_rank_and_docfreq(spark):
+    from build_datawarehouse_demo_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a B b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = vocabulary(df, top_n=2).collect()
+    got = [(r.token, r.n_occurrences, r.n_docs, r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    # a: 3 occ in 2 docs; b: 3 occ (case-folded) in 2 docs -> tie broken by token
+    assert got == [("a", 3, 2, 1), ("b", 3, 2, 2)]
+
+
+def test_repetition_score_values(spark):
+    from build_datawarehouse_demo_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_ngrams, r.n_distinct_ngrams, r.dup_ngram_ratio) for r in repetition_score(df).collect()}
+    assert got[1] == (5, 2, 0.6)  # x y,y x,x y,y x,x y -> 2 distinct of 5
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (0, 0, 0.0)  # below n -> empty, not descending-sequence garbage
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    from build_datawarehouse_demo_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@d-e.org or 10.0.0.1 ssn 123-45-6789 end")],
+        "doc_id long, text string",
+    )
+    r = scrub_pii(df).collect()[0]
+    assert (r.n_email, r.n_ssn, r.n_ipv4) == (1, 1, 1)
+    assert r.scrubbed == "mail <EMAIL> or <IP> ssn <SSN> end"
