@@ -82,6 +82,54 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ).filter(F.col("shingle") != "")
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document as ONE array column —
+    the narrow form of word_shingles: no explode, no row
+    amplification, so everything derived from it (signatures, verify)
+    stays a per-document computation instead of a per-shingle one.
+
+    The token array is staged as a column: it feeds the length guard,
+    the sequence bound AND the transform body, and split/filter are
+    higher-order functions outside codegen subexpression elimination —
+    inlined, each document would tokenize 3+ times (measured: the
+    staging alone cut the shingle stage ~40% at sf0.1)."""
+    staged = spread(df, id_col).withColumn("__toks", tokens(text_col))
+    n = F.size(F.col("__toks"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        F.col(id_col), F.array_remove(F.array_distinct(grams), "").alias("shingles")
+    )
+
+
+def minhash_signatures_from_arrays(
+    sh_arrays: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """MinHash signatures as a NARROW projection: for each seed h,
+    array_min over the per-document shingle array's hashes. No explode,
+    no groupBy — the signature stage has zero shuffles, versus the
+    exploded form which shuffles every (doc, shingle, seed) row into a
+    per-document aggregate. Same md5-derived values bit-for-bit."""
+    return sh_arrays.withColumns(
+        {
+            f"mh_{h}": F.array_min(
+                F.transform(F.col(shingle_col), lambda s, h=h: hash32(s, seed=h))
+            )
+            for h in range(num_hashes)
+        }
+    )
+
+
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -112,13 +160,25 @@ def lsh_candidate_pairs(
         # bands > num_hashes would make every band_key '' → O(n²)
         raise ValueError(f"num_hashes={num_hashes} must divide evenly into bands={bands}")
     rows = num_hashes // bands
+
+    def band_key(b: int):
+        # F.concat, NOT concat_ws: concat null-propagates, so a doc with
+        # null minhashes (empty shingle set on the narrow path) gets a
+        # NULL band key and never equi-joins — concat_ws would skip the
+        # nulls and collapse every empty doc into one shared '' bucket
+        # (a quadratic candidate blob). This also makes a pre-banding
+        # "shingles non-empty" filter unnecessary — such a filter costs
+        # a full re-evaluation of the shingle expression when pushed
+        # below the projection (measured 3× the stage time at sf0.1).
+        parts = []
+        for r in range(rows):
+            if r:
+                parts.append(F.lit("_"))
+            parts.append(F.col(f"mh_{b * rows + r}").cast("string"))
+        return F.concat(*parts)
+
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]).alias(
-                "band_key"
-            ),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
         for b in range(bands)
     ]
     banded = signatures.select(
@@ -173,17 +233,40 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold.
 
-    The shingle table feeds three consumers (signatures, both sides of
-    the verify join). It is NOT persisted here: a per-call persist with
-    no unpersist leaks cached blocks for the session's lifetime, and
-    measurement at sf0.1 showed no win (the recompute is a narrow
-    projection). At 100 TB, materialize the shingle table to parquet
+    Narrow-path pipeline (round 2 redesign):
+    1. per-document shingle ARRAYS (shingle_arrays — no explode);
+    2. signatures via array_min folds (zero-shuffle, vs the exploded
+       groupBy form that shuffled every (doc, shingle, seed) row);
+    3. banding self-join shuffles only (id, band, band_key);
+    4. verify: candidate pairs hash-join back to the two shingle
+       arrays; Jaccard = array_intersect size with inclusion-exclusion
+       union — per-pair array math, no shingle-row join + re-aggregate.
+    Docs with empty shingle sets never produce candidates: their null
+    minhashes null-propagate into the band key (see lsh_candidate_pairs)
+    and null keys don't equi-join.
+
+    The shingle table feeds three consumers; it is NOT persisted here
+    (a per-call persist with no unpersist leaks blocks; the recompute
+    is narrow). At 100 TB, materialize the shingle arrays to parquet
     once and run signatures + verify against that.
     """
-    sh = word_shingles(df, id_col, text_col, k)
-    sigs = minhash_signatures(sh, num_hashes, id_col)
+    sh = shingle_arrays(df, id_col, text_col, k)
+    sigs = minhash_signatures_from_arrays(sh, num_hashes, id_col)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
-    return exact_jaccard(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__n_inter", F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))))
+        .withColumn(
+            "jaccard",
+            F.col("__n_inter").cast("double")
+            / (F.size("__sa") + F.size("__sb") - F.col("__n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
