@@ -456,3 +456,177 @@ def register_layer_b() -> None:
           AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
         """,
     )
+
+    # ------------------------------------------------------------------
+    # Round-2 widening: the remaining TPC-H shapes expressible on the
+    # driver's table subset (no partsupp; no o_comment/l_receiptdate/
+    # p_container columns — those predicates are adapted, the JOIN/
+    # subquery/aggregation SHAPES are faithful).
+    # ------------------------------------------------------------------
+
+    # TPC-H Q7 shape: bidirectional nation-pair revenue by year —
+    # 5-way join with a disjunctive pair predicate + year extraction.
+    register_sql(
+        "sql_q7_volume_shipping",
+        f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(volume) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+                 {_REV} AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+    )
+
+    # TPC-H Q8 shape: market share — conditional share of a global
+    # aggregate per year over a 6-way join.
+    register_sql(
+        "sql_q8_market_share",
+        f"""
+        SELECT o_year,
+               CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+                 {_REV} AS volume,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE p.p_type = 'STANDARD'
+        ) all_nations
+        GROUP BY o_year
+        """,
+    )
+
+    # TPC-H Q13 shape: distribution of orders-per-customer — left join
+    # + double aggregation (the histogram-of-group-sizes pattern).
+    register_sql(
+        "sql_q13_customer_distribution",
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """,
+    )
+
+    # TPC-H Q15 shape: CTE revenue view + scalar-max subquery (top
+    # supplier); exact decimal sums make the max-equality portable.
+    register_sql(
+        "sql_q15_top_supplier",
+        f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum({_REV}) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+    )
+
+    # TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    # gating a join+aggregate. Quantities are integer-valued doubles,
+    # so the 0.2*avg threshold is bit-identical across engines.
+    register_sql(
+        "sql_q17_small_quantity_revenue",
+        """
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """,
+    )
+
+    # TPC-H Q18 shape: IN over a HAVING subquery + re-aggregation
+    # (large-volume orders).
+    register_sql(
+        "sql_q18_large_volume_customer",
+        f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(sum({_QTY}) AS DOUBLE) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """,
+    )
+
+    # TPC-H Q21 shape (adapted: no l_receiptdate — "multi-supplier
+    # orders where this supplier shipped last by ship date"): EXISTS +
+    # NOT EXISTS correlated anti-semantics over the same fact.
+    register_sql(
+        "sql_q21_last_shipper",
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+        """,
+    )
+
+    # TPC-H Q22 shape (adapted: balance threshold via exact integer
+    # cents cross-multiplication — no float-boundary flakiness — and
+    # "no RECENT orders" since every customer here has some order):
+    # scalar aggregate subqueries + NOT EXISTS + group-by.
+    register_sql(
+        "sql_q22_global_sales_opportunity",
+        """
+        SELECT c_nationkey AS cntry, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+              * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+              > (SELECT sum(CAST(round(c3.c_acctbal * 100) AS BIGINT))
+                 FROM customer c3 WHERE c3.c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY c_nationkey
+        """,
+    )
