@@ -185,13 +185,24 @@ def ann_rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only corpus vectors whose
     sign-projection signature equals the probe's.
 
     The bucket equi-join replaces the probe×corpus cartesian — with B
     balanced buckets the scored set shrinks ~B×; recall is whatever the
-    bucket recall is (raise by multi-probing neighboring signatures).
+    bucket recall is.
+
+    multiprobe=True additionally probes every 1-bit-flipped signature
+    (the Hamming-1 neighborhood): a near neighbor whose vector sits
+    close to ONE separating hyperplane lands one bit away, so 1-bit
+    probing recovers exactly the most likely misses. Cost: the probe
+    side fans out ×(n_planes+1) — still an equi-join on signatures,
+    and only the (tiny, broadcast) probe side fans out, never the
+    corpus. Candidate (probe, corpus) pairs reached via several probe
+    variants are deduplicated BEFORE scoring so each pair is scored
+    once and occupies one rank.
     """
     planes = rp_planes(n_planes, dim)
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")).withColumn(
@@ -200,11 +211,18 @@ def ann_rp_lsh_topk(
     p = probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")).withColumn(
         "__sig", rp_lsh_signature(F.col("__pv"), planes)
     )
-    scored = (
-        c.join(F.broadcast(p), "__sig")
-        .filter(F.col(id_col) != F.col(probe_id_col))
-        .withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
-    )
+    if multiprobe:
+        variants = F.array(
+            F.col("__sig"), *[F.col("__sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+        p = p.withColumn("__sig", F.explode(variants))
+    matched = c.join(F.broadcast(p), "__sig").filter(F.col(id_col) != F.col(probe_id_col))
+    if multiprobe:
+        # a pair can match through several probe variants; dedupe before
+        # scoring so it is scored once and holds one rank. (Without
+        # multiprobe a pair matches at most once — skip the exchange.)
+        matched = matched.dropDuplicates([probe_id_col, id_col])
+    scored = matched.withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -465,6 +465,53 @@ def register_extensions() -> None:
         return prior_events_interval_join(ev, ev)
 
     @register(
+        "sim_ann_rp_lsh_multiprobe",
+        oracle=f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id, v, CAST({_plane_sql} AS INTEGER) AS s FROM e
+        ),
+        p AS (SELECT vec_id AS probe_id, v AS pv, s FROM sig WHERE vec_id < 10),
+        variants AS (
+          SELECT probe_id, pv, s FROM p
+          UNION ALL
+          SELECT probe_id, pv, CAST(xor(s, 1 << i) AS INTEGER) FROM p,
+                 unnest(generate_series(0, 7)) AS g(i)
+        ),
+        cand AS (
+          SELECT DISTINCT v.probe_id, c.vec_id
+          FROM sig c JOIN variants v ON c.s = v.s AND c.vec_id <> v.probe_id
+        ),
+        scored AS (
+          SELECT cd.probe_id, cd.vec_id,
+                 list_cosine_similarity(pe.v, ce.v) AS cos
+          FROM cand cd
+          JOIN e pe ON pe.vec_id = cd.probe_id
+          JOIN e ce ON ce.vec_id = cd.vec_id
+        ),
+        ranked AS (
+          SELECT probe_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+        """,
+    )
+    def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Hamming-1 multi-probing: recovers neighbors that sit one
+        # hyperplane away — probe side fans out ×9, corpus untouched.
+        from build_datawarehouse_demo_spark.operators.similarity import ann_rp_lsh_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return ann_rp_lsh_topk(emb, probes, k=5, n_planes=8, dim=64, multiprobe=True)
+
+    @register(
         "multimodal_frame_sample",
         oracle="""
         SELECT doc_id AS id,
@@ -799,6 +846,41 @@ def register_extensions() -> None:
             .withColumn("effective_ts", F.lit("2021-06-01 00:00:00").cast("timestamp"))
         )
         return scd2_apply(cur, upd, key="c_custkey", tracked_cols=("c_acctbal",))
+
+    # ------------------------------------------------------------------
+    # skew mitigation (operators/skew.py) — result-identical to the
+    # plain join/agg, only the physical distribution changes, so the
+    # plain SQL IS the oracle.
+    # ------------------------------------------------------------------
+
+    @register(
+        "skew_salted_join",
+        oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, s.s_name
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        """,
+    )
+    def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.skew import salted_join
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", F.col("l_suppkey").alias("suppkey")
+        )
+        sup = _t(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("suppkey"), "s_name"
+        )
+        return salted_join(li, sup, "suppkey").select("l_orderkey", "l_linenumber", "s_name")
+
+    @register(
+        "skew_salted_count",
+        oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    )
+    def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.skew import salted_count_per_key
+
+        return salted_count_per_key(_t(spark, sf_dir, "events"), "event_type").select(
+            "event_type", "n"
+        )
 
     # ------------------------------------------------------------------
     # exact + approximate distribution statistics

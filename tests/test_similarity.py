@@ -154,3 +154,19 @@ def test_kmeans_lloyd_converges_on_blobs(spark):
         groups.setdefault(r.centroid_id, set()).add(r.vec_id)
     assert sorted(map(len, groups.values())) == [20, 20]
     assert set(range(20)) in groups.values() and set(range(20, 40)) in groups.values()
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark, mat):
+    """Hamming-1 multi-probing must retrieve at least the single-probe
+    result set per probe (it adds candidate buckets, never removes),
+    and more candidates overall on random data."""
+    from build_datawarehouse_demo_spark.operators.similarity import ann_rp_lsh_topk
+
+    df = _vec_df(spark, mat)
+    probes = df.filter("vec_id < 4").selectExpr("vec_id AS probe_id", "embedding")
+    single = ann_rp_lsh_topk(df, probes, k=40, n_planes=8, dim=16)
+    multi = ann_rp_lsh_topk(df, probes, k=40, n_planes=8, dim=16, multiprobe=True)
+    s = {(r.probe_id, r.vec_id) for r in single.collect()}
+    m = {(r.probe_id, r.vec_id) for r in multi.collect()}
+    assert s <= m
+    assert len(m) > len(s)
