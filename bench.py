@@ -105,11 +105,15 @@ def main() -> None:
     samples["write_tables_concurrent"] = [_timed_write(spark, sf_dir) for _ in range(runs)]
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    # `value` keeps its round-over-round meaning: QUERY medians only.
+    # The write-path median rides alongside in queries/samples but is
+    # excluded from the sum (it measures the sink, not the queries).
+    query_total = sum(v for k, v in timings.items() if k != "write_tables_concurrent")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": round(query_total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,

@@ -61,23 +61,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per document: (id, shingle).
-
-    Built with transform(sequence(...)) over the token array — one
-    narrow projection, no UDF, no shuffle.
+    """Distinct word k-gram shingles per document: (id, shingle) —
+    the EXPLODED row form (used where per-shingle rows are the point,
+    e.g. inverted indexes); the minhash pipeline uses the array form
+    (shingle_arrays) instead. Shared n-gram build: text.ngram_array.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    # guard n >= k: sequence(0, n-k) with n-k < 0 would generate a
-    # DESCENDING sequence in Spark, not an empty one.
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return spread(df, id_col).select(
+    from build_datawarehouse_demo_spark.operators.text import ngram_array
+
+    staged = spread(df, id_col).withColumn("__toks", tokens(text_col))
+    grams = ngram_array(F.col("__toks"), k)
+    return staged.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     ).filter(F.col("shingle") != "")
 
@@ -90,20 +83,13 @@ def shingle_arrays(
     amplification, so everything derived from it (signatures, verify)
     stays a per-document computation instead of a per-shingle one.
 
-    The token array is staged as a column: it feeds the length guard,
-    the sequence bound AND the transform body, and split/filter are
-    higher-order functions outside codegen subexpression elimination —
-    inlined, each document would tokenize 3+ times (measured: the
-    staging alone cut the shingle stage ~40% at sf0.1)."""
+    The token array is staged as a column per ngram_array's contract
+    (higher-order exprs get no codegen CSE — inlined, each document
+    would tokenize 3+ times)."""
+    from build_datawarehouse_demo_spark.operators.text import ngram_array
+
     staged = spread(df, id_col).withColumn("__toks", tokens(text_col))
-    n = F.size(F.col("__toks"))
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = ngram_array(F.col("__toks"), k)
     return staged.select(
         F.col(id_col), F.array_remove(F.array_distinct(grams), "").alias("shingles")
     )

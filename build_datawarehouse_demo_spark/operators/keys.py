@@ -21,29 +21,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# frames pinned by surrogate_key_scalable, released by
-# release_pinned_caches() once the enclosing build is materialized —
-# the cache-hygiene contract VERDICT round 1 item 6 asked for (without
-# it, long-lived sessions building many warehouses leak cached blocks).
+# Cache-hygiene contract (VERDICT round 1 item 6): frames pinned by
+# surrogate_key_scalable are tracked PER OUTPUT FRAME, and the writer
+# releases exactly the pins belonging to the frame it just
+# materialized. A blanket "release everything" on any save would
+# unpersist pins of OTHER, not-yet-written surrogate-keyed frames —
+# whose id stability depends on that cache (split-save and concurrent
+# build patterns). _PINNED remains as the session-wide drain for
+# explicit cleanup.
+import threading
+import weakref
+
+_PIN_LOCK = threading.Lock()
 _PINNED: list[DataFrame] = []
+_FRAME_PINS: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def release_pins_for(df: DataFrame) -> int:
+    """Unpersist the pins backing this exact surrogate-keyed output
+    frame (writers.save_table calls this after a successful write).
+    Frames DERIVED from the output (select/filter/...) carry no pin
+    association — their pins stay live until release_pinned_caches().
+    Returns the number of frames released."""
+    with _PIN_LOCK:
+        pins = _FRAME_PINS.pop(df, [])
+        for p in pins:
+            p.unpersist()
+            if p in _PINNED:
+                _PINNED.remove(p)
+        return len(pins)
 
 
 def release_pinned_caches() -> int:
-    """Unpersist every frame pinned by surrogate_key_scalable.
+    """Session-level drain: unpersist EVERY outstanding surrogate pin.
 
-    Call AFTER the derived outputs are materialized (written/collected)
-    — writers.save_tables/save_tables_concurrent do it automatically.
-    Re-materializing a surrogate-keyed plan after release recomputes
-    the ids; that is only guaranteed stable for deterministic sources
-    (see surrogate_key_scalable's determinism note).
+    Only call when no surrogate-keyed frame still awaits
+    materialization — re-materializing after release recomputes ids,
+    which is only stable for deterministic sources (see
+    surrogate_key_scalable's determinism note).
 
     Returns the number of frames released.
     """
-    n = 0
-    while _PINNED:
-        _PINNED.pop().unpersist()
-        n += 1
-    return n
+    with _PIN_LOCK:
+        n = 0
+        while _PINNED:
+            _PINNED.pop().unpersist()
+            n += 1
+        _FRAME_PINS.clear()
+        return n
 
 
 def surrogate_key_rownum(df: DataFrame, order_by: tuple[str, ...], key_col: str = "id") -> DataFrame:
@@ -82,11 +109,13 @@ def surrogate_key_scalable(df: DataFrame, key_col: str = "id", start: int = 1) -
     # (sample, round-robin repartition, AQE re-coalesce) could lay out
     # partitions differently between the two jobs — mismatched counts
     # would assign overlapping ids or silently drop rows in the pid
-    # join. The pin is registered module-wide; release_pinned_caches()
-    # (called by writers.save_tables* after materialization) returns
-    # the blocks — no leak across repeated warehouse builds.
+    # join. The pin is associated with the RETURNED frame (below);
+    # writers.save_table releases it right after that frame is
+    # written — no leak across repeated builds, and no early release
+    # of pins backing frames someone else hasn't materialized yet.
     tagged = tagged.persist()
-    _PINNED.append(tagged)
+    with _PIN_LOCK:
+        _PINNED.append(tagged)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -99,8 +128,11 @@ def surrogate_key_scalable(df: DataFrame, key_col: str = "id", start: int = 1) -
     offset_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
     )
-    return (
+    out = (
         tagged.join(F.broadcast(offset_df), "__pid")
         .withColumn(key_col, (F.col("__offset") + F.col("__pos") + F.lit(start)).cast("long"))
         .drop("__pid", "__pos", "__offset")
     )
+    with _PIN_LOCK:
+        _FRAME_PINS[out] = [tagged]
+    return out

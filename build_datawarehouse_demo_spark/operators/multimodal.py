@@ -162,15 +162,24 @@ def decode_image(df: DataFrame) -> DataFrame:
         def meta(b: bytes | None):
             if b is None:
                 return (None, None, None, None)
+            pil_err: Exception | None = None
             if _pil is not None:
                 try:
                     im = _pil.open(io.BytesIO(b))
                     return (len(b), im.width, im.height, (im.format or "unknown").lower())
-                except Exception:
-                    pass  # fall through to the built-in parser
+                except Exception as exc:  # corrupt/unknown — try built-in
+                    pil_err = exc
             bmp = decode_bmp_header(b)
             if bmp is not None:
                 return (len(b), bmp[0], bmp[1], "bmp")
+            if pil_err is not None:
+                # PIL IS installed and rejected the payload — surface
+                # THAT diagnosis, not an 'install pillow' misdirection
+                raise NotImplementedError(
+                    f"payload with magic {b[:4]!r} failed PIL decode ({pil_err!r}) "
+                    "and is not a BMP — likely corrupt bytes or a format needing "
+                    "an extra codec"
+                ) from pil_err
             raise NotImplementedError(
                 f"no decoder for payload with magic {b[:4]!r}: install pillow on "
                 "executors or extend decode_image with the needed format"

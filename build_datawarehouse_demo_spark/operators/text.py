@@ -34,6 +34,28 @@ def tokens(col: str | Column) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Word n-gram array over a token-array column (with duplicates,
+    in order). The single shared implementation of the subtle
+    sequence guard: sequence(0, len-n) with a negative stop generates
+    a DESCENDING sequence in Spark, not an empty one — docs shorter
+    than n must yield [].
+
+    Pass a STAGED column (e.g. `F.col("__toks")`), not an inline
+    tokens(...) expression: the guard, the sequence bound and the
+    transform body each reference it, and higher-order functions sit
+    outside codegen subexpression elimination — inlined, every
+    document would re-tokenize once per reference.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count
     (letter runs / digit runs / single punctuation)."""
@@ -136,22 +158,13 @@ def repetition_score(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
     dup_ngram_ratio = 1 - distinct_ngrams/total_ngrams, an exact
     integer-count ratio (deterministic across engines). Pure JVM
     expressions — transform(sequence) n-gram build, no explode, no
-    shuffle: a 100 TB scan stays one codegen'd stage.
+    shuffle. The token array is staged (see ngram_array's contract).
     """
-    toks = tokens(text_col)
     size = F.size(F.col("__grams"))
-    # guard n_tok >= n: sequence(0, n_tok-n) with a negative stop would
-    # generate a DESCENDING sequence, not an empty one (same trap as
-    # dedup.word_shingles).
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        df.withColumn("__grams", grams)
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__grams", ngram_array(F.col("__toks"), n))
+        .drop("__toks")
         .withColumns(
             {
                 "n_ngrams": size.cast("bigint"),
@@ -221,7 +234,9 @@ def clean_normalize(df: DataFrame, text_col: str = "text", out_col: str = "clean
     return df.withColumn(out_col, F.lower(F.trim(c)))
 
 
-def vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_n: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
     """Corpus vocabulary: top-N tokens by occurrence count with
     document frequency — the input to tokenizer/vocab training.
 
@@ -234,11 +249,11 @@ def vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataF
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col("doc_id"), F.explode(tokens(text_col)).alias("__tok")
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).withColumn("__tok", F.lower(F.col("__tok")))
     counts = toks.groupBy("__tok").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct(id_col).alias("n_docs"),
     )
     top = counts.orderBy(F.col("n_occurrences").desc(), F.col("__tok")).limit(top_n)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("__tok"))

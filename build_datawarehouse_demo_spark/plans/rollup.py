@@ -19,7 +19,7 @@ batch catch-up / backfill twin.
 
 from __future__ import annotations
 
-import datetime as dt  # noqa: F401  (referenced in annotations)
+import datetime as dt
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,14 +32,12 @@ def _parse_bucket_len(bucket_len: str) -> "dt.timedelta":
     """'N {day|hour|minute|second}[s]' -> timedelta (the subset of
     Spark's interval syntax a bucket length needs; months/years are
     not fixed-width and can't back an aligned arithmetic cutoff)."""
-    import datetime
-
     n_str, unit = bucket_len.strip().split()
     unit_td = {
-        "day": datetime.timedelta(days=1),
-        "hour": datetime.timedelta(hours=1),
-        "minute": datetime.timedelta(minutes=1),
-        "second": datetime.timedelta(seconds=1),
+        "day": dt.timedelta(days=1),
+        "hour": dt.timedelta(hours=1),
+        "minute": dt.timedelta(minutes=1),
+        "second": dt.timedelta(seconds=1),
     }.get(unit.rstrip("s").lower())
     if unit_td is None:
         raise ValueError(f"unsupported bucket_len unit: {bucket_len!r}")
@@ -85,6 +83,10 @@ def incremental_rollup_update(
     # bucket from only its post-cutoff events — upserting a partial
     # count over a complete row. Widen to whole buckets (ceil).
     if late_tolerance is not None:
+        if late_tolerance < dt.timedelta(0):
+            # a negative tolerance would push the cutoff PAST hwm,
+            # silently dropping new events in the high-water bucket
+            raise ValueError(f"late_tolerance must be >= 0, got {late_tolerance!r}")
         bucket = _parse_bucket_len(bucket_len)
         n_buckets = -(-late_tolerance // bucket)  # ceil division
         cutoff = hwm - n_buckets * bucket

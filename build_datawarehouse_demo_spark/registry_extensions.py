@@ -1119,6 +1119,34 @@ def register_extensions() -> None:
         return session_event_counts(_t(spark, sf_dir, "events"))
 
     @register(
+        "rollup_incremental_update",
+        oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+        """,
+    )
+    def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the continuous-aggregate maintenance path: build the rollup on
+        # the first half of the stream, then apply the FULL set
+        # incrementally with a deliberately bucket-unaligned lateness
+        # tolerance (the ADVICE round-1 repro shape). The oracle is the
+        # full rebuild — incremental maintenance must be exactly
+        # equivalent to it.
+        import datetime as dt
+
+        from build_datawarehouse_demo_spark.plans.rollup import incremental_rollup_update
+
+        ev = _t(spark, sf_dir, "events")
+        old = ev.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        first = incremental_rollup_update(None, old)
+        return incremental_rollup_update(
+            first, ev, late_tolerance=dt.timedelta(minutes=90)
+        )
+
+    @register(
         "streaming_stateful_user_totals",
         oracle="""
         SELECT user_id, count(*) AS n_events,

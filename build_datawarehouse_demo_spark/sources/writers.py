@@ -18,14 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 log = logging.getLogger(__name__)
 
 
-def _release_surrogate_caches() -> None:
+def _release_surrogate_pins(df: DataFrame) -> None:
     """Cache hygiene: surrogate_key_scalable pins its tagged frame for
-    id stability; once a warehouse is materialized the pin has done its
-    job — release it so repeated builds in one session don't accumulate
-    cached blocks (VERDICT round 1, item 6)."""
-    from build_datawarehouse_demo_spark.operators.keys import release_pinned_caches
+    id stability; once THIS frame is materialized its pin has done its
+    job — release it so repeated builds in one session don't
+    accumulate cached blocks (VERDICT round 1, item 6). Scoped to the
+    written frame: pins backing other, unwritten surrogate-keyed
+    frames stay live (a blanket release would silently destabilize
+    their ids on re-materialization)."""
+    from build_datawarehouse_demo_spark.operators.keys import release_pins_for
 
-    release_pinned_caches()
+    release_pins_for(df)
 
 
 def save_table(
@@ -60,6 +63,7 @@ def save_table(
         # joins (/root/reference/transformation.py:334-338).
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(name)
+    _release_surrogate_pins(df)
     return True
 
 
@@ -69,14 +73,12 @@ def save_tables(
     """Materialize a whole warehouse (the reference's `load_to_duckdb`,
     /root/reference/transformation.py:517-547). `base_path` makes each
     table external at `{base_path}/{name}`."""
-    out = {
+    return {
         name: save_table(
             df, name, path=f"{base_path}/{name}" if base_path else None, **kwargs
         )
         for name, df in dataframes.items()
     }
-    _release_surrogate_caches()
-    return out
 
 
 def save_tables_concurrent(
@@ -104,9 +106,7 @@ def save_tables_concurrent(
             )
             for name, df in dataframes.items()
         }
-        out = {name: fut.result() for name, fut in futures.items()}
-    _release_surrogate_caches()
-    return out
+        return {name: fut.result() for name, fut in futures.items()}
 
 
 def register_views(dataframes: dict[str, DataFrame]) -> None:

@@ -36,7 +36,7 @@ USER_TOTALS_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
         T.StructField("last_us", T.LongType()),
     ]
 )
@@ -47,10 +47,12 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 
     Batch mode returns the final totals directly; streaming mode
     maintains them as explicit keyed state and emits the running value
-    every micro-batch. Values are accumulated at 2-decimal precision
-    (matching the DECIMAL(18,2) money discipline of the batch side) —
-    float-order noise between pandas and the JVM aggregate stays below
-    the compared precision.
+    every micro-batch. Both sides accumulate money as EXACT integer
+    cents with half-away-from-zero per-row rounding — the streaming
+    state mirrors the batch DECIMAL(18,2) cast (Spark HALF_UP)
+    bit-for-bit, so batch ≡ streaming holds exactly: no pandas
+    banker's-rounding divergence at half-cent values, no float drift
+    at large totals.
     """
     if events.isStreaming:
         return _running_totals_stream(events)
@@ -63,25 +65,32 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 
 
 def _running_totals_stream(events: DataFrame) -> DataFrame:
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
-        n, total, last_us = state.get if state.exists else (0, 0.0, None)
+        n, total_cents, last_us = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
-            total += float(pdf["value"].round(2).sum())
+            # per-row HALF_UP (away from zero) to integer cents — the
+            # same rounding Spark's CAST(value AS DECIMAL(18,2))
+            # applies batch-side; np.round would use banker's rounding
+            # and diverge on exact half-cents.
+            v = pdf["value"].to_numpy(dtype="float64")
+            cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+            total_cents += int(cents.sum())
             batch_last = int(pdf["ts"].max().value // 1000)
             last_us = batch_last if last_us is None else max(last_us, batch_last)
-        state.update((n, total, last_us))
+        state.update((n, total_cents, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [total_cents / 100.0],
                 "last_ts": [pd.Timestamp(last_us * 1000) if last_us is not None else None],
             }
         )

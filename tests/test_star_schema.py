@@ -217,6 +217,29 @@ def test_build_and_write_leaves_no_cached_rdds(spark, raw):
         spark.sql("DROP TABLE IF EXISTS fact_checkins_hygiene")
 
 
+def test_split_save_releases_only_written_frames_pin(spark):
+    """Scoped release: writing one surrogate-keyed frame must NOT
+    unpersist the pin of another, unwritten one — its id stability
+    still depends on that cache."""
+    import tempfile
+
+    from build_datawarehouse_demo_spark.operators import keys
+    from build_datawarehouse_demo_spark.operators.keys import surrogate_key_scalable
+    from build_datawarehouse_demo_spark.sources.writers import save_tables
+
+    keys.release_pinned_caches()
+    a = surrogate_key_scalable(spark.range(50).selectExpr("id AS x"), key_col="ka")
+    b = surrogate_key_scalable(spark.range(30).selectExpr("id AS y"), key_col="kb")
+    assert len(keys._PINNED) == 2
+    with tempfile.TemporaryDirectory() as d:
+        save_tables({"pin_scope_a": a}, base_path=d)
+        assert len(keys._PINNED) == 1  # b's pin survives a's write
+        save_tables({"pin_scope_b": b}, base_path=d)
+        assert keys._PINNED == []
+        for t in ("pin_scope_a", "pin_scope_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_dim_date_reference_column_names(wh):
     # reference create_dim_date (/root/reference/transformation.py:127-137)
     assert set(wh["dim_date"].columns) == {

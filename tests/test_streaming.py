@@ -68,7 +68,8 @@ def test_user_running_totals_stream_equals_batch(spark):
         for uid, b in batch.items():
             s = got[uid]
             assert s.n_events == b.n_events
-            assert abs(s.total_value - b.total_value) < 0.05
+            # exact: both sides accumulate integer cents with HALF_UP
+            assert s.total_value == b.total_value
             assert s.last_ts == b.last_ts
 
 
