@@ -46,20 +46,37 @@ def asof_join(
     saving its shuffle: the whole operator then moves data exactly
     once, on the window's hashpartitioning(key).
     """
+    overlap = set(probe.columns) & ({*build_cols, "asof_time"})
+    if overlap:
+        # letting these through would emit duplicate column names and
+        # die later with AMBIGUOUS_REFERENCE at first use downstream
+        raise ValueError(
+            f"probe columns {sorted(overlap)} collide with build_cols/'asof_time'; "
+            "rename them before the as-of join"
+        )
     p = probe.withColumn("__t", F.col(probe_time)).withColumn("__side", F.lit(1))
     # null build times can never satisfy 'latest at or before' — and
     # unfiltered they would sort FIRST and leak their payload into
     # every probe row.
+    #
+    # The build payload rides as ONE struct and the carry-forward is a
+    # single last(struct, ignorenulls) — carrying each column
+    # independently would stitch fields from DIFFERENT build rows
+    # whenever the latest row holds a legitimate null (ignorenulls
+    # can't tell 'null because probe row' from 'null build value'),
+    # fabricating an as-of row that never existed.
     b = (
         build.filter(F.col(build_time).isNotNull())
         .select(
             F.col(key),
             F.col(build_time).alias("__t"),
-            *[F.col(c) for c in build_cols],
+            F.struct(
+                *[F.col(c) for c in build_cols], F.col(build_time).alias("__bt")
+            ).alias("__bpay"),
         )
         .withColumn("__side", F.lit(0))
     )
-    # align schemas for the union: probe carries null build payload,
+    # align schemas for the union: probe carries a null build struct,
     # build carries null probe payload. probe_time itself rides as __t
     # and is renamed back at the end — including it here would emit a
     # duplicate column of the same name.
@@ -69,26 +86,26 @@ def asof_join(
         "__t",
         "__side",
         *[F.col(c) for c in probe_payload],
-        *[F.lit(None).cast(dict(b.dtypes)[c]).alias(c) for c in build_cols],
-        F.lit(None).cast(dict(b.dtypes)["__t"]).alias("__bt"),
+        F.lit(None).cast(dict(b.dtypes)["__bpay"]).alias("__bpay"),
     )
     b_aligned = b.select(
         F.col(key),
         "__t",
         "__side",
         *[F.lit(None).cast(dict(p.dtypes)[c]).alias(c) for c in probe_payload],
-        *[F.col(c) for c in build_cols],
-        F.col("__t").alias("__bt"),
+        F.col("__bpay"),
     )
     unioned = p_aligned.unionByName(b_aligned)
 
     # build rows sort before probe rows at equal times when inclusive
     # (so an exact-tie build row is visible to the probe), after when
     # exclusive; among equal-time build rows the last in build_order
-    # wins via last().
+    # wins via last(). build_order columns live inside the struct;
+    # getField on the probe rows' null struct is null (nulls first, as
+    # before).
     side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
     order_cols = [F.col("__t").asc(), side_order] + [
-        F.col(c).asc_nulls_first() for c in build_order
+        F.col(f"__bpay.{c}").asc_nulls_first() for c in build_order
     ]
     w = (
         Window.partitionBy(key)
@@ -100,13 +117,17 @@ def asof_join(
         "__t",
         "__side",
         *probe_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in build_cols],
-        F.last("__bt", ignorenulls=True).over(w).alias("asof_time"),
+        F.last("__bpay", ignorenulls=True).over(w).alias("__bpay"),
     )
     return (
         carried.filter(F.col("__side") == 1)
-        .drop("__side")
-        .withColumnRenamed("__t", probe_time)
+        .select(
+            F.col(key),
+            F.col("__t").alias(probe_time),
+            *probe_payload,
+            *[F.col(f"__bpay.{c}").alias(c) for c in build_cols],
+            F.col("__bpay.__bt").alias("asof_time"),
+        )
     )
 
 
@@ -127,6 +148,10 @@ def range_join_bucketed(
     `lo <= p < hi` filter runs only within matching cells. Cost scales
     with points + Σ interval-widths/bucket_width, not the product.
     """
+    if not bucket_width > 0:
+        # 0/negative widths divide to ±Infinity, which aborts the job
+        # deep inside sequence()/ANSI casts — fail fast at call time
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     p = points.withColumn("__bucket", F.floor(F.col(point_col) / bucket_width).cast("long"))
     iv = intervals.withColumn(
         "__bucket",

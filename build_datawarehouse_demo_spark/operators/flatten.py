@@ -32,7 +32,13 @@ def explode_delimited(
     399-403). `drop_empty` mirrors its non-null & != '' guards
     (/root/reference/transformation.py:151,393,403).
     """
-    out = df.select(*keep_cols, F.explode(F.split(F.col(col), sep)).alias(out_col))
+    # drop_empty=False promises ALL input rows survive — that needs
+    # explode_outer, since plain explode silently discards rows whose
+    # source column is null (split(null) -> null array -> no rows).
+    ex = F.explode(F.split(F.col(col), sep)) if drop_empty else F.explode_outer(
+        F.split(F.col(col), sep)
+    )
+    out = df.select(*keep_cols, ex.alias(out_col))
     out = out.withColumn(out_col, F.trim(F.col(out_col)))
     if drop_empty:
         out = out.filter(F.col(out_col).isNotNull() & (F.col(out_col) != ""))
@@ -83,8 +89,10 @@ def parse_hour_ranges(
     *,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """`{day: "H:M-H:M"}` map -> per-day rows with parsed int
-    open_hour / close_hour % 24 (/root/reference/transformation.py:201-225).
+    """`{day: "H:M-H:M"}` map -> per-day rows under the reference's
+    exact column set: day_of_week, open_time / close_time (the raw
+    range halves) and int open_hour_id / close_hour_id % 24
+    (/root/reference/transformation.py:201-229).
 
     Unparseable entries become nulls and are filtered — the Spark
     equivalent of the reference's warn-and-skip
@@ -100,9 +108,11 @@ def parse_hour_ranges(
     open_h = F.split(parts.getItem(0), ":").getItem(0).try_cast("int")
     close_h = F.pmod(F.split(parts.getItem(1), ":").getItem(0).try_cast("int"), F.lit(24))
     return (
-        kv.withColumn("open_hour", open_h)
-        .withColumn("close_hour", close_h)
-        .filter(F.col("open_hour").isNotNull() & F.col("close_hour").isNotNull())
+        kv.withColumn("open_time", parts.getItem(0))
+        .withColumn("close_time", parts.getItem(1))
+        .withColumn("open_hour_id", open_h)
+        .withColumn("close_hour_id", close_h)
+        .filter(F.col("open_hour_id").isNotNull() & F.col("close_hour_id").isNotNull())
         .drop("time_range")
     )
 

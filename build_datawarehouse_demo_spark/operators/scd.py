@@ -23,11 +23,16 @@ from pyspark.sql import functions as F
 SCD2_OPEN_END = "2260-01-01 00:00:00"
 
 
-def upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def upsert(current: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
     """Type-1 upsert (overwrite in place): updates win over current on
     key collision. anti-join keeps unmatched current rows; union adds
-    every update row."""
-    kept = current.join(updates.select(key), key, "left_anti")
+    every update row. Composite keys supported directly — no synthetic
+    concat keys (which silently collide when a component contains the
+    separator)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    # re-select: a USING-style multi-key join moves the keys to the
+    # front; callers get current's original column order back
+    kept = current.join(updates.select(*keys), keys, "left_anti").select(*current.columns)
     return kept.unionByName(updates)
 
 
@@ -44,8 +49,14 @@ def scd2_apply(
     current: history table with valid_from / valid_to / is_current.
     updates: one row per key with `effective_ts_col` and the new
     attribute values. Keys whose tracked columns are unchanged are
-    dropped from updates (no spurious versions).
+    dropped from updates (no spurious versions). Update rows with a
+    NULL effective time are dropped: a versioning event without a time
+    cannot close the open row, and letting it through would append a
+    second is_current row per key (corrupting the one-current-row
+    invariant) while valid_from=null makes it invisible to
+    scd2_as_of — silent history corruption.
     """
+    updates = updates.filter(F.col(effective_ts_col).isNotNull())
     if tracked_cols:
         unchanged = (
             updates.alias("u")

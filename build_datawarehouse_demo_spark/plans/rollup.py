@@ -94,12 +94,4 @@ def incremental_rollup_update(
         cutoff = hwm
     fresh_events = events.filter(F.col("ts") >= F.lit(cutoff))
     fresh_buckets = rollup_events_hourly(fresh_events, bucket_len)
-    return upsert(
-        rollup.withColumn(
-            "__k", F.concat_ws("|", F.col("window_start").cast("string"), "event_type")
-        ),
-        fresh_buckets.withColumn(
-            "__k", F.concat_ws("|", F.col("window_start").cast("string"), "event_type")
-        ),
-        key="__k",
-    ).drop("__k")
+    return upsert(rollup, fresh_buckets, key=["window_start", "event_type"])

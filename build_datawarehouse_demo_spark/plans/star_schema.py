@@ -338,10 +338,11 @@ def _weather_table(
     of aborting the job under ANSI mode.
     """
     base = weather.select(
-        F.col("date").cast("string").alias("date_str"),
+        F.col("date").cast("string").alias("__w_date"),
         *[F.col(src).try_cast("double").alias(dst) for src, dst in value_cols.items()],
     )
-    dim_keyed = dim_datetime.select(
-        F.date_format("full_timestamp", "yyyyMMdd").alias("date_str"), "datetime_id"
-    )
-    return base.join(F.broadcast(dim_keyed), "date_str", "left").drop("date_str")
+    # same date-resolution join as every other fact — keep-null mode,
+    # spine keyed yyyyMMdd (the weather CSVs carry int dates)
+    return resolve_datetime_id(
+        base, dim_datetime, F.col("__w_date"), fmt="yyyyMMdd", drop_miss=False
+    ).drop("__w_date")

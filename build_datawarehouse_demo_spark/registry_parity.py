@@ -611,14 +611,17 @@ def register_parity() -> None:
         "explode_map_hours_parse",
         oracle="""
         SELECT event_id, 'monday' AS day_of_week,
-               CAST(hour(ts) AS INTEGER) AS open_hour,
-               CAST((hour(ts) + 8) % 24 AS INTEGER) AS close_hour
+               printf('%d:00', hour(ts)) AS open_time,
+               printf('%d:00', hour(ts) + 8) AS close_time,
+               CAST(hour(ts) AS INTEGER) AS open_hour_id,
+               CAST((hour(ts) + 8) % 24 AS INTEGER) AS close_hour_id
         FROM events
         """,
     )
     def q_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # {day: "H:M-H:M"} parse with the %24 wrap
-        # (/root/reference/transformation.py:201-225). Hour-range map
+        # {day: "H:M-H:M"} parse with the %24 wrap, emitting the
+        # reference's exact column set incl. raw open_time/close_time
+        # (/root/reference/transformation.py:201-229). Hour-range map
         # synthesized from event timestamps; parse path is the real op.
         from build_datawarehouse_demo_spark.operators.flatten import parse_hour_ranges
 

@@ -147,12 +147,29 @@ def read_parquet(
         # open local paths. Remote stores (s3a/hdfs) skip the probe —
         # their TIMESTAMP(NANOS) columns surface as longs for the
         # caller to convert (rare: NANOS parquet is itself unusual).
+        # Best-effort: a scheme-less path may still be remote (a
+        # cluster whose fs.defaultFS is HDFS) — a failed local probe
+        # must not abort a read Spark itself handles fine.
         import pyarrow.parquet as pq
 
-        arrow_fields = {f.name: str(f.type) for f in pq.read_schema(_one_parquet_file(path))}
+        try:
+            arrow_fields = {
+                f.name: str(f.type) for f in pq.read_schema(_one_parquet_file(path))
+            }
+        except OSError:
+            arrow_fields = {}
+        # columns the caller's declared schema KEEPS as LongType skip
+        # the rewrite: they asked for the raw nanos longs, and a
+        # timestamp->long cast would silently yield seconds instead.
+        keep_long = {
+            f.name for f in (schema.fields if schema is not None else [])
+            if isinstance(f.dataType, T.LongType)
+        }
         for field in df.schema.fields:
-            if isinstance(field.dataType, T.LongType) and arrow_fields.get(field.name, "").startswith(
-                "timestamp[ns"
+            if (
+                isinstance(field.dataType, T.LongType)
+                and field.name not in keep_long
+                and arrow_fields.get(field.name, "").startswith("timestamp[ns")
             ):
                 df = df.withColumn(field.name, F.expr(f"timestamp_micros(`{field.name}` div 1000)"))
     if schema is not None:

@@ -88,3 +88,49 @@ def test_range_join_bucketed_equals_naive(spark):
         bucket_width=50.0,
     ).select("iid")
     assert {r.iid for r in edge.collect()} == {1, 2}
+
+
+def test_asof_null_build_value_not_stitched_from_older_row(spark):
+    """The latest build row must win AS A WHOLE: a legitimate null in
+    it must not be backfilled from an older row (per-column
+    carry-forward chimera)."""
+    import datetime as dt
+
+    from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    build = spark.createDataFrame(
+        [(1, t("2024-01-01"), "x", "y"), (1, t("2024-01-05"), None, "z")],
+        "k long, bt timestamp, a string, b string",
+    )
+    probe = spark.createDataFrame([(1, t("2024-01-06"))], "k long, pt timestamp")
+    row = asof_join(
+        probe, build, key="k", probe_time="pt", build_time="bt", build_cols=("a", "b")
+    ).collect()[0]
+    assert row.b == "z" and row.asof_time == t("2024-01-05")
+    assert row.a is None  # NOT 'x' carried from the older row
+
+
+def test_asof_rejects_colliding_probe_columns(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+    t = dt.datetime.fromisoformat
+    build = spark.createDataFrame([(1, t("2024-01-01"), 5)], "k long, bt timestamp, v int")
+    probe = spark.createDataFrame([(1, t("2024-01-02"), 9)], "k long, pt timestamp, v int")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(probe, build, key="k", probe_time="pt", build_time="bt", build_cols=("v",))
+
+
+def test_range_join_rejects_nonpositive_bucket_width(spark):
+    import pytest as _pytest
+
+    from build_datawarehouse_demo_spark.operators.asof import range_join_bucketed
+
+    pts = spark.createDataFrame([(1.0,)], "x double")
+    iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join_bucketed(pts, iv, "x", "lo", "hi", bucket_width=0.0)

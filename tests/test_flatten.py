@@ -68,7 +68,14 @@ def test_parse_hour_ranges_wraps_and_drops_unparseable(spark):
         "id string, hours map<string,string>",
     )
     out = parse_hour_ranges(df, "hours", keep_cols=("id",))
-    rows = {(r.id, r.day_of_week, r.open_hour, r.close_hour) for r in out.collect()}
+    rows = {
+        (r.id, r.day_of_week, r.open_time, r.close_time, r.open_hour_id, r.close_hour_id)
+        for r in out.collect()
+    }
     # close 26 wraps to 2 (pmod, /root/reference/transformation.py:210);
-    # the garbage row is dropped like the reference's warn-and-skip.
-    assert rows == {("b1", "Monday", 9, 22), ("b1", "Tuesday", 20, 2)}
+    # the garbage row is dropped like the reference's warn-and-skip;
+    # raw open_time/close_time strings kept per the reference schema.
+    assert rows == {
+        ("b1", "Monday", "9:0", "22:0", 9, 22),
+        ("b1", "Tuesday", "20:0", "26:0", 20, 2),
+    }

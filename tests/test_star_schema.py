@@ -128,9 +128,14 @@ def test_category_bridge(wh):
 
 
 def test_hours_wrap_and_skip(wh):
-    rows = {(r.business_id, r.day_of_week, r.open_hour, r.close_hour)
+    rows = {(r.business_id, r.day_of_week, r.open_hour_id, r.close_hour_id)
             for r in wh["fact_business_hours"].collect()}
     assert rows == {("b1", "Monday", 9, 22), ("b1", "Tuesday", 20, 2)}
+    # reference column set (/root/reference/transformation.py:215-229)
+    assert set(wh["fact_business_hours"].columns) == {
+        "business_id", "day_of_week", "open_time", "close_time",
+        "open_hour_id", "close_hour_id",
+    }
 
 
 def test_checkins_drop_miss_and_bad_dates(wh):
