@@ -105,8 +105,10 @@ def minhash_signatures_from_arrays(
     array_min over the per-document shingle array's hashes. No explode,
     no groupBy — the signature stage has zero shuffles, versus the
     exploded form which shuffles every (doc, shingle, seed) row into a
-    per-document aggregate. Same md5-derived values bit-for-bit."""
-    return sh_arrays.withColumns(
+    per-document aggregate. Same md5-derived values bit-for-bit.
+    Output is (id, mh_0..mh_{H-1}) only — the wide shingle arrays stay
+    behind."""
+    sigs = sh_arrays.withColumns(
         {
             f"mh_{h}": F.array_min(
                 F.transform(F.col(shingle_col), lambda s, h=h: hash32(s, seed=h))
@@ -114,6 +116,7 @@ def minhash_signatures_from_arrays(
             for h in range(num_hashes)
         }
     )
+    return sigs.select(id_col, *[f"mh_{h}" for h in range(num_hashes)])
 
 
 def minhash_signatures(
@@ -186,7 +189,9 @@ def exact_jaccard(
     """Exact shingle-set Jaccard for candidate pairs: intersection via
     equi-join on shingle, union by inclusion-exclusion. Only candidate
     pairs are scored — the expensive exact step runs on the LSH-pruned
-    set."""
+    set. Every input pair gets a score row — zero-intersection pairs
+    (pure hash-collision candidates) come back as jaccard 0.0, not as
+    silently missing rows."""
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
@@ -196,6 +201,7 @@ def exact_jaccard(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    inter = pairs.join(inter, ["id_a", "id_b"], "left").na.fill({"n_inter": 0})
     return (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")

@@ -36,8 +36,11 @@ def _bucket(id_col: Column, seed: int, purpose: str = "") -> Column:
 
 def sample_by_hash(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:
     """Deterministic ~rate sample: keep rows whose id-hash bucket falls
-    below rate·1000. Same ids are kept on every run, every engine."""
-    return df.filter(_bucket(F.col(id_col), seed) < round(rate * _BUCKETS))
+    below rate·1000. Same ids are kept on every run, every engine.
+    Rows with a NULL id are dropped (a null hash satisfies no
+    comparison) — consistent across the sampler family.
+    """
+    return df.filter(_bucket(F.col(id_col), seed, purpose="sample") < round(rate * _BUCKETS))
 
 
 def stratified_sample_by_hash(
@@ -46,13 +49,15 @@ def stratified_sample_by_hash(
     """Per-stratum deterministic sampling (e.g. keep 100% of rare
     languages, 10% of the head language). Strata missing from `rates`
     are dropped — pass rate 1.0 to keep whole; an empty `rates` drops
-    everything."""
+    everything. Purpose-salted independently of sample_by_hash: the
+    two operators at the same seed must draw INDEPENDENT buckets, not
+    nested subsets of each other."""
     threshold: Column = F.lit(0)
     for value, rate in sorted(rates.items()):
         threshold = F.when(F.col(strata_col) == value, F.lit(round(rate * _BUCKETS))).otherwise(
             threshold
         )
-    return df.filter(_bucket(F.col(id_col), seed) < threshold)
+    return df.filter(_bucket(F.col(id_col), seed, purpose="strat") < threshold)
 
 
 def train_val_test_split(
@@ -82,7 +87,11 @@ def train_val_test_split(
     test_hi = val_hi + round(test_frac * _BUCKETS)
     return df.withColumn(
         split_col,
-        F.when(b < val_hi, F.lit("val"))
+        # null id -> null split, EXPLICITLY: the otherwise() branch
+        # would silently funnel null-id rows into 'train' while the
+        # samplers drop them — an unlabeled row must look unlabeled.
+        F.when(F.col(id_col).isNull(), F.lit(None).cast("string"))
+        .when(b < val_hi, F.lit("val"))
         .when(b < test_hi, F.lit("test"))
         .otherwise(F.lit("train")),
     )

@@ -38,7 +38,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN) when either vector has zero norm: 0/0 would give
+    NaN, which Spark sorts ABOVE every number in descending order — a
+    single all-zero embedding (failed embed, padding row) would
+    otherwise take rank 1 for every probe and pass >= threshold
+    filters (NaN >= x is true under Spark semantics). Nulls sort last
+    in desc order and fail filters, which is the sane behavior."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(None))
 
 
 def _as_double(col: str) -> Column:

@@ -129,7 +129,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: count marker hits per language,
-    pick the argmax (ties broken by language code order — deterministic).
+    pick the argmax (ties broken by language code order —
+    deterministic). Documents hitting ZERO markers in every language
+    get 'und' (BCP-47 undetermined), not the lexicographically first
+    code — confidently labeling marker-free documents (code, non-Latin
+    scripts) as German would poison per-language routing.
     """
     toks = tokens(text_col)
     hit_cols = []
@@ -142,10 +146,11 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.struct((-hits).cast("bigint").alias("neg_hits"), F.lit(lang).alias("lang"))
         )
     best = F.sort_array(F.array(*hit_cols)).getItem(0)
+    best_hits = (-best.getField("neg_hits")).cast("bigint")
     return df.withColumns(
         {
-            "pred_lang": best.getField("lang"),
-            "marker_hits": (-best.getField("neg_hits")).cast("bigint"),
+            "pred_lang": F.when(best_hits > 0, best.getField("lang")).otherwise(F.lit("und")),
+            "marker_hits": best_hits,
         }
     )
 
@@ -198,21 +203,20 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") 
     IPv4 addresses with typed placeholder tokens, and count each kind
     (the audit trail a compliance review asks for).
 
-    Counting happens BEFORE replacement; replacement applies the
-    patterns in PII_PATTERNS order (email first — its pattern overlaps
-    the address-looking substrings the later ones match). regexp_count
-    / regexp_replace are JVM-side; the scan stays one stage.
+    Each pattern is counted on the text as it stands AFTER the earlier
+    patterns have been scrubbed, so every count equals the number of
+    placeholder tokens that pattern actually writes — counting all
+    patterns on the raw text would overstate (e.g. the host part of
+    'bob@1.2.3.4.example.com' is consumed by the email scrub, so it
+    must not also count as an IP). regexp_count / regexp_replace are
+    JVM-side; the scan stays one stage.
     """
-    counted = df.withColumns(
-        {
-            f"n_{name}": F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
-            for name, pat, _ in PII_PATTERNS
-        }
-    )
-    scrubbed = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return counted.withColumn(out_col, scrubbed)
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumns(counts).withColumn(out_col, cur)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

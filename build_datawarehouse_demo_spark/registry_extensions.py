@@ -602,7 +602,9 @@ def register_extensions() -> None:
           UNION ALL
           SELECT doc_id, 'zh', len(list_filter(w, x -> lower(x) IN ('de5','shi4','le5','zai4','he2','you3'))) FROM toks
         )
-        SELECT doc_id, lang AS pred_lang, CAST(h AS BIGINT) AS marker_hits
+        SELECT doc_id,
+               CASE WHEN h = 0 THEN 'und' ELSE lang END AS pred_lang,
+               CAST(h AS BIGINT) AS marker_hits
         FROM hits
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) = 1
         """,
@@ -695,13 +697,16 @@ def register_extensions() -> None:
 
     from build_datawarehouse_demo_spark.operators.text import PII_PATTERNS as _PII
 
-    _pii_counts_sql = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in _PII
-    )
+    # each pattern counted on the text AFTER earlier scrubs (mirrors
+    # operators/text.py:scrub_pii — counts == placeholders written)
+    _pii_count_exprs = []
     _pii_scrub_sql = "text"
     for _name, _pat, _repl in _PII:
+        _pii_count_exprs.append(
+            f"CAST(len(regexp_extract_all({_pii_scrub_sql}, '{_pat}')) AS BIGINT) AS n_{_name}"
+        )
         _pii_scrub_sql = f"regexp_replace({_pii_scrub_sql}, '{_pat}', '{_repl}', 'g')"
+    _pii_counts_sql = ", ".join(_pii_count_exprs)
 
     @register(
         "text_scrub_pii",
@@ -724,7 +729,7 @@ def register_extensions() -> None:
         oracle=f"""
         SELECT doc_id, lang
         FROM documents
-        WHERE {_HASH32.format(expr="'0:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+        WHERE {_HASH32.format(expr="'0:strat:' || CAST(doc_id AS VARCHAR)")} % 1000 <
               CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000 WHEN 'zh' THEN 250 ELSE 0 END
         """,
     )
@@ -775,7 +780,7 @@ def register_extensions() -> None:
         oracle=f"""
         SELECT doc_id, lang
         FROM documents
-        WHERE {_HASH32.format(expr="'7:' || CAST(doc_id AS VARCHAR)")} % 1000 < 200
+        WHERE {_HASH32.format(expr="'7:sample:' || CAST(doc_id AS VARCHAR)")} % 1000 < 200
         """,
     )
     def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,7 +796,8 @@ def register_extensions() -> None:
         "sample_train_val_test_split",
         oracle=f"""
         SELECT doc_id,
-               CASE WHEN {_HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100 THEN 'val'
+               CASE WHEN doc_id IS NULL THEN NULL
+                    WHEN {_HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100 THEN 'val'
                     WHEN {_HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 200 THEN 'test'
                     ELSE 'train' END AS split
         FROM documents

@@ -79,12 +79,20 @@ def _running_totals_stream(events: DataFrame) -> DataFrame:
             # per-row HALF_UP (away from zero) to integer cents — the
             # same rounding Spark's CAST(value AS DECIMAL(18,2))
             # applies batch-side; np.round would use banker's rounding
-            # and diverge on exact half-cents.
+            # and diverge on exact half-cents. Null values arrive as
+            # NaN and are skipped, exactly as the batch F.sum skips
+            # SQL nulls (int(NaN) would kill the task instead).
             v = pdf["value"].to_numpy(dtype="float64")
-            cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
-            total_cents += int(cents.sum())
-            batch_last = int(pdf["ts"].max().value // 1000)
-            last_us = batch_last if last_us is None else max(last_us, batch_last)
+            v = v[~np.isnan(v)]
+            if len(v):
+                cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+                total_cents += int(cents.sum())
+            # null ts arrive as NaT; dropna mirrors batch F.max's
+            # null-skipping (NaT.value is -2^63, not a timestamp)
+            ts_valid = pdf["ts"].dropna()
+            if len(ts_valid):
+                batch_last = int(ts_valid.max().value // 1000)
+                last_us = batch_last if last_us is None else max(last_us, batch_last)
         state.update((n, total_cents, last_us))
         yield pd.DataFrame(
             {

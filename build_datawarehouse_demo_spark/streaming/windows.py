@@ -116,7 +116,12 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
 
 def run_stream_to_memory(result: DataFrame, query_name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to a memory sink until all available
-    input is processed (test/smoke harness)."""
+    input is PROCESSED (test/smoke harness). Processed ≠ emitted: in
+    append mode, windowed aggregates newer than max_event_ts -
+    watermark are withheld (the watermark never advances past a finite
+    input's last event) — pass output_mode='complete' (aggregations)
+    or 'update' (stateful ops) when the trailing windows matter, as
+    every test here does."""
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")

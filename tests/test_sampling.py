@@ -48,3 +48,32 @@ def test_split_disjoint_exhaustive_stable(spark):
     lab_small = {(r.id, r.split) for r in small.collect()}
     lab_big = {(r.id, r.split) for r in out.filter("id < 1000").collect()}
     assert lab_small == lab_big
+
+
+def test_sample_and_stratified_draw_independent_buckets(spark):
+    """Same seed, same nominal rate: the plain sampler and the
+    stratified sampler must NOT select identical id sets (purpose
+    salts keep the draws independent)."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(500)], "doc_id long, lang string"
+    )
+    plain = {r.doc_id for r in sample_by_hash(df, "doc_id", rate=0.2).collect()}
+    strat = {
+        r.doc_id
+        for r in stratified_sample_by_hash(df, "doc_id", "lang", {"en": 0.2}).collect()
+    }
+    assert plain != strat
+    assert 50 < len(plain) < 150 and 50 < len(strat) < 150  # both near 20%
+
+
+def test_split_null_id_gets_null_label(spark):
+    from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    got = {r.doc_id: r.split for r in train_val_test_split(df, "doc_id").collect()}
+    assert got[None] is None and got[1] in ("train", "val", "test")

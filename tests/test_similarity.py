@@ -170,3 +170,17 @@ def test_multiprobe_recall_superset_of_single_probe(spark, mat):
     m = {(r.probe_id, r.vec_id) for r in multi.collect()}
     assert s <= m
     assert len(m) > len(s)
+
+
+def test_zero_norm_vector_never_ranks(spark, mat):
+    """A zero embedding must yield NULL cosine (not NaN): NaN sorts
+    ABOVE every number desc and would take rank 1 for every probe."""
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(mat)]
+    rows.append((999, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id = 0").selectExpr("vec_id AS probe_id", "embedding")
+    got = brute_force_topk(df, probes, k=5).collect()
+    assert 999 not in {r.vec_id for r in got}  # pre-fix: NaN sorted first = rank 1
+    assert all(r.cosine is not None for r in got)
+    pairs = embedding_near_dup_pairs_exact(df, threshold=0.0).collect()
+    assert not any(999 in (p.id_a, p.id_b) for p in pairs)

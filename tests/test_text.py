@@ -34,12 +34,12 @@ def test_lang_id_markers_and_tiebreak(spark):
         [
             (1, "the cat and the dog of a house"),
             (2, "der Hund und die Katze ist das"),
-            (3, "xyzzy plugh"),  # no markers anywhere -> tie -> 'de' (lex-first)
+            (3, "xyzzy plugh"),  # no markers anywhere -> 'und', never a language
         ],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
-    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "de"
+    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "und"
 
 
 def test_fingerprint_order_insensitive(spark):
@@ -97,3 +97,16 @@ def test_scrub_pii_replaces_and_counts(spark):
     r = scrub_pii(df).collect()[0]
     assert (r.n_email, r.n_ssn, r.n_ipv4) == (1, 1, 1)
     assert r.scrubbed == "mail <EMAIL> or <IP> ssn <SSN> end"
+
+
+def test_scrub_pii_counts_match_replacements_on_overlap(spark):
+    """Counts are taken after earlier scrubs: the host part of an
+    email must not double-count as an IP."""
+    from build_datawarehouse_demo_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "contact bob@1.2.3.4.example.com now")], "doc_id long, text string"
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r.n_email == 1 and r.n_ipv4 == 0 and r.n_ssn == 0
+    assert r.scrubbed == "contact <EMAIL> now"
