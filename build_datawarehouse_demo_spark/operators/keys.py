@@ -54,6 +54,15 @@ def release_pins_for(df: DataFrame) -> int:
         return len(pins)
 
 
+def outstanding_pins() -> int:
+    """Number of surrogate pins still cached (monitoring surface — a
+    steadily growing value across writes means callers are writing
+    frames DERIVED from surrogate_key_scalable's output, which carry
+    no pin association; see writers.save_table's leak log)."""
+    with _PIN_LOCK:
+        return len(_PINNED)
+
+
 def release_pinned_caches() -> int:
     """Session-level drain: unpersist EVERY outstanding surrogate pin.
 

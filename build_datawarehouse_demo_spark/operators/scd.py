@@ -28,11 +28,22 @@ def upsert(current: DataFrame, updates: DataFrame, key: str | list[str]) -> Data
     key collision. anti-join keeps unmatched current rows; union adds
     every update row. Composite keys supported directly — no synthetic
     concat keys (which silently collide when a component contains the
-    separator)."""
+    separator).
+
+    Null key components match null (eqNullSafe): a current row whose
+    key contains NULL is REPLACED by an update row with the same
+    null-pattern key, not kept alongside it. Plain equi-join semantics
+    would never match NULL, so the old row would survive and the
+    update would append — a silent duplicate (ADVICE round 2)."""
     keys = [key] if isinstance(key, str) else list(key)
-    # re-select: a USING-style multi-key join moves the keys to the
-    # front; callers get current's original column order back
-    kept = current.join(updates.select(*keys), keys, "left_anti").select(*current.columns)
+    # no dropDuplicates: anti-join semantics ignore build-side dup
+    # rows, and dedup here would be a wasted shuffle
+    upd_keys = updates.select(*keys)
+    cond = None
+    for k in keys:
+        c = current[k].eqNullSafe(upd_keys[k])
+        cond = c if cond is None else (cond & c)
+    kept = current.join(upd_keys, cond, "left_anti").select(*current.columns)
     return kept.unionByName(updates)
 
 

@@ -355,6 +355,7 @@ def kmeans_lloyd_step(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     round_to: int | None = 6,
+    as_dims: bool = False,
 ) -> DataFrame:
     """One Lloyd iteration: assign every vector to its max-cosine
     centroid (ivf_assign — broadcast centroids, narrow pass), then
@@ -370,6 +371,11 @@ def kmeans_lloyd_step(
 
     round_to rounds each mean coordinate (oracle determinism: partial
     vs sequential float summation differs below 6dp).
+
+    as_dims=True returns the scalarized (centroid_id, dim, m) rows
+    (dim 0-based) instead of re-packing the mean vector — the shape
+    hash-based checkers can canonicalize (array cells crash the
+    driver's pandas sort, VERDICT.md round 2 item 1).
     """
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
     dims = assigned.select(
@@ -379,6 +385,8 @@ def kmeans_lloyd_step(
     if round_to is not None:
         mean_col = F.round(mean_col, round_to)
     per_dim = dims.groupBy(centroid_id_col, "dim").agg(mean_col.alias("m"))
+    if as_dims:
+        return per_dim
     return (
         per_dim.groupBy(centroid_id_col)
         .agg(

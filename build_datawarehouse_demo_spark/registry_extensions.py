@@ -21,11 +21,17 @@ _TOK = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
 _HASH32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # rebalance: extension ops are compute-amplifying (explode/hash/
-    # cosine per row), where a single-row-group source would pin the
-    # whole computation to one task (measured: quality_score 4s -> 0.9s)
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet", rebalance=True)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
+) -> DataFrame:
+    # rebalance=True for compute-amplifying ops (explode/hash/cosine
+    # per row), where a single-row-group source would pin the whole
+    # computation to one task (measured: quality_score 4s -> 0.9s).
+    # Per-op opt-OUT (VERDICT.md round 2 item 5): ops whose inputs feed
+    # broadcast builds or a single narrow pass (scd2, sampling,
+    # percentile) would pay a full shuffle that the plan immediately
+    # collapses into a BroadcastExchange — gratuitous IO at 100 TB.
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet", rebalance=rebalance)
 
 
 def register_extensions() -> None:
@@ -274,11 +280,11 @@ def register_extensions() -> None:
           JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
         )
         SELECT c.id_a, c.id_b,
-               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+               round((CASE WHEN list_dot_product(ea.v,ea.v) > 0 AND list_dot_product(eb.v,eb.v) > 0 THEN list_cosine_similarity(ea.v, eb.v) END), 6) AS cosine
         FROM cand c
         JOIN e ea ON ea.vec_id = c.id_a
         JOIN e eb ON eb.vec_id = c.id_b
-        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+        WHERE (CASE WHEN list_dot_product(ea.v,ea.v) > 0 AND list_dot_product(eb.v,eb.v) > 0 THEN list_cosine_similarity(ea.v, eb.v) END) >= 0.4
         """,
     )
     def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +310,7 @@ def register_extensions() -> None:
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
         scored AS (
-          SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS c
+          SELECT p.probe_id, e.vec_id, (CASE WHEN list_dot_product(p.pv,p.pv) > 0 AND list_dot_product(e.v,e.v) > 0 THEN list_cosine_similarity(p.pv, e.v) END) AS c
           FROM e, p WHERE e.vec_id <> p.probe_id
         ),
         ranked AS (
@@ -334,7 +340,7 @@ def register_extensions() -> None:
           SELECT vec_id, centroid_id, v FROM (
             SELECT e.vec_id, c.centroid_id, e.v,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+                       ORDER BY (CASE WHEN list_dot_product(e.v,e.v) > 0 AND list_dot_product(c.cv,c.cv) > 0 THEN list_cosine_similarity(e.v, c.cv) END) DESC, c.centroid_id) AS rn
             FROM e, cent c
           ) WHERE rn = 1
         ),
@@ -343,7 +349,7 @@ def register_extensions() -> None:
           FROM assign_all WHERE vec_id < 10
         ),
         scored AS (
-          SELECT p.probe_id, a.vec_id, list_cosine_similarity(p.pv, a.v) AS c
+          SELECT p.probe_id, a.vec_id, (CASE WHEN list_dot_product(p.pv,p.pv) > 0 AND list_dot_product(a.v,a.v) > 0 THEN list_cosine_similarity(p.pv, a.v) END) AS c
           FROM assign_all a JOIN probes p ON a.centroid_id = p.centroid_id
           WHERE a.vec_id <> p.probe_id
         ),
@@ -388,7 +394,7 @@ def register_extensions() -> None:
         ),
         p AS (SELECT vec_id AS probe_id, v AS pv, s FROM sig WHERE vec_id < 10),
         scored AS (
-          SELECT p.probe_id, c.vec_id, list_cosine_similarity(p.pv, c.v) AS cos
+          SELECT p.probe_id, c.vec_id, (CASE WHEN list_dot_product(p.pv,p.pv) > 0 AND list_dot_product(c.v,c.v) > 0 THEN list_cosine_similarity(p.pv, c.v) END) AS cos
           FROM sig c JOIN p ON c.s = p.s AND c.vec_id <> p.probe_id
         ),
         ranked AS (
@@ -421,30 +427,30 @@ def register_extensions() -> None:
           SELECT vec_id, centroid_id, v FROM (
             SELECT e.vec_id, c.centroid_id, e.v,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+                       ORDER BY (CASE WHEN list_dot_product(e.v,e.v) > 0 AND list_dot_product(c.cv,c.cv) > 0 THEN list_cosine_similarity(e.v, c.cv) END) DESC, c.centroid_id) AS rn
             FROM e, cent c
           ) WHERE rn = 1
-        ),
-        dims AS (
-          SELECT centroid_id, i AS dim, round(avg(v[i]), 6) AS m
-          FROM assigned, unnest(generate_series(1, 64)) AS g(i)
-          GROUP BY 1, 2
         )
-        SELECT centroid_id, list(m ORDER BY dim) AS embedding
-        FROM dims GROUP BY centroid_id
+        SELECT centroid_id, CAST(i - 1 AS INTEGER) AS dim,
+               round(avg(v[i]), 6) AS m
+        FROM assigned, unnest(generate_series(1, 64)) AS g(i)
+        GROUP BY 1, 2
         """,
     )
     def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one Lloyd iteration — the iterative-ML primitive behind IVF
         # index builds; assignment reuses ivf_assign, means shuffle
-        # (cluster, dim) partials, never vectors.
+        # (cluster, dim) partials, never vectors. Scalarized output
+        # (centroid_id, dim, m): the driver canonicalizer cannot hash
+        # array cells (VERDICT.md round 2 item 1); kmeans_train keeps
+        # the packed-vector form.
         from build_datawarehouse_demo_spark.operators.similarity import kmeans_lloyd_step
 
         emb = _t(spark, sf_dir, "embeddings")
         centroids = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("centroid_id"), "embedding"
         )
-        return kmeans_lloyd_step(emb, centroids)
+        return kmeans_lloyd_step(emb, centroids, as_dims=True)
 
     @register(
         "streaming_interval_join",
@@ -486,7 +492,7 @@ def register_extensions() -> None:
         ),
         scored AS (
           SELECT cd.probe_id, cd.vec_id,
-                 list_cosine_similarity(pe.v, ce.v) AS cos
+                 (CASE WHEN list_dot_product(pe.v,pe.v) > 0 AND list_dot_product(ce.v,ce.v) > 0 THEN list_cosine_similarity(pe.v, ce.v) END) AS cos
           FROM cand cd
           JOIN e pe ON pe.vec_id = cd.probe_id
           JOIN e ce ON ce.vec_id = cd.vec_id
@@ -739,7 +745,7 @@ def register_extensions() -> None:
         from build_datawarehouse_demo_spark.operators.sampling import stratified_sample_by_hash
 
         return stratified_sample_by_hash(
-            _t(spark, sf_dir, "documents"),
+            _t(spark, sf_dir, "documents", rebalance=False),
             "doc_id",
             "lang",
             rates={"en": 0.5, "de": 1.0, "zh": 0.25},
@@ -788,7 +794,9 @@ def register_extensions() -> None:
         # across engines/runs, unlike df.sample()'s partition RNG.
         from build_datawarehouse_demo_spark.operators.sampling import sample_by_hash
 
-        return sample_by_hash(_t(spark, sf_dir, "documents"), "doc_id", rate=0.2, seed=7).select(
+        return sample_by_hash(
+            _t(spark, sf_dir, "documents", rebalance=False), "doc_id", rate=0.2, seed=7
+        ).select(
             "doc_id", "lang"
         )
 
@@ -809,7 +817,10 @@ def register_extensions() -> None:
         from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
 
         return train_val_test_split(
-            _t(spark, sf_dir, "documents"), "doc_id", val_frac=0.1, test_frac=0.1
+            _t(spark, sf_dir, "documents", rebalance=False),
+            "doc_id",
+            val_frac=0.1,
+            test_frac=0.1,
         ).select("doc_id", "split")
 
     # ------------------------------------------------------------------
@@ -842,7 +853,7 @@ def register_extensions() -> None:
         # history algebraically.
         from build_datawarehouse_demo_spark.operators.scd import scd2_apply, scd2_bootstrap
 
-        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        cust = _t(spark, sf_dir, "customer", rebalance=False).select("c_custkey", "c_acctbal")
         cur = scd2_bootstrap(
             cust.withColumn("effective_ts", F.lit("2020-01-01 00:00:00").cast("timestamp"))
         )
@@ -907,7 +918,7 @@ def register_extensions() -> None:
         # exact interpolated percentiles: both engines implement the
         # standard (n-1)p linear interpolation — verified equal to
         # 1e-9 before registering; rounded to 6dp for safety.
-        o = _t(spark, sf_dir, "orders")
+        o = _t(spark, sf_dir, "orders", rebalance=False)
         return o.groupBy("o_orderstatus").agg(
             F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
             F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
@@ -915,15 +926,60 @@ def register_extensions() -> None:
             F.count(F.lit(1)).alias("n"),
         )
 
-    @register("agg_approx_stats")  # no oracle: HLL/KLL sketches are
-    # engine-specific by construction — the driver records a rows-only
-    # check; exactness is covered by agg_percentile_exact above.
+    @register(
+        "agg_approx_stats",
+        # Bounds-invariant oracle (VERDICT.md round 2 item 1b): the
+        # sketch VALUES are engine-specific, but their documented error
+        # bounds are guarantees, not flakes — HLL++ at default
+        # rsd=0.05 (bound checked at 3×rsd), KLL/GK percentile at
+        # accuracy=10000 (rank error n/10000, checked against the
+        # exact 0.49/0.51 quantile envelope). Spark emits the exact
+        # counts plus in-bounds booleans; DuckDB emits ITS exact
+        # counts and literal TRUEs. A sketch outside bounds
+        # hash-mismatches, so accuracy is actually asserted — which
+        # the old rows-only registration never did.
+        oracle="""
+        SELECT count(DISTINCT l_orderkey) AS exact_orders,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS orders_in_bounds,
+               TRUE AS parts_in_bounds,
+               TRUE AS median_in_bounds
+        FROM lineitem
+        """,
+    )
     def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = _t(spark, sf_dir, "lineitem")
-        return li.agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        raw = li.agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey").alias("__approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("__approx_parts"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("__approx_median"),
+            F.percentile("l_extendedprice", F.lit(0.49)).alias("__q49"),
+            F.percentile("l_extendedprice", F.lit(0.51)).alias("__q51"),
+        )
+
+        def in_bounds(approx, exact):
+            return (
+                F.abs(approx.cast("double") / exact.cast("double") - F.lit(1.0))
+                <= F.lit(0.15)
+            )
+
+        return raw.select(
+            "exact_orders",
+            "exact_parts",
+            in_bounds(F.col("__approx_orders"), F.col("exact_orders")).alias(
+                "orders_in_bounds"
+            ),
+            in_bounds(F.col("__approx_parts"), F.col("exact_parts")).alias(
+                "parts_in_bounds"
+            ),
+            (
+                (F.col("__approx_median") >= F.col("__q49"))
+                & (F.col("__approx_median") <= F.col("__q51"))
+            ).alias("median_in_bounds"),
         )
 
     # ------------------------------------------------------------------
@@ -1145,7 +1201,7 @@ def register_extensions() -> None:
 
         from build_datawarehouse_demo_spark.plans.rollup import incremental_rollup_update
 
-        ev = _t(spark, sf_dir, "events")
+        ev = _t(spark, sf_dir, "events", rebalance=False)
         old = ev.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
         first = incremental_rollup_update(None, old)
         return incremental_rollup_update(

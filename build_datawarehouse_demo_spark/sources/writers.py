@@ -26,9 +26,28 @@ def _release_surrogate_pins(df: DataFrame) -> None:
     written frame: pins backing other, unwritten surrogate-keyed
     frames stay live (a blanket release would silently destabilize
     their ids on re-materialization)."""
-    from build_datawarehouse_demo_spark.operators.keys import release_pins_for
+    from build_datawarehouse_demo_spark.operators.keys import (
+        outstanding_pins,
+        release_pins_for,
+    )
 
-    release_pins_for(df)
+    if release_pins_for(df) == 0:
+        # leak observability (ADVICE round 2): pins are keyed on the
+        # EXACT frame surrogate_key_scalable returned, so writing a
+        # derived frame (select/withColumn before save) releases
+        # nothing. Surface it instead of leaking silently — callers
+        # either save the returned frame or drain via
+        # release_pinned_caches() when the batch is done.
+        n = outstanding_pins()
+        if n:
+            log.debug(
+                "save_table(%s): no pin association on written frame; "
+                "%d surrogate pin(s) still cached — if this frame "
+                "derives from surrogate_key_scalable, save its exact "
+                "output or call release_pinned_caches() after the batch",
+                name,
+                n,
+            )
 
 
 def save_table(

@@ -20,9 +20,13 @@ aggregate) is asserted in tests/test_streaming.py.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_CENT = Decimal("0.01")
 
 USER_TOTALS_SCHEMA = T.StructType(
     [
@@ -76,17 +80,27 @@ def _running_totals_stream(events: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             n += len(pdf)
-            # per-row HALF_UP (away from zero) to integer cents — the
-            # same rounding Spark's CAST(value AS DECIMAL(18,2))
-            # applies batch-side; np.round would use banker's rounding
-            # and diverge on exact half-cents. Null values arrive as
-            # NaN and are skipped, exactly as the batch F.sum skips
-            # SQL nulls (int(NaN) would kill the task instead).
+            # per-row cast to integer cents mirroring Spark's
+            # CAST(value AS DECIMAL(18,2)) EXACTLY: the JVM casts via
+            # the double's shortest decimal repr (Double.toString)
+            # then rounds HALF_UP — so 2.675 -> "2.675" -> 2.68, even
+            # though 2.675*100.0 in float64 is 267.4999…, which is why
+            # arithmetic tricks like floor(|v|*100+0.5) diverge on
+            # 3-decimal half-cent inputs. Python's repr(float) is the
+            # same shortest repr, so Decimal(repr(v)) reproduces the
+            # JVM path bit-for-bit. Null values arrive as NaN and are
+            # skipped, exactly as the batch F.sum skips SQL nulls.
             v = pdf["value"].to_numpy(dtype="float64")
             v = v[~np.isnan(v)]
             if len(v):
-                cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
-                total_cents += int(cents.sum())
+                total_cents += sum(
+                    int(
+                        Decimal(repr(float(x)))
+                        .quantize(_CENT, rounding=ROUND_HALF_UP)
+                        .scaleb(2)
+                    )
+                    for x in v
+                )
             # null ts arrive as NaT; dropna mirrors batch F.max's
             # null-skipping (NaT.value is -2^63, not a timestamp)
             ts_valid = pdf["ts"].dropna()

@@ -73,6 +73,47 @@ def test_user_running_totals_stream_equals_batch(spark):
             assert s.last_ts == b.last_ts
 
 
+def test_user_running_totals_half_cent_parity(spark):
+    """3-decimal half-cent values are the adversarial case for the
+    stream-side cents accumulator: Spark's CAST(2.675 AS DECIMAL(18,2))
+    goes through the double's shortest repr ('2.675' -> HALF_UP ->
+    2.68), while floor(2.675*100.0 + 0.5) in float64 sees 267.4999…
+    and yields 2.67. The Decimal(repr(v)) path must match the batch
+    cast exactly (ADVICE round 2, medium)."""
+    import datetime as dt
+
+    from build_datawarehouse_demo_spark.streaming.stateful import user_running_totals
+
+    rows = [
+        (1, 2.675, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, 0.005, dt.datetime(2024, 1, 1, 0, 1, 0)),
+        (1, -2.675, dt.datetime(2024, 1, 1, 0, 2, 0)),
+        (2, 1.115, dt.datetime(2024, 1, 1, 0, 3, 0)),
+        (2, 1e15 + 0.125, dt.datetime(2024, 1, 1, 0, 4, 0)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmpdir:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        batch = {r.user_id: r for r in user_running_totals(spark.read.parquet(tmpdir)).collect()}
+        stream = user_running_totals(read_event_stream(spark, tmpdir))
+        run_stream_to_memory(stream, "half_cent_out", output_mode="update")
+        final = spark.sql(
+            """SELECT user_id, n_events, total_value, last_ts FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM half_cent_out) WHERE rn = 1"""
+        )
+        got = {r.user_id: r for r in final.collect()}
+        assert set(got) == set(batch)
+        for uid, b in batch.items():
+            assert got[uid].total_value == b.total_value, (uid, got[uid], b)
+
+
 def test_stateful_running_count(spark):
     """applyInPandasWithState: per-user running event count — the
     custom-stateful-operator surface."""
