@@ -5,10 +5,16 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
    "samples": {...}, "runs": R, "sf": ...}
 
-Discipline (VERDICT round 1, item 4): every number is the MEDIAN of
-$SPARK_GRAFT_BENCH_RUNS runs (default 3) — single samples on this box
-swing ±30% — and the raw samples ship alongside so the medians are
-auditable. `value` is the sum of medians.
+Discipline (VERDICT round 1 item 4; round 2 item 3): every number is
+the MEDIAN of $SPARK_GRAFT_BENCH_RUNS runs (default 5) — single
+samples on this box swing ±30% — and the raw samples ship alongside so
+the medians are auditable. `value` is the sum of medians. Query order
+ROTATES each run (run r starts at query r), so no query always pays
+the same predecessor's session state; per-query GC deltas ship in
+`gc_ms` (the round-2 flagship "regression" was bimodal box noise —
+6 controlled back-to-back runs sat at 1.5-2.0s with 13-22 ms GC,
+including runs immediately after the two heaviest queries; see
+ROUND_NOTES.md round 3).
 
 Each query is forced end-to-end with the `noop` sink (full
 computation, no driver-side collect — the honest way to time a
@@ -77,7 +83,7 @@ def _timed_write(spark, sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -96,12 +102,23 @@ def main() -> None:
     # JVM/codegen warmup on the smallest query so q1 doesn't pay it.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def _gc_ms() -> int:
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
     samples: dict[str, list[float]] = {}
+    gc_ms: dict[str, list[int]] = {}
     for r in range(runs):
-        for name in names:
+        # rotate: run r starts at query r, so no query always pays the
+        # same predecessor's session state (JIT/GC), and medians are
+        # robust to one slow neighborhood of the run.
+        rotated = names[r % len(names) :] + names[: r % len(names)]
+        for name in rotated:
+            g0 = _gc_ms()
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(round(time.time() - t0, 3))
+            gc_ms.setdefault(name, []).append(_gc_ms() - g0)
     samples["write_tables_concurrent"] = [_timed_write(spark, sf_dir) for _ in range(runs)]
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
@@ -117,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "gc_ms": gc_ms,
                 "runs": runs,
                 "sf": sf_val,
             }
