@@ -430,7 +430,102 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds; "
         "the pair graph is deeper than a dedup clustering should be — raise "
-        "max_iterations or use a star-contraction algorithm"
+        "max_iterations or use connected_components_star"
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log n) rounds on ANY graph shape, where
+    min-label propagation (connected_components) needs graph-DIAMETER
+    rounds (measured: a 1000-node chain does not converge in 50
+    propagation rounds but finishes in 8 star rounds; realistic
+    near-dup graphs at sf0.01 take 8 propagation rounds vs 4 star
+    rounds — ROUND_NOTES round 3).
+
+    large-star: every node's strictly-larger neighbors re-attach to
+    the minimum of its closed neighborhood; small-star: the
+    not-larger neighbors do. Each phase is one symmetric-edge groupBy
+    (min) + an equi-join — the same per-round shuffle shape as label
+    propagation, but the edge set contracts toward component stars
+    instead of labels crawling one hop per round.
+
+    Convergence: edges fixpoint (checked via count + order-insensitive
+    hash aggregate — one scalar collect per round, same discipline as
+    connected_components' changed-counter). Returns (node, component)
+    with component = min node id, identical to connected_components.
+    """
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # every node mentioned in ANY pair (self-pairs included) must
+    # appear in the output as its own singleton if contraction drops
+    # its edges — drop-in parity with connected_components
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _min_closed(sym: DataFrame) -> DataFrame:
+        # m(u) = min of the closed neighborhood Γ(u) ∪ {u}
+        return sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-insensitive, overflow-free (ANSI mode forbids
+        # a plain SUM of xxhash64). The edge set is distinct, so xor
+        # cancellation needs two IDENTICAL edges — impossible here.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iterations):
+        # large-star: (v, m) for every neighbor v > u
+        sym = _sym(edges)
+        large = (
+            sym.join(_min_closed(sym), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        # small-star on larger->smaller oriented edges: (v, m) for all
+        # not-larger neighbors v, plus (u, m) re-attaching u itself
+        oriented = _sym(edges).filter(F.col("v") < F.col("u"))
+        with_min = oriented.join(_min_closed(oriented), "u")
+        small = with_min.select(F.col("v").alias("u"), F.col("m").alias("v")).unionAll(
+            with_min.select("u", F.col("m").alias("v")).distinct()
+        )
+        edges = small.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        new_fp = _fingerprint(edges)
+        if new_fp == fp:
+            # fixpoint: every edge points a node at its component min;
+            # nodes with no surviving edge (isolated / self-paired)
+            # are their own singleton component
+            comp = edges.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            ).distinct()
+            return nodes.join(comp, "node", "left").select(
+                "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+            )
+        fp = new_fp
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iterations} "
+        "rounds — at O(log n) rounds this means a pathological or "
+        "adversarial graph; inspect the pair generator"
     )
 
 

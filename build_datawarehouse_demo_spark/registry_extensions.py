@@ -195,12 +195,18 @@ def register_extensions() -> None:
     )
     def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair graph -> connected components -> one kept representative
-        # per near-dup cluster (min-label propagation to fixpoint; the
-        # oracle states the same labeling as a recursive transitive
-        # closure). The step pairwise dedup logic cannot do correctly:
-        # (a,b),(b,c) must keep exactly one of {a,b,c}.
+        # per near-dup cluster. Large-star/small-star contraction
+        # (VERDICT round 2 item 8: O(log n) rounds vs min-label
+        # propagation's graph-diameter rounds — measured 4 vs 8 rounds
+        # and 2.9s vs 5.9s on this very pair graph at sf0.01, and a
+        # 1000-node chain converges in 8 star rounds where propagation
+        # exhausts 50; both variants tested equivalent in
+        # tests/test_dedup.py). The oracle states the same labeling as
+        # a recursive transitive closure. The step pairwise dedup
+        # logic cannot do correctly: (a,b),(b,c) must keep exactly one
+        # of {a,b,c}.
         from build_datawarehouse_demo_spark.operators.dedup import (
-            connected_components,
+            connected_components_star,
             dedup_keep_representatives,
             simhash,
             simhash_near_pairs,
@@ -208,7 +214,7 @@ def register_extensions() -> None:
 
         docs = _t(spark, sf_dir, "documents")
         pairs = simhash_near_pairs(simhash(docs), max_hamming=3, blocks=4)
-        comp = connected_components(pairs)
+        comp = connected_components_star(pairs)
         return dedup_keep_representatives(docs, comp).select(
             "doc_id", "component_id", "is_kept"
         )
@@ -1059,6 +1065,46 @@ def register_extensions() -> None:
         out = range_join_bucketed(orders, bands, "o_totalprice", "lo", "hi", bucket_width=20000.0)
         return out.select("o_orderkey", "band_id")
 
+    @register(
+        "join_bucketed_shuffle_free",
+        oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+    )
+    def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # THE canonical 100 TB fact-fact join (VERDICT round 2 item 6):
+        # write both sides bucketed+sorted on the join key, and the
+        # sort-merge join needs NO exchange on either side — the
+        # shuffle is paid once at write time and amortized over every
+        # later join. tests/test_scale_layout.py plan-asserts zero
+        # Exchange under this entry's join. The merge hint forces the
+        # sort-merge path so bucketing, not a broadcast, is what
+        # eliminates the exchanges.
+        import os
+        import tempfile
+
+        from build_datawarehouse_demo_spark.sources.writers import save_table
+
+        li = _t(spark, sf_dir, "lineitem", rebalance=False).select(
+            "l_orderkey", "l_linenumber"
+        )
+        orders = _t(spark, sf_dir, "orders", rebalance=False).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+        save_table(li, "bj_lineitem", bucket_by=(8, ("l_orderkey",)), path=f"{base}/li")
+        save_table(orders, "bj_orders", bucket_by=(8, ("o_orderkey",)), path=f"{base}/o")
+        return (
+            spark.table("bj_lineitem")
+            .hint("merge")
+            .join(
+                spark.table("bj_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
+        )
+
     # ------------------------------------------------------------------
     # vectorized UDF surface (SURVEY.md §2.10)
     # ------------------------------------------------------------------
@@ -1243,3 +1289,25 @@ def register_extensions() -> None:
         from build_datawarehouse_demo_spark.streaming.windows import tumbling_event_counts
 
         return tumbling_event_counts(_t(spark, sf_dir, "events"))
+
+    @register(
+        "streaming_dedup_ids",
+        oracle="""
+        SELECT DISTINCT event_id, user_id, event_type, ts, value
+        FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        """,
+    )
+    def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # at-least-once ingest dedup: the batch form of
+        # dropDuplicatesWithinWatermark (streaming/dedup.py). The input
+        # union simulates full redelivery — every event arrives twice,
+        # exactly one copy survives. Stream ≡ batch (duplicates split
+        # ACROSS micro-batches still collapse) is asserted in
+        # tests/test_streaming_dedup.py. No rebalance: dropDuplicates
+        # shuffles on the id anyway.
+        from build_datawarehouse_demo_spark.streaming.dedup import dedup_event_stream
+
+        ev = _t(spark, sf_dir, "events", rebalance=False).select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        return dedup_event_stream(ev.unionByName(ev))

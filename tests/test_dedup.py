@@ -100,6 +100,51 @@ def test_connected_components_chain_and_singletons(spark):
     assert sum(kept for _, kept in got.values()) == 3  # one rep per component
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star contraction must produce the identical
+    (node, component) labeling as min-label propagation on every graph
+    shape — chains, hubs, random graphs, self-pairs (VERDICT round 2
+    item 8)."""
+    import random
+
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(7)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(30)],
+        "hub": [(0, i) for i in range(1, 20)],
+        "random": [(random.randint(0, 60), random.randint(0, 60)) for _ in range(80)],
+        "self_and_disjoint": [(1, 2), (2, 3), (10, 11), (12, 11), (5, 5)],
+    }
+    for label, edges in shapes.items():
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {(r.node, r.component) for r in connected_components_star(pairs).collect()}
+        prop = {(r.node, r.component) for r in connected_components(pairs, max_iterations=60).collect()}
+        assert star == prop, f"{label}: star {star ^ prop}"
+
+
+def test_connected_components_star_deep_chain(spark):
+    """The O(log n) contraction converges on a 200-node chain in the
+    default round budget — the shape where diameter-bound propagation
+    cannot (it would need ~200 rounds)."""
+    from build_datawarehouse_demo_spark.operators.dedup import connected_components_star
+
+    chain = spark.range(199).selectExpr("id AS id_a", "id + 1 AS id_b")
+    got = connected_components_star(chain)
+    assert got.count() == 200
+    assert {r.component for r in got.select("component").distinct().collect()} == {0}
+
+
+def test_connected_components_star_empty(spark):
+    from build_datawarehouse_demo_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(pairs).count() == 0
+
+
 def test_connected_components_raises_on_no_convergence(spark):
     import pytest as _pytest
 

@@ -40,6 +40,23 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     assert joined.count() == 50000
 
 
+def test_registered_bucketed_join_plan_is_shuffle_free(spark):
+    """The registry entry join_bucketed_shuffle_free must deliver what
+    its name claims: a sort-merge join with ZERO exchanges — the
+    write-time bucket layout replaces the runtime shuffle (VERDICT
+    round 2, item 6)."""
+    from build_datawarehouse_demo_spark import registry
+
+    q = registry.queries()["join_bucketed_shuffle_free"]
+    df = q(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    assert df.count() > 0
+    for t in ("bj_lineitem", "bj_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_partitioned_write_enables_partition_pruning(spark):
     df = spark.range(10000).selectExpr("id", "CAST(id % 7 AS STRING) AS dt")
     with tempfile.TemporaryDirectory() as d:
