@@ -183,6 +183,37 @@ def rp_lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def rp_signature_staged(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "__sig"
+) -> DataFrame:
+    """rp_lsh_signature with the projections STAGED as a column first.
+
+    Bit-identical to rp_lsh_signature (same ordered folds, same
+    when-chains, same left-to-right bit sum) but ~an order of
+    magnitude cheaper: higher-order expressions (zip_with/aggregate)
+    get no codegen subexpression elimination, so the Column form
+    re-evaluates each projection for every reference (2-3× per bit).
+    Staging `transform(planes, p -> dot(v, p))` behind a projection
+    boundary computes all dots exactly once per row — CollapseProject
+    keeps non-cheap multi-referenced expressions staged (the measured
+    lesson from embedding_near_dup_pairs_bucketed, ROUND_NOTES r2).
+    """
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    staged = df.withColumn(
+        "__rp_projs", F.transform(planes_lit, lambda p: dot(F.col(vec_col), p))
+    )
+    bits = []
+    for i in range(len(planes)):
+        proj = F.element_at(F.col("__rp_projs"), i + 1)
+        bits.append(
+            F.when(proj >= 0, F.lit(1 << i)).when(proj < 0, F.lit(0)).otherwise(F.lit(None))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return staged.withColumn(out_col, sig.cast("int")).drop("__rp_projs")
+
+
 def ann_rp_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -212,11 +243,11 @@ def ann_rp_lsh_topk(
     once and occupies one rank.
     """
     planes = rp_planes(n_planes, dim)
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")).withColumn(
-        "__sig", rp_lsh_signature(F.col("__cv"), planes)
+    c = rp_signature_staged(
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")), "__cv", planes
     )
-    p = probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")).withColumn(
-        "__sig", rp_lsh_signature(F.col("__pv"), planes)
+    p = rp_signature_staged(
+        probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")), "__pv", planes
     )
     if multiprobe:
         variants = F.array(

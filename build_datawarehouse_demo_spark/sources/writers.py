@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 log = logging.getLogger(__name__)
 
 
-def _release_surrogate_pins(df: DataFrame) -> None:
+def _release_surrogate_pins(df: DataFrame, name: str) -> None:
     """Cache hygiene: surrogate_key_scalable pins its tagged frame for
     id stability; once THIS frame is materialized its pin has done its
     job — release it so repeated builds in one session don't
@@ -82,7 +82,7 @@ def save_table(
         # joins (/root/reference/transformation.py:334-338).
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(name)
-    _release_surrogate_pins(df)
+    _release_surrogate_pins(df, name)
     return True
 
 

@@ -245,6 +245,29 @@ def test_split_save_releases_only_written_frames_pin(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_save_of_derived_frame_with_outstanding_pin_logs_not_raises(spark):
+    """Writing a frame DERIVED from surrogate_key_scalable's output has
+    no pin association; with another pin outstanding the leak-log path
+    fires — it must log, never raise (round-3 regression: the debug
+    message referenced an out-of-scope variable and save_table blew up
+    exactly when a pin was outstanding)."""
+    import tempfile
+
+    from build_datawarehouse_demo_spark.operators import keys
+    from build_datawarehouse_demo_spark.operators.keys import surrogate_key_scalable
+    from build_datawarehouse_demo_spark.sources.writers import save_table
+
+    keys.release_pinned_caches()
+    keyed = surrogate_key_scalable(spark.range(40).selectExpr("id AS x"), key_col="k")
+    derived = keyed.select("k", "x")  # not the exact returned frame
+    with tempfile.TemporaryDirectory() as d:
+        save_table(derived, "pin_leak_derived", path=f"{d}/t")
+        assert len(keys._PINNED) == 1  # pin survives (observable leak)
+        assert keys.outstanding_pins() == 1
+        spark.sql("DROP TABLE IF EXISTS pin_leak_derived")
+    keys.release_pinned_caches()
+
+
 def test_dim_date_reference_column_names(wh):
     # reference create_dim_date (/root/reference/transformation.py:127-137)
     assert set(wh["dim_date"].columns) == {
