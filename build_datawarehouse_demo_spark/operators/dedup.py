@@ -173,8 +173,15 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash, not broadcast: both children are the identical
+    # banding subtree, so ReuseExchange computes shingles+signatures
+    # ONCE (a broadcast build recomputes the whole pipeline per side —
+    # measured ~3× the stage time at sf0.1); also the only join shape
+    # that exists at 100 TB, where a corpus-derived signature table
+    # cannot broadcast. Same pattern as
+    # similarity.embedding_near_dup_pairs_bucketed.
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b").hint("shuffle_hash")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
