@@ -513,8 +513,10 @@ def connected_components_star(
         # not-larger neighbors v, plus (u, m) re-attaching u itself
         oriented = _sym(edges).filter(F.col("v") < F.col("u"))
         with_min = oriented.join(_min_closed(oriented), "u")
+        # no inner distinct on the re-attach branch: the union is
+        # deduplicated as a whole on the next line
         small = with_min.select(F.col("v").alias("u"), F.col("m").alias("v")).unionAll(
-            with_min.select("u", F.col("m").alias("v")).distinct()
+            with_min.select("u", F.col("m").alias("v"))
         )
         edges = small.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
         new_fp = _fingerprint(edges)

@@ -37,13 +37,21 @@ def upsert(current: DataFrame, updates: DataFrame, key: str | list[str]) -> Data
     update would append — a silent duplicate (ADVICE round 2)."""
     keys = [key] if isinstance(key, str) else list(key)
     # no dropDuplicates: anti-join semantics ignore build-side dup
-    # rows, and dedup here would be a wasted shuffle
-    upd_keys = updates.select(*keys)
+    # rows, and dedup here would be a wasted shuffle.
+    # Aliased condition, NOT current[k].eqNullSafe(updates[k]): when
+    # updates derives from current (the incremental-rollup shape) the
+    # raw column objects carry the same exprIds and the predicate
+    # degenerates to a self-comparison — Spark's self-join
+    # disambiguation rescues it today, but with it off the anti-join
+    # would silently delete every current row. Aliases make the
+    # two sides unambiguous by construction.
+    upd_keys = updates.select(*keys).alias("__u")
+    cur = current.alias("__c")
     cond = None
     for k in keys:
-        c = current[k].eqNullSafe(upd_keys[k])
+        c = F.col(f"__c.{k}").eqNullSafe(F.col(f"__u.{k}"))
         cond = c if cond is None else (cond & c)
-    kept = current.join(upd_keys, cond, "left_anti").select(*current.columns)
+    kept = cur.join(upd_keys, cond, "left_anti").select(*current.columns)
     return kept.unionByName(updates)
 
 

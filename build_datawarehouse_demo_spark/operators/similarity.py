@@ -183,34 +183,58 @@ def rp_lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def staged_projections(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "__rp_projs"
+) -> DataFrame:
+    """All plane projections computed ONCE per row, staged behind a
+    projection boundary.
+
+    The single source of signature-projection semantics — both the ANN
+    signature (rp_signature_staged) and the banded near-dup path build
+    their sign bits from this column, so the 'bit-identical across
+    consumers' contract lives in one place. Staging matters because
+    higher-order expressions (zip_with/aggregate) get no codegen
+    subexpression elimination: a Column-form signature re-evaluates
+    each projection per reference (2-3× per bit), while CollapseProject
+    keeps this non-cheap multi-referenced column staged (the measured
+    lesson from embedding_near_dup_pairs_bucketed, ROUND_NOTES r2).
+    """
+    # ONE F.expr over a literal SQL string, not nested F.array/F.lit:
+    # 64×64 planes are 4096 Column constructions = 4096 py4j
+    # round-trips ≈ 2-3 s of DRIVER time per call (measured — more
+    # than the query's whole execution); the parser builds the same
+    # constant-folded nested array literal JVM-side in milliseconds.
+    # The D suffix keeps every element a DOUBLE literal (bare 1.0
+    # would parse as DECIMAL and change the fold's arithmetic type).
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")" for p in planes
+    )
+    planes_lit = F.expr(f"array({rows})")
+    return df.withColumn(
+        out_col, F.transform(planes_lit, lambda p: dot(F.col(vec_col), p))
+    )
+
+
+def sign_bit(proj: Column, weight: int) -> Column:
+    """Sign bit of one staged projection, NULL-propagating: a null
+    projection (dimension mismatch) nulls the whole signature, and
+    null keys never equi-join (loud empty result)."""
+    return (
+        F.when(proj >= 0, F.lit(weight)).when(proj < 0, F.lit(0)).otherwise(F.lit(None))
+    )
+
+
 def rp_signature_staged(
     df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "__sig"
 ) -> DataFrame:
-    """rp_lsh_signature with the projections STAGED as a column first.
-
-    Bit-identical to rp_lsh_signature (same ordered folds, same
-    when-chains, same left-to-right bit sum) but ~an order of
-    magnitude cheaper: higher-order expressions (zip_with/aggregate)
-    get no codegen subexpression elimination, so the Column form
-    re-evaluates each projection for every reference (2-3× per bit).
-    Staging `transform(planes, p -> dot(v, p))` behind a projection
-    boundary computes all dots exactly once per row — CollapseProject
-    keeps non-cheap multi-referenced expressions staged (the measured
-    lesson from embedding_near_dup_pairs_bucketed, ROUND_NOTES r2).
-    """
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
-    staged = df.withColumn(
-        "__rp_projs", F.transform(planes_lit, lambda p: dot(F.col(vec_col), p))
-    )
-    bits = []
+    """rp_lsh_signature with staged projections — bit-identical (same
+    ordered folds, same when-chains, same left-to-right bit sum) but
+    ~an order of magnitude cheaper; see staged_projections."""
+    staged = staged_projections(df, vec_col, planes)
+    sig = None
     for i in range(len(planes)):
-        proj = F.element_at(F.col("__rp_projs"), i + 1)
-        bits.append(
-            F.when(proj >= 0, F.lit(1 << i)).when(proj < 0, F.lit(0)).otherwise(F.lit(None))
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+        b = sign_bit(F.element_at(F.col("__rp_projs"), i + 1), 1 << i)
+        sig = b if sig is None else sig + b
     return staged.withColumn(out_col, sig.cast("int")).drop("__rp_projs")
 
 
@@ -340,27 +364,19 @@ def embedding_near_dup_pairs_bucketed(
     """
     planes = rp_planes(bands * rows_per_band, dim)
     vecs = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
-    # ALL projections in one transform over a constant-folded nested
-    # plane literal, staged as a column so each is computed exactly once
-    # per row. Building each bit as its own fold (rp_lsh_signature's
-    # shape) costs 2·bands·r full dot products per row in giant
-    # expression trees — measured 8.8s at sf0.1; this form is ~8×
-    # cheaper and bit-identical (same ordered folds, slices, weights).
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
-    projected = vecs.withColumn(
-        "__projs", F.transform(planes_lit, lambda p: dot(F.col("__v"), p))
-    )
+    # staged_projections: all bands·r dots once per row (the per-bit
+    # fold form cost 8.8s at sf0.1; staged is ~8× cheaper and
+    # bit-identical — same ordered folds, slices, weights as the ANN
+    # signature, now from the shared helper).
+    projected = staged_projections(vecs, "__v", planes, out_col="__projs")
     band_structs = []
     for b in range(bands):
-        bits = []
+        sig = None
         for j in range(rows_per_band):
-            p = F.element_at(F.col("__projs"), b * rows_per_band + j + 1)
-            bits.append(
-                F.when(p >= 0, F.lit(1 << j)).when(p < 0, F.lit(0)).otherwise(F.lit(None))
+            bit = sign_bit(
+                F.element_at(F.col("__projs"), b * rows_per_band + j + 1), 1 << j
             )
-        sig = bits[0]
-        for x in bits[1:]:
-            sig = sig + x
+            sig = bit if sig is None else sig + bit
         band_structs.append(
             F.struct(F.lit(b).alias("band"), sig.cast("int").alias("sig"))
         )

@@ -34,6 +34,22 @@ def _t(
     return read_parquet(spark, f"{sf_dir}/{name}.parquet", rebalance=rebalance)
 
 
+_BUCKETED_SCRATCH: str | None = None
+
+
+def _bucketed_scratch_dir() -> str:
+    # per-PROCESS scratch (lazy mkdtemp): a fixed shared path would let
+    # two concurrent sessions overwrite each other's bucket files
+    # mid-join; per-call mkdtemp would leak a table-sized dir on every
+    # bench iteration. One dir per process, overwritten in place.
+    global _BUCKETED_SCRATCH
+    if _BUCKETED_SCRATCH is None:
+        import tempfile
+
+        _BUCKETED_SCRATCH = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    return _BUCKETED_SCRATCH
+
+
 def register_extensions() -> None:
     # ------------------------------------------------------------------
     # deduplication
@@ -1081,9 +1097,6 @@ def register_extensions() -> None:
         # Exchange under this entry's join. The merge hint forces the
         # sort-merge path so bucketing, not a broadcast, is what
         # eliminates the exchanges.
-        import os
-        import tempfile
-
         from build_datawarehouse_demo_spark.sources.writers import save_table
 
         li = _t(spark, sf_dir, "lineitem", rebalance=False).select(
@@ -1092,7 +1105,7 @@ def register_extensions() -> None:
         orders = _t(spark, sf_dir, "orders", rebalance=False).select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
-        base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+        base = _bucketed_scratch_dir()
         save_table(li, "bj_lineitem", bucket_by=(8, ("l_orderkey",)), path=f"{base}/li")
         save_table(orders, "bj_orders", bucket_by=(8, ("o_orderkey",)), path=f"{base}/o")
         return (

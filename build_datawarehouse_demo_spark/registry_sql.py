@@ -630,3 +630,43 @@ def register_layer_b() -> None:
         GROUP BY c_nationkey
         """,
     )
+
+    # TPC-H Q19 shape (adapted to this testdata's part columns: the
+    # container/shipmode attributes don't exist here, so the OR'd
+    # multi-bracket predicate ranges over brand × size × quantity).
+    # The point of the shape survives: a join whose pushable part is
+    # only the disjunction's common support, with per-branch residual
+    # conjuncts evaluated post-join.
+    register_sql(
+        "sql_q19_discounted_revenue",
+        f"""
+        SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+    )
+
+    # explicit window FRAME specification: a trailing moving sum/count
+    # over ROWS BETWEEN — the frame-clause surface the rank/lag
+    # entries don't touch. Exact DECIMAL sum; count exposes the ragged
+    # leading frames.
+    register_sql(
+        "sql_window_frame_spec",
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER w AS DOUBLE) AS trailing_sum,
+               count(*) OVER w AS frame_n
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+    )

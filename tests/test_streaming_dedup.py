@@ -18,6 +18,25 @@ SF_DIR = "/root/testdata/sf0.001"
 COLS = ["event_id", "user_id", "event_type", "ts", "value"]
 
 
+def test_event_id_determines_payload_in_testdata(spark):
+    """The streaming_dedup_ids oracle (whole-row DISTINCT over a
+    doubled input) is equivalent to dropDuplicates(['event_id']) only
+    while event_id determines the payload. dropDuplicates keeps an
+    ARBITRARY row per key, so a genuine key collision (same id,
+    different payload) would make the entry nondeterministic and the
+    oracle wrong — pin the invariant so regenerated testdata that
+    breaks it fails loudly here, not as a driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    for sf in ("sf0.001", "sf0.01"):
+        ev = read_parquet(spark, f"/root/testdata/{sf}/events.parquet")
+        row = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+        ).collect()[0]
+        assert row.n == row.n_ids, f"{sf}: duplicate event_id in testdata"
+
+
 def test_stream_dedup_across_batches_equals_batch(spark):
     ev = read_parquet(spark, f"{SF_DIR}/events.parquet").select(*COLS)
     with tempfile.TemporaryDirectory() as tmpdir:
