@@ -293,6 +293,75 @@ def ann_rp_lsh_topk(
     )
 
 
+def build_rp_signature_index(
+    corpus: DataFrame,
+    table_name: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+    buckets: int = 8,
+) -> DataFrame:
+    """Write-once ANN signature index: (id, sig, vec) persisted as a
+    catalog table BUCKETED on sig.
+
+    The amortization pattern a production ANN stack runs: signatures
+    are computed once at ingest and every query thereafter only
+    computes ITS OWN signature — the corpus-side projection cost
+    (the dominant term: corpus ≫ probes) is paid at write time, like
+    the bucketed fact-fact join pays its shuffle at write time.
+    Bucketing on sig co-locates each bucket's candidates for the
+    search-time equi-join. Returns the index read back from the
+    catalog (so the caller exercises the real read path).
+    """
+    from build_datawarehouse_demo_spark.sources.writers import save_table
+
+    sigs = rp_signature_staged(
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("__v")),
+        "__v",
+        rp_planes(n_planes, dim),
+        out_col="sig",
+    ).select(F.col(id_col), "sig", F.col("__v").alias("vec"))
+    save_table(sigs, table_name, bucket_by=(buckets, ("sig",)), path=path)
+    return corpus.sparkSession.table(table_name)
+
+
+def ann_index_search_topk(
+    index: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Search a prebuilt signature index (build_rp_signature_index):
+    probes compute only their own signatures; the corpus side is a
+    plain scan of the index table. Identical semantics (and identical
+    oracle) to ann_rp_lsh_topk — same planes, same sign folds, same
+    exact-cosine rerank of bucket candidates."""
+    p = rp_signature_staged(
+        probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")),
+        "__pv",
+        rp_planes(n_planes, dim),
+        out_col="sig",
+    )
+    matched = index.join(F.broadcast(p), "sig").filter(
+        F.col(id_col) != F.col(probe_id_col)
+    )
+    scored = matched.withColumn("cosine", cosine(F.col("__pv"), F.col("vec")))
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            probe_id_col, id_col, F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int")
+        )
+    )
+
+
 def embedding_near_dup_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.4,

@@ -184,3 +184,29 @@ def test_zero_norm_vector_never_ranks(spark, mat):
     assert all(r.cosine is not None for r in got)
     pairs = embedding_near_dup_pairs_exact(df, threshold=0.0).collect()
     assert not any(999 in (p.id_a, p.id_b) for p in pairs)
+
+
+def test_index_search_equals_direct_ann(spark, mat):
+    """The write-once signature index must return the EXACT result of
+    the direct (compute-signatures-inline) ANN path — amortizing the
+    corpus projections at write time may not change a single row."""
+    import tempfile
+
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ann_index_search_topk,
+        ann_rp_lsh_topk,
+        build_rp_signature_index,
+    )
+
+    df = _vec_df(spark, mat)
+    probes = df.filter("vec_id < 4").selectExpr("vec_id AS probe_id", "embedding")
+    direct = ann_rp_lsh_topk(df, probes, k=10, n_planes=8, dim=16)
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_rp_signature_index(
+            df, "ann_idx_test", n_planes=8, dim=16, path=f"{d}/idx"
+        )
+        via_index = ann_index_search_topk(idx, probes, k=10, n_planes=8, dim=16)
+        got = {tuple(r) for r in via_index.collect()}
+        want = {tuple(r) for r in direct.collect()}
+        assert got == want and len(want) > 0
+        spark.sql("DROP TABLE IF EXISTS ann_idx_test")
