@@ -288,6 +288,18 @@ def register_star_views(
     we delegate to Catalyst). rebalance stays OFF here: a repartition
     wrapper between view and scan blocks predicate pushdown, which
     costs filter-heavy SQL more than the extra scan parallelism buys
-    (measured: q6 0.8s -> 1.2s, q1 1.8s -> 2.6s with it on)."""
+    (measured: q6 0.8s -> 1.2s, q1 1.8s -> 2.6s with it on).
+
+    Idempotent per (session, sf_dir, args): re-registering identical
+    views costs ~1.1 s of driver time (10× DataFrameReader file
+    listing + schema read) and every SQL registry entry calls this —
+    uncached, a 40-entry correctness pass burns ~45 s and every
+    benched SQL query carries ~1 s of non-query overhead (measured
+    round 3). Registering for a DIFFERENT sf_dir (or names/rebalance)
+    invalidates and re-registers."""
+    key = (sf_dir, tuple(names), rebalance)
+    if getattr(spark, "_graft_star_views_key", None) == key:
+        return
     for n, df in load_star_tables(spark, sf_dir, names, rebalance=rebalance).items():
         df.createOrReplaceTempView(n)
+    spark._graft_star_views_key = key
