@@ -670,3 +670,139 @@ def register_layer_b() -> None:
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
     )
+
+    # TPC-H Q2 shape (minimum-cost supplier). This testdata has no
+    # partsupp table, so lineitem is the part↔supplier bridge and the
+    # "supply cost" is the observed unit price l_extendedprice /
+    # l_quantity. The shape survives intact: a correlated scalar-min
+    # subquery over the same multi-dim join (part→supplier→nation→
+    # region) that the outer query runs, answered per outer part.
+    # Catalyst rewrites it to an aggregate + join; the min is
+    # order-independent and IEEE division is deterministic, so the
+    # double equality matches DuckDB exactly.
+    register_sql(
+        "sql_q2_min_cost_supplier",
+        """
+        SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name,
+               p.p_partkey, p.p_name
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 30 AND p.p_type = 'LARGE'
+          AND r.r_name = 'EUROPE'
+          AND l.l_extendedprice / l.l_quantity = (
+              SELECT min(l2.l_extendedprice / l2.l_quantity)
+              FROM lineitem l2
+              JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """,
+    )
+
+    # TPC-H Q9 shape (product-type profit by nation and year). Without
+    # ps_supplycost, cost is proxied by 60% of the part's retail price
+    # per unit — the aggregate-over-5-way-join-with-LIKE shape is what
+    # matters. Exact DECIMAL profit; EXTRACT(YEAR ...) parses in both
+    # engines.
+    register_sql(
+        "sql_q9_product_type_profit",
+        f"""
+        SELECT nation, o_year,
+               CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation,
+                   EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   {_REV}
+                     - CAST(p.p_retailprice AS DECIMAL(18,2))
+                       * CAST(0.6 AS DECIMAL(2,1)) * {_QTY} AS amount
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%widget%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """,
+    )
+
+    # TPC-H Q11 shape (important stock): per-part inventory value for
+    # suppliers in a nation group, kept only when it exceeds a
+    # fraction of the group total — an uncorrelated scalar subquery in
+    # HAVING that re-runs the same join+agg. Value = extendedprice ×
+    # quantity in exact DECIMAL.
+    register_sql(
+        "sql_q11_important_stock",
+        f"""
+        SELECT l.l_partkey AS ps_partkey,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * {_QTY})
+                    AS DOUBLE) AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l.l_partkey
+        HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * {_QTY}) > (
+            SELECT sum(CAST(l2.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l2.l_quantity AS DECIMAL(18,2)))
+                   * CAST(0.001 AS DECIMAL(4,3))
+            FROM lineitem l2
+            JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+            WHERE n2.n_name IN ('NATION_3', 'NATION_7'))
+        ORDER BY value DESC, ps_partkey
+        """,
+    )
+
+    # TPC-H Q16 shape (supplier-part relationship count): distinct
+    # suppliers per (brand, type, size) bucket with a NOT IN
+    # blacklist subquery. The reference excludes complaint suppliers
+    # via s_comment LIKE; this testdata has no comments, so the
+    # blacklist is negative-balance suppliers (6 exist at sf0.01).
+    register_sql(
+        "sql_q16_supplier_part_count",
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#15'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+    )
+
+    # TPC-H Q20 shape (potential part promotion): nested IN
+    # subqueries — the inner one a LIKE scan over part, the middle one
+    # a grouped HAVING over a year of lineitem — feeding a supplier
+    # semi-join, then a nation filter. Threshold 40 keeps ~226
+    # (supplier, part) groups at sf0.01.
+    register_sql(
+        "sql_q20_promotion_suppliers",
+        """
+        SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING sum(l.l_quantity) > 40)
+          AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        ORDER BY s.s_name
+        """,
+    )
