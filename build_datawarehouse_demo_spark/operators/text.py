@@ -264,3 +264,108 @@ def vocabulary(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         F.col("__tok").alias("token"), "n_occurrences", "n_docs", "rank"
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf = ln(N / df)).
+
+    Scale shape: one explode feeds BOTH aggregates — term frequency
+    groups on (doc, token) and document frequency derives from that
+    result with a second agg on token alone, so the corpus is
+    tokenized exactly once. The corpus size N is a 1-row aggregate
+    joined in by cross join (broadcast NLJ of one row — never a
+    driver-side collect). The df-per-token table is |vocab| rows; its
+    join back onto (doc, token) is left to Catalyst/AQE because vocab
+    size is data-dependent — tiny vocabs broadcast, web-scale vocabs
+    shuffle on the token key, both correct. The final top-k window
+    partitions by document, so no global sort appears anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).withColumn("__tok", F.lower(F.col("__tok")))
+    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    idf = F.log(F.col("__n") / F.col("doc_freq"))
+    scored = (
+        tf.join(dfreq, "__tok")
+        .crossJoin(n_docs)
+        .withColumn("__idf", idf)
+        .withColumn("__tfidf", F.col("tf") * F.col("__idf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__tfidf").desc(), F.col("__tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col),
+            F.col("__tok").alias("token"),
+            "tf",
+            "doc_freq",
+            F.round("__idf", 6).alias("idf"),
+            F.round("__tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term list,
+    top-k by score (Robertson idf: ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Scale shape: the query-term filter lands BEFORE the term-frequency
+    aggregation, so the per-term shuffle carries only rows whose token
+    is in the (tiny, literal) query — the corpus-sized explode feeds a
+    filter, not a full groupBy. Document length dl does need all
+    tokens, but as a (doc, count) aggregate it shuffles one row per
+    document. N and avgdl are 1-row aggregates cross-joined in. The
+    final top-k is a TakeOrdered (sort+limit), not a global window.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).withColumn("__tok", F.lower(F.col("__tok")))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("double").alias("__dl"))
+    qtoks = toks.filter(F.col("__tok").isin(terms))
+    tf = qtoks.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    dfreq = tf.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    avgdl = dl.select(F.avg("__dl").alias("__avgdl"))
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0)
+    tf_term = (F.col("__tf") * (k1 + 1.0)) / (
+        F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "__tok")
+        .join(dl, id_col)
+        .crossJoin(n_docs)
+        .crossJoin(avgdl)
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_term).alias("__score"))
+    )
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("__score", 6).alias("bm25"))
+    )

@@ -856,6 +856,82 @@ def register_extensions() -> None:
         )
 
     @register(
+        "text_tfidf_topk",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, lower(tok) AS tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok, tf.tf, dfreq.doc_freq,
+                 ln(n.n_docs / dfreq.doc_freq) AS idf,
+                 tf.tf * ln(n.n_docs / dfreq.doc_freq) AS tfidf
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, tok, tf, doc_freq, idf, tfidf,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, tok) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT doc_id, tok AS token, tf, doc_freq,
+               round(idf, 6) AS idf, round(tfidf, 6) AS tfidf, rank
+        FROM ranked WHERE rank <= 5
+        """,
+    )
+    def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # top-5 TF-IDF terms per document — one tokenization pass feeds
+        # both the tf and the df aggregates (operators/text.py:tf_idf).
+        from build_datawarehouse_demo_spark.operators.text import tf_idf
+
+        return tf_idf(_t(spark, sf_dir, "documents"), top_k=5)
+
+    @register(
+        "text_bm25_topk",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, lower(tok) AS tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+        tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+          WHERE tok IN ('fast', 'join', 'query', 'spark', 'table')
+          GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                     * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+                 ) AS score
+          FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN avgdl
+          GROUP BY 1
+        )
+        SELECT doc_id, round(score, 6) AS bm25
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+    )
+    def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # BM25 top-20 against a literal query (operators/text.py:
+        # bm25_topk — k1=1.2, b=0.75, so tf*(k1+1) is the 2.2 in the
+        # oracle). Query-term filter precedes the tf aggregation.
+        from build_datawarehouse_demo_spark.operators.text import bm25_topk
+
+        return bm25_topk(
+            _t(spark, sf_dir, "documents"),
+            ["fast", "join", "query", "spark", "table"],
+            k=20,
+        )
+
+    @register(
         "sample_stratified",
         oracle=f"""
         SELECT doc_id, lang

@@ -110,3 +110,42 @@ def test_scrub_pii_counts_match_replacements_on_overlap(spark):
     r = scrub_pii(df).collect()[0]
     assert r.n_email == 1 and r.n_ipv4 == 0 and r.n_ssn == 0
     assert r.scrubbed == "contact <EMAIL> now"
+
+
+def test_tfidf_idf_zero_for_ubiquitous_and_topk(spark):
+    from build_datawarehouse_demo_spark.operators.text import tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "apple banana banana"), (2, "apple cherry"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.token): r for r in tf_idf(df, top_k=2).collect()}
+    # 'apple' appears in 2 of 3 docs: idf = ln(3/2); 'banana' in 1: ln(3)
+    import math
+
+    assert rows[(1, "banana")].tf == 2
+    assert abs(rows[(1, "banana")].tfidf - round(2 * math.log(3), 6)) < 1e-9
+    assert abs(rows[(2, "apple")].idf - round(math.log(1.5), 6)) < 1e-9
+    # empty doc contributes no rows; ranks are 1..k per doc
+    assert not any(d == 3 for d, _ in rows)
+    assert {r.rank for r in rows.values()} <= {1, 2}
+
+
+def test_bm25_orders_by_relevance_and_breaks_ties(spark):
+    from build_datawarehouse_demo_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "filler filler"),
+            (4, "spark filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["spark"], k=3).collect()
+    # doc 1 (highest tf) first; docs 2 and 4 identical -> doc_id tiebreak;
+    # doc 3 has no query term and is absent entirely
+    assert [r.doc_id for r in out] == [1, 2, 4]
+    assert out[1].bm25 == out[2].bm25
+    assert out[0].bm25 > out[1].bm25
