@@ -369,3 +369,42 @@ def bm25_topk(
         .limit(k)
         .select(F.col(id_col), F.round("__score", 6).alias("bm25"))
     )
+
+
+def lm_bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    MLE bigram model — the perplexity-style quality signal: documents
+    whose token transitions are improbable relative to the corpus
+    score low. P(w2|w1) = C(w1 w2) / C(w1·), with C(w1·) the count of
+    w1 as a bigram start, so every scored bigram has nonzero counts by
+    construction (self-scoring needs no smoothing).
+
+    Scale shape: ONE bigram explode feeds the doc-side rows and (via
+    groupBy) the model's bigram table; the context table derives from
+    the bigram table (|bigram vocab| rows), not from a second corpus
+    pass. Both stat joins are on model-table keys whose size is
+    data-dependent — left to Catalyst/AQE, same reasoning as tf_idf.
+    Docs with fewer than 2 tokens have no bigrams and are absent.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), F.lower).alias("__toks"),
+    )
+    bi = staged.select(
+        F.col(id_col), F.explode(ngram_array(F.col("__toks"), 2)).alias("gram")
+    )
+    c2 = bi.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    c1 = c2.groupBy(F.split("gram", " ")[0].alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    return (
+        bi.join(c2, "gram")
+        .join(c1, F.split(bi["gram"], " ")[0] == c1["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias("avg_logprob"),
+        )
+    )

@@ -932,6 +932,41 @@ def register_extensions() -> None:
         )
 
     @register(
+        "text_lm_bigram_logprob",
+        oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, list_transform({_TOK}, x -> lower(x)) AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 [w[i] || ' ' || w[i + 1] FOR i IN generate_series(1, len(w) - 1)] AS grams
+          FROM tok
+        ),
+        bi AS (SELECT doc_id, gram FROM g, unnest(grams) AS t(gram)),
+        c2 AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c2 FROM bi GROUP BY 1),
+        c1 AS (
+          SELECT split_part(gram, ' ', 1) AS w1, sum(c2) AS c1
+          FROM c2 GROUP BY 1
+        )
+        SELECT bi.doc_id, count(*) AS n_bigrams,
+               round(avg(ln(c2.c2 / c1.c1)), 6) AS avg_logprob
+        FROM bi
+        JOIN c2 USING (gram)
+        JOIN c1 ON split_part(bi.gram, ' ', 1) = c1.w1
+        GROUP BY bi.doc_id
+        """,
+    )
+    def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # perplexity-style corpus self-scoring: mean ln P(w2|w1) under
+        # the corpus MLE bigram model (operators/text.py:
+        # lm_bigram_logprob) — one bigram explode feeds both the doc
+        # rows and the model tables.
+        from build_datawarehouse_demo_spark.operators.text import lm_bigram_logprob
+
+        return lm_bigram_logprob(_t(spark, sf_dir, "documents"))
+
+    @register(
         "sample_stratified",
         oracle=f"""
         SELECT doc_id, lang

@@ -149,3 +149,23 @@ def test_bm25_orders_by_relevance_and_breaks_ties(spark):
     assert [r.doc_id for r in out] == [1, 2, 4]
     assert out[1].bm25 == out[2].bm25
     assert out[0].bm25 > out[1].bm25
+
+
+def test_lm_bigram_logprob_hand_computed(spark):
+    from build_datawarehouse_demo_spark.operators.text import lm_bigram_logprob
+    import math
+
+    # corpus bigrams: doc1 = [a b, b a, a b]; doc2 = [a b, b b]
+    # C(a b)=3, C(b a)=1, C(b b)=1; C(a·)=3, C(b·)=2
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_bigram_logprob(df).collect()}
+    # doc1: avg(ln(3/3), ln(1/2), ln(3/3)) = ln(0.5)/3
+    assert rows[1].n_bigrams == 3
+    assert abs(rows[1].avg_logprob - round(math.log(0.5) / 3, 6)) < 1e-9
+    # doc2: avg(ln(3/3), ln(1/2)) = ln(0.5)/2
+    assert abs(rows[2].avg_logprob - round(math.log(0.5) / 2, 6)) < 1e-9
+    # single-token doc has no bigrams -> absent
+    assert 3 not in rows
