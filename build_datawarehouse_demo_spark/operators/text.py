@@ -408,3 +408,91 @@ def lm_bigram_logprob(
             F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias("avg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    token-window chunks of `chunk_size` whitespace tokens, advancing by
+    `chunk_size - overlap` — the context-window prep step an LLM
+    training/RAG pipeline runs over every document.
+
+    One generator expression per row (tokenize once, posexplode the
+    start offsets); no shuffle — chunks inherit the parent document's
+    partition, so a 100 TB corpus chunks in a single codegen'd scan
+    stage. Documents with zero tokens yield no chunks.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap({overlap}) < chunk_size({chunk_size})")
+    step = chunk_size - overlap
+    staged = (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+    return staged.select(
+        F.col(id_col), F.col("__toks"), F.col("__n"), F.posexplode(starts).alias("chunk_id", "__s")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s") + 1, F.lit(chunk_size))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("__s")).cast("bigint").alias(
+            "n_chunk_tokens"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """Concat-and-cut sequence packing layout: order documents by id
+    within hash shards, lay their token streams end to end, and report
+    where each document lands (start offset, first/last ctx-window
+    sequence, windows spanned) — the packing-efficiency accounting for
+    "concatenate then cut every `ctx` tokens" LLM batch construction.
+
+    A single GLOBAL ordered window would serialize the corpus through
+    one task; real pipelines pack per shard, so the window partitions
+    by `id % shards` — each shard's running sum is independent and the
+    whole layout is one shuffle on the shard key. Empty documents
+    occupy their start point (end_seq = start_seq, zero tokens).
+    """
+    from pyspark.sql.window import Window
+
+    staged = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("bigint").alias("shard"),
+        F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # `div`, not floor(/): exact integer math on both engines (DuckDB
+    # mirrors with //) — float division would wobble at petabyte
+    # offsets.
+    return (
+        staged.withColumn("start_offset", off)
+        .withColumn("__last", F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        .select(
+            F.col(id_col),
+            "shard",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset div {ctx}").alias("start_seq"),
+            F.expr(f"__last div {ctx}").alias("end_seq"),
+            (F.expr(f"__last div {ctx}") - F.expr(f"start_offset div {ctx}") + F.lit(1))
+            .cast("bigint")
+            .alias("n_seqs"),
+        )
+    )

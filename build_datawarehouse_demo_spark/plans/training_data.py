@@ -1,0 +1,68 @@
+"""End-to-end training-data preparation pipeline.
+
+Composes the text-analysis, dedup, and sampling operator families into
+the single pass an LLM data pipeline actually runs over a raw corpus:
+
+    clean -> language ID -> quality score -> filter -> exact dedup
+          -> train/val/test split
+
+Each stage is the SAME operator registered (and oracle-checked)
+individually — this module only wires them, so the composed result is
+exactly what a user would get calling the pieces themselves.
+
+Scale shape: the feature stages (clean/langid/quality) are one
+codegen'd scan — withColumn chains over the same row, no joins between
+them. The only shuffle is the dedup window on the cleaned-text digest
+(16-byte key). The split assignment is a narrow hash filter. At 100 TB
+this is: one scan, one digest-keyed exchange, done.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def prepare_training_data(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Filter, dedup, and split a raw document corpus for training.
+
+    Keeps documents with >= min_tokens tokens, quality >= min_quality,
+    and a determined language; keeps the smallest id per distinct
+    cleaned text; assigns every survivor a stable hash-keyed split.
+    Returns (id, pred_lang, n_tokens, quality, split).
+    """
+    from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
+    from build_datawarehouse_demo_spark.operators.text import (
+        clean_normalize,
+        lang_id,
+        quality_score,
+    )
+
+    featured = quality_score(lang_id(clean_normalize(df, text_col), text_col), text_col)
+    kept = featured.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.col("pred_lang") != "und")
+    )
+    # exact dedup INSIDE the pipeline: min-id-per-digest via a window
+    # (one exchange on the 16-byte digest), keeping the survivor's
+    # feature columns — the grouped exact_dedup form returns only
+    # (digest, keep_id) and would need a join back.
+    digest_w = Window.partitionBy(F.md5(F.col("cleaned")))
+    dedup = (
+        kept.withColumn("__keep", F.min(id_col).over(digest_w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+    return train_val_test_split(dedup, id_col, val_frac=val_frac, test_frac=test_frac).select(
+        id_col, "pred_lang", "n_tokens", "quality", "split"
+    )

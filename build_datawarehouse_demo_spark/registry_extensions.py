@@ -966,6 +966,142 @@ def register_extensions() -> None:
 
         return lm_bigram_logprob(_t(spark, sf_dir, "documents"))
 
+    # chunking params shared by the op call and the oracle text
+    _CHUNK, _OVERLAP = 32, 8
+    _STEP = _CHUNK - _OVERLAP
+
+    @register(
+        "text_chunk_documents",
+        oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+        starts AS (
+          SELECT doc_id, w, unnest(range(0, len(w), {_STEP})) AS s
+          FROM toks WHERE len(w) > 0
+        )
+        SELECT doc_id,
+               CAST(s // {_STEP} AS BIGINT) AS chunk_id,
+               array_to_string(w[s + 1 : s + {_CHUNK}], ' ') AS chunk_text,
+               CAST(least({_CHUNK}, len(w) - s) AS BIGINT) AS n_chunk_tokens
+        FROM starts
+        """,
+    )
+    def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # sliding token-window chunking (context-window prep): tokenize
+        # once, posexplode start offsets — no shuffle, chunks stay on
+        # the parent document's partition.
+        from build_datawarehouse_demo_spark.operators.text import chunk_documents
+
+        return chunk_documents(
+            _t(spark, sf_dir, "documents"), chunk_size=_CHUNK, overlap=_OVERLAP
+        )
+
+    _PACK_CTX, _PACK_SHARDS = 256, 8
+
+    @register(
+        "text_pack_sequences",
+        oracle=f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
+                 CAST(coalesce(len({_TOK}), 0) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        off AS (
+          SELECT *,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + greatest(n_tokens, 1) - 1 AS BIGINT) AS last_off
+          FROM base
+        )
+        SELECT doc_id, shard, n_tokens, start_offset,
+               CAST(start_offset // {_PACK_CTX} AS BIGINT) AS start_seq,
+               CAST(last_off // {_PACK_CTX} AS BIGINT) AS end_seq,
+               CAST(last_off // {_PACK_CTX} - start_offset // {_PACK_CTX} + 1 AS BIGINT) AS n_seqs
+        FROM off
+        """,
+    )
+    def q_pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # concat-and-cut packing layout, sharded so each running sum is
+        # an independent per-shard window (one shuffle on shard), not a
+        # single-task global order.
+        from build_datawarehouse_demo_spark.operators.text import pack_sequences
+
+        return pack_sequences(
+            _t(spark, sf_dir, "documents"), ctx=_PACK_CTX, shards=_PACK_SHARDS
+        )
+
+    @register(
+        "pipeline_prepare_training_data",
+        oracle=rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(
+                   regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS cleaned,
+                 {_TOK} AS w,
+                 CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(list_filter({_TOK},
+                      x -> lower(x) IN ('the','a','and','of','to','is'))) AS DOUBLE) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct
+          FROM documents
+        ),
+        qual AS (
+          SELECT doc_id, cleaned, w, CAST(n_tok AS BIGINT) AS n_tokens,
+                 least(1.0, greatest(0.0,
+                   0.4 * (CASE WHEN (CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END) >= 3
+                               AND (CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END) <= 8
+                               THEN 1.0 ELSE 0.0 END)
+                   + 0.4 * (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 4
+                   + 0.2 * (1 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)))) AS quality
+          FROM base
+        ),
+        hits AS (
+          SELECT doc_id, 'de' AS lang, len(list_filter(w, x -> lower(x) IN ('der','die','das','und','ist','nicht'))) AS h FROM base
+          UNION ALL
+          SELECT doc_id, 'en', len(list_filter(w, x -> lower(x) IN ('the','a','and','of','to','is'))) FROM base
+          UNION ALL
+          SELECT doc_id, 'es', len(list_filter(w, x -> lower(x) IN ('el','la','y','es','los','que'))) FROM base
+          UNION ALL
+          SELECT doc_id, 'fr', len(list_filter(w, x -> lower(x) IN ('le','la','et','est','les','des'))) FROM base
+          UNION ALL
+          SELECT doc_id, 'zh', len(list_filter(w, x -> lower(x) IN ('de5','shi4','le5','zai4','he2','you3'))) FROM base
+        ),
+        lang AS (
+          SELECT doc_id, CASE WHEN h = 0 THEN 'und' ELSE lang END AS pred_lang
+          FROM hits
+          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) = 1
+        ),
+        kept AS (
+          SELECT q.doc_id, q.cleaned, q.n_tokens, q.quality, l.pred_lang
+          FROM qual q JOIN lang l ON q.doc_id = l.doc_id
+          WHERE q.n_tokens >= 5 AND q.quality >= 0.3 AND l.pred_lang <> 'und'
+        ),
+        dedup AS (
+          SELECT *, min(doc_id) OVER (PARTITION BY md5(cleaned)) AS keeper FROM kept
+        )
+        SELECT doc_id, pred_lang, n_tokens, quality,
+               CASE WHEN doc_id IS NULL THEN NULL
+                    WHEN {_HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100 THEN 'val'
+                    WHEN {_HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM dedup WHERE doc_id = keeper
+        """,
+    )
+    def q_prepare_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the composed corpus-prep pipeline: clean -> langid -> quality
+        # -> filter -> exact dedup -> split, each stage the same
+        # operator that is registered individually. One scan, one
+        # digest-keyed exchange, one narrow hash filter.
+        from build_datawarehouse_demo_spark.plans.training_data import prepare_training_data
+
+        return prepare_training_data(_t(spark, sf_dir, "documents"))
+
     @register(
         "sample_stratified",
         oracle=f"""

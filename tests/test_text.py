@@ -169,3 +169,76 @@ def test_lm_bigram_logprob_hand_computed(spark):
     assert abs(rows[2].avg_logprob - round(math.log(0.5) / 2, 6)) < 1e-9
     # single-token doc has no bigrams -> absent
     assert 3 not in rows
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from build_datawarehouse_demo_spark.operators.text import chunk_documents
+
+    # 10 tokens, chunk 4, overlap 2 -> starts 0,2,4,6,8
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, ""), (4, None)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc and 4 not in by_doc  # empty/null -> no chunks
+    assert [r.chunk_text for r in sorted(by_doc[2], key=lambda r: r.chunk_id)] == ["a b"]
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3, 4]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t2 t3 t4 t5"  # overlap of 2 tokens
+    assert c1[4].chunk_text == "t8 t9" and c1[4].n_chunk_tokens == 2  # tail clamp
+    # every consecutive pair shares exactly `overlap` tokens
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text.split()[2:] == b.chunk_text.split()[: len(a.chunk_text.split()[2:])]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_pack_sequences_offsets_contiguous_per_shard(spark):
+    from build_datawarehouse_demo_spark.operators.text import pack_sequences
+
+    docs = [(i, " ".join(["w"] * (3 + i))) for i in range(10)] + [(10, ""), (11, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in pack_sequences(df, ctx=5, shards=2).collect()}
+    # per shard, offsets are the exclusive prefix sums in doc_id order
+    for shard in (0, 1):
+        offset = 0
+        for r in sorted((r for r in rows.values() if r.shard == shard), key=lambda r: r.doc_id):
+            assert r.start_offset == offset
+            offset += r.n_tokens
+    # empty/null docs occupy a point: zero tokens, one sequence
+    for empty_id in (10, 11):
+        r = rows[empty_id]
+        assert r.n_tokens == 0 and r.n_seqs == 1 and r.start_seq == r.end_seq
+    # a doc longer than ctx spans multiple sequences
+    long = rows[9]  # 12 tokens, ctx 5
+    assert long.n_seqs >= 3 or long.n_tokens // 5 + 1 >= long.n_seqs >= 2
+
+
+def test_prepare_training_data_filters_dedups_splits(spark):
+    from build_datawarehouse_demo_spark.plans.training_data import prepare_training_data
+
+    good = "the cat and the dog sat of the mat to rest is fine"
+    docs = [
+        (1, good),            # survivor (en, long, fluent)
+        (2, good),            # exact dup of 1 after cleaning -> dropped
+        (3, "  " + good + " "),  # whitespace variant, same cleaned text -> dropped
+        (4, "xyzzy plugh"),   # no markers -> 'und' -> dropped
+        (5, "the cat"),       # too short -> dropped
+        (6, None),            # null text -> dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = prepare_training_data(df).collect()
+    assert [r.doc_id for r in rows] == [1]
+    r = rows[0]
+    assert r.pred_lang == "en" and r.split in ("train", "val", "test")
+    assert r.n_tokens == len(good.split()) and 0.0 <= r.quality <= 1.0
