@@ -75,6 +75,27 @@ def _ensure_bucketed_join_tables(spark, sf_dir: str, force: bool = False) -> Non
     spark._graft_bj_key = sf_dir
 
 
+def _ensure_dpp_events(spark, sf_dir: str) -> None:
+    """Write events partitioned by event_date once per (session,
+    sf_dir) — the layout half of the dynamic-partition-pruning story
+    (join_partitioned_dpp), same single-slot memo contract as
+    _ensure_bucketed_join_tables."""
+    from build_datawarehouse_demo_spark.sources.writers import save_table
+
+    if getattr(spark, "_graft_dpp_key", None) == sf_dir:
+        return
+    ev = _t(spark, sf_dir, "events", rebalance=False).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    save_table(
+        ev,
+        "dpp_events",
+        partition_by=("event_date",),
+        path=f"{_bucketed_scratch_dir()}/dpp_events",
+    )
+    spark._graft_dpp_key = sf_dir
+
+
 def _ensure_ann_index(spark, sf_dir: str, force: bool = False):
     """Write the RP-signature ANN index once per (session, sf_dir) —
     same single-slot memo contract as _ensure_bucketed_join_tables:
@@ -1476,6 +1497,49 @@ def register_extensions() -> None:
                 F.col("l_orderkey") == F.col("o_orderkey"),
             )
             .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
+        )
+
+    @register(
+        "join_partitioned_dpp",
+        oracle="""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE (CAST(ts AS DATE) - DATE '1970-01-01') % 7 = 2
+          AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
+        GROUP BY 1
+        """,
+    )
+    def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # dynamic partition pruning: the fact is WRITTEN partitioned by
+        # event_date (memoized, the same write-once amortization as the
+        # bucketed join); the dim filter (day-of-week) is not knowable
+        # at compile time, so Catalyst injects a dynamicpruning
+        # subquery that reuses the dim broadcast to skip fact
+        # partitions at RUNTIME — at 100 TB the scan reads ~1/7 of the
+        # partitions instead of all of them. tests/test_scale_layout.py
+        # plan-asserts the dynamicpruning expression under this entry.
+        # Day-of-week is epoch-day % 7 (engine-neutral: Spark and
+        # DuckDB weekday numbering conventions differ).
+        _ensure_dpp_events(spark, sf_dir)
+        dim = spark.sql(
+            "SELECT d AS event_date, datediff(d, DATE'1970-01-01') % 7 AS dow "
+            "FROM (SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-31')) AS d)"
+        )
+        return (
+            spark.table("dpp_events")
+            .join(dim.filter("dow = 2"), "event_date")
+            .groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+                "n_events",
+                "sum_value",
+            )
         )
 
     # ------------------------------------------------------------------

@@ -83,3 +83,15 @@ def test_dynamic_partition_pruning_in_plan(spark):
         assert "dynamicpruning" in plan.lower(), plan[:2000]
         assert q.collect()[0].n == 2000
         spark.sql("DROP TABLE IF EXISTS dpp_fact")
+
+
+def test_registered_dpp_join_plan_prunes_at_runtime(spark):
+    from build_datawarehouse_demo_spark.registry import queries
+
+    q = queries()["join_partitioned_dpp"](spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # the join keeps only in-window weekday dates: non-empty, <= 5
+    # distinct dates in a 31-day window
+    n = q.count()
+    assert 1 <= n <= 5
