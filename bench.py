@@ -56,6 +56,14 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_quality_score",
     "join_asof",
+    # composed corpus-prep pipeline (clean -> langid -> quality ->
+    # filter -> dedup -> split in one plan)
+    "pipeline_prepare_training_data",
+    # runtime partition pruning over the date-partitioned events
+    # layout: run 1 pays the memoized partitioned write, later runs
+    # measure the pruned join alone (same steady-state story as the
+    # bucketed join below)
+    "join_partitioned_dpp",
     # amortized steady state of the bucketed fact-fact join: run 1
     # pays the write-once build, later runs measure the exchange-free
     # join alone, so the MEDIAN of 5 is the join — by design.
