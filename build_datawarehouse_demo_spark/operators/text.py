@@ -135,24 +135,32 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     code — confidently labeling marker-free documents (code, non-Latin
     scripts) as German would poison per-language routing.
     """
-    toks = tokens(text_col)
+    # stage the token array AND the argmax struct through columns:
+    # higher-order functions sit outside codegen subexpression
+    # elimination, so inlined they'd re-tokenize once per reference —
+    # 5 languages x 2 output references = ~10 split() evals per row
+    # (measured in the corpus-prep pipeline plan; staged: 1).
+    staged = df.withColumn("__toks_li", tokens(text_col))
     hit_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array([F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+        hits = F.size(
+            F.filter(F.col("__toks_li"), lambda t: F.array_contains(arr, F.lower(t)))
+        )
         # sort key (-hits, lang): ascending sort = highest hits first,
         # ties broken by lexicographically FIRST language code.
         hit_cols.append(
             F.struct((-hits).cast("bigint").alias("neg_hits"), F.lit(lang).alias("lang"))
         )
-    best = F.sort_array(F.array(*hit_cols)).getItem(0)
+    staged = staged.withColumn("__best_li", F.sort_array(F.array(*hit_cols)).getItem(0))
+    best = F.col("__best_li")
     best_hits = (-best.getField("neg_hits")).cast("bigint")
-    return df.withColumns(
+    return staged.withColumns(
         {
             "pred_lang": F.when(best_hits > 0, best.getField("lang")).otherwise(F.lit("und")),
             "marker_hits": best_hits,
         }
-    )
+    ).drop("__toks_li", "__best_li")
 
 
 def repetition_score(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:

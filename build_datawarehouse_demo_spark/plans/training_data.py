@@ -48,11 +48,25 @@ def prepare_training_data(
     )
 
     featured = quality_score(lang_id(clean_normalize(df, text_col), text_col), text_col)
-    kept = featured.filter(
+    # Optimizer barrier: without it, PushDownPredicates substitutes the
+    # filter below the feature projection, re-evaluating
+    # split(trim(text)) ~20x per row (higher-order functions get no
+    # codegen CSE) BELOW the rebalance exchange — the heaviest stage
+    # runs once per reference at scan parallelism. The barrier must be
+    # (a) REFERENCED by the predicate, or column pruning deletes it and
+    # pushdown proceeds, and (b) inside a single non-splittable OR, or
+    # the conjuncts push individually. `mono_id < 0` is always false,
+    # so semantics are unchanged; the projection containing mono_id is
+    # nondeterministic, so the filter stays above it and the features
+    # compute ONCE. Nothing is lost at scale: the predicate needs the
+    # computed features, so it could never prune the scan anyway.
+    featured = featured.withColumn("__barrier", F.monotonically_increasing_id())
+    keep = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("quality") >= min_quality)
         & (F.col("pred_lang") != "und")
-    )
+    ) | (F.col("__barrier") < F.lit(0))
+    kept = featured.filter(keep).drop("__barrier")
     # exact dedup INSIDE the pipeline: min-id-per-digest via a window
     # (one exchange on the 16-byte digest), keeping the survivor's
     # feature columns — the grouped exact_dedup form returns only
