@@ -1,0 +1,78 @@
+"""Data-profiling operators: fixed-bin histograms and per-column
+table statistics — the "what is in this table" pass every warehouse
+and every training-data triage runs before anything else.
+
+Scale shape: both ops are single-pass aggregations. The histogram
+shuffles (bin) keys only; the profiler is one agg row expanded to one
+output row per column — the multi-DISTINCT agg plans through Spark's
+Expand operator (input duplicated once per distinct column), which is
+the exact-answer cost; at 100 TB swap `exact_distinct=False` to use
+HyperLogLog sketches (approx_count_distinct) and the Expand disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram_fixed(
+    df: DataFrame, value_col: str, bin_width: float, out_bin: str = "bin"
+) -> DataFrame:
+    """Fixed-width histogram: bin = floor(value / bin_width), with
+    per-bin count and observed min/max. NULL values are excluded.
+    One partial+final aggregation; only bin keys shuffle."""
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(F.floor(v / F.lit(float(bin_width))).cast("bigint").alias(out_bin))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).cast("double").alias("lo"),
+            F.max(v).cast("double").alias("hi"),
+        )
+    )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max stringified AFTER the typed
+    aggregation (a lexicographic min over stringified numerics would
+    be wrong). Pre-format timestamp columns to sortable strings before
+    calling if string min/max parity with another engine matters.
+
+    `exact_distinct=False` switches to approx_count_distinct: at scale
+    the exact form pays an Expand (input x n_cols); the HLL form is
+    one narrow pass with ~2% relative error.
+    """
+    cols = list(cols or df.columns)
+    distinct = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            distinct(c).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__nulls_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"__dist_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select("p.*")

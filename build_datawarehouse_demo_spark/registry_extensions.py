@@ -1500,6 +1500,64 @@ def register_extensions() -> None:
         )
 
     @register(
+        "agg_histogram_fixed",
+        oracle="""
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(min(value) AS DOUBLE) AS lo,
+               CAST(max(value) AS DOUBLE) AS hi
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+        """,
+    )
+    def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # fixed-width value histogram — only bin keys shuffle; the
+        # floor(value/width) binning is the same IEEE double op on
+        # both engines.
+        from build_datawarehouse_demo_spark.operators.profiling import histogram_fixed
+
+        return histogram_fixed(
+            _t(spark, sf_dir, "events", rebalance=False), "value", bin_width=50.0
+        )
+
+    _PROFILE_COLS = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderdate_str",
+    ]
+
+    @register(
+        "profile_table_stats",
+        oracle="\nUNION ALL\n".join(
+            f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) FILTER ({c} IS NULL) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM (SELECT *, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str
+              FROM orders)
+        """
+            for c in _PROFILE_COLS
+        ),
+    )
+    def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the "what is in this table" pass: one agg row (multi-DISTINCT
+        # via Expand — the exact-answer cost; profile_columns documents
+        # the HLL escape hatch for 100 TB) exploded to a row per
+        # column. The timestamp column is pre-formatted to a sortable
+        # string so min/max stringification is engine-neutral.
+        from build_datawarehouse_demo_spark.operators.profiling import profile_columns
+
+        orders = _t(spark, sf_dir, "orders", rebalance=False).withColumn(
+            "o_orderdate_str", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        )
+        return profile_columns(orders, _PROFILE_COLS)
+
+    @register(
         "join_partitioned_dpp",
         oracle="""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,

@@ -171,6 +171,27 @@ def register_parity() -> None:
         )
 
     @register(
+        "sink_compact_small_files",
+        oracle="SELECT doc_id, text, lang, source FROM documents",
+    )
+    def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the small-files remediation op: a fragmented ingest output
+        # (64 tiny files) is compacted to ceil(bytes/target) files via
+        # a shuffle-free coalesce rewrite; sizes come from a Hadoop FS
+        # listing so the same code works on s3a/hdfs. The entry
+        # round-trips the COMPACTED copy so the oracle checks content
+        # preservation; test_sources.py asserts the file-count drop.
+        from build_datawarehouse_demo_spark.sources.writers import compact_parquet_dir
+
+        frag = f"{SCRATCH}/docs_fragmented"
+        compacted = f"{SCRATCH}/docs_compacted"
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ).repartition(64).write.mode("overwrite").parquet(frag)
+        compact_parquet_dir(spark, frag, compacted, target_file_bytes=32 * 1024 * 1024)
+        return spark.read.parquet(compacted).select("doc_id", "text", "lang", "source")
+
+    @register(
         "sink_table_overwrite",
         oracle="""
         SELECT CAST(row_number() OVER (ORDER BY p_brand) AS INTEGER) AS brand_id, p_brand

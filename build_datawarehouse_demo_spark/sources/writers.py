@@ -134,3 +134,45 @@ def register_views(dataframes: dict[str, DataFrame]) -> None:
     /root/reference/transformation.py:531)."""
     for name, df in dataframes.items():
         df.createOrReplaceTempView(name)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a fragmented parquet directory into ~target-sized files.
+
+    The small-files problem is THE operational failure mode of
+    long-running ingest at scale: thousands of tiny files per partition
+    turn every downstream scan into a listing + open storm. Compaction
+    rewrites the directory with file count = ceil(input_bytes /
+    target_file_bytes), using `coalesce` (narrow — no shuffle: at 100 TB
+    the rewrite streams through, it never re-shuffles the data).
+
+    Sizes come from a filesystem listing (Hadoop FileSystem API, so the
+    same code paths work for s3a/hdfs), not from row counts — row width
+    varies; bytes are what the scan cost depends on. Returns the number
+    of output files written.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        raise ValueError(f"no parquet data under {src_path}")
+    it = fs.listFiles(jpath, True)
+    total_bytes = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total_bytes += f.getLen()
+    if total_bytes == 0:
+        raise ValueError(f"no parquet data under {src_path}")
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dest_path)
+    return n_files

@@ -75,3 +75,50 @@ def test_save_table_skips_empty(spark):
         assert spark.table("t_full_test").count() == 1
         spark.sql("DROP TABLE IF EXISTS t_full_test")
         spark.sql("DROP TABLE IF EXISTS t_empty_test")
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    from build_datawarehouse_demo_spark.sources.writers import compact_parquet_dir
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    spark.range(10000).selectExpr("id", "id * 2 AS v").repartition(32).write.parquet(frag)
+    import glob
+
+    n_in = len(glob.glob(f"{frag}/*.parquet"))
+    assert n_in == 32
+    n_declared = compact_parquet_dir(spark, frag, out, target_file_bytes=10**9)
+    n_out = len(glob.glob(f"{out}/*.parquet"))
+    assert n_declared == 1 and n_out == 1
+    # content preserved
+    assert spark.read.parquet(out).selectExpr("sum(v)").collect()[0][0] == 9999 * 10000
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_parquet_dir(spark, str(tmp_path / "empty_nothing"), out)
+
+
+def test_profile_columns_stats(spark):
+    from build_datawarehouse_demo_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 1.0), (3, "b", None), (None, "a", 4.0)],
+        "k long, s string, v double",
+    )
+    rows = {r.col_name: r for r in profile_columns(df).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nulls == 1 and rows["k"].n_distinct == 3
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["v"].min_value == "1.0" and rows["v"].max_value == "4.0"
+    # approx path returns the same shape
+    approx = {r.col_name: r for r in profile_columns(df, exact_distinct=False).collect()}
+    assert set(approx) == set(rows) and approx["k"].n_rows == 4
+
+
+def test_histogram_fixed_bins(spark):
+    from build_datawarehouse_demo_spark.operators.profiling import histogram_fixed
+
+    df = spark.createDataFrame([(0.5,), (49.9,), (50.0,), (99.0,), (None,)], "value double")
+    rows = {r.bin: r for r in histogram_fixed(df, "value", 50.0).collect()}
+    assert rows[0].n == 2 and rows[0].lo == 0.5 and rows[0].hi == 49.9
+    assert rows[1].n == 2 and rows[1].lo == 50.0  # exact boundary goes to upper bin
+    assert set(rows) == {0, 1}
