@@ -192,6 +192,31 @@ def register_parity() -> None:
         return spark.read.parquet(compacted).select("doc_id", "text", "lang", "source")
 
     @register(
+        "sink_clustered_scan",
+        oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+    )
+    def q_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # clustered (range-partitioned + sorted) layout: each written
+        # file covers a near-disjoint l_shipdate range, so the
+        # time-range filter skips whole files via parquet min/max —
+        # the single-key clustering answer where partition pruning is
+        # too coarse. test_scale_layout.py asserts the per-file stat
+        # ranges are pairwise disjoint.
+        from build_datawarehouse_demo_spark.sources.writers import write_clustered
+
+        path = f"{SCRATCH}/lineitem_clustered"
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+        )
+        write_clustered(li, path, ("l_shipdate",), n_files=8)
+        return spark.read.parquet(path).filter(
+            F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+        )
+
+    @register(
         "sink_table_overwrite",
         oracle="""
         SELECT CAST(row_number() OVER (ORDER BY p_brand) AS INTEGER) AS brand_id, p_brand

@@ -176,3 +176,27 @@ def compact_parquet_dir(
     df = spark.read.parquet(src_path)
     df.coalesce(n_files).write.mode("overwrite").parquet(dest_path)
     return n_files
+
+
+def write_clustered(
+    df: DataFrame, path: str, cluster_cols: tuple[str, ...], n_files: int = 8
+) -> None:
+    """Range-partitioned, sorted ("clustered") write: rows are range-
+    partitioned on the cluster key, sorted within each partition, and
+    written one file per partition — so every file covers a narrow,
+    near-disjoint key range and its parquet min/max row-group stats
+    let filtered scans SKIP whole files (the poor-man's Z-order for a
+    single key; at 100 TB this is how a time-range query avoids
+    touching years of data that partition pruning alone can't skip).
+    One range shuffle (sampled boundaries) + a local sort — no global
+    sort. tests/test_scale_layout.py asserts the written files' stat
+    ranges are pairwise disjoint.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -95,3 +95,28 @@ def test_registered_dpp_join_plan_prunes_at_runtime(spark):
     # distinct dates in a 31-day window
     n = q.count()
     assert 1 <= n <= 5
+
+
+def test_clustered_write_files_cover_disjoint_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from build_datawarehouse_demo_spark.sources.writers import write_clustered
+
+    df = spark.range(20000).selectExpr("id", "CAST(id % 9973 AS LONG) AS k")
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, ("k",), n_files=6)
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(1).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4  # range partitioner may merge tiny bounds
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping clustered files: {(lo1, hi1)} vs {(lo2, hi2)}"
