@@ -122,3 +122,18 @@ def test_histogram_fixed_bins(spark):
     assert rows[0].n == 2 and rows[0].lo == 0.5 and rows[0].hi == 49.9
     assert rows[1].n == 2 and rows[1].lo == 50.0  # exact boundary goes to upper bin
     assert set(rows) == {0, 1}
+
+
+def test_observe_quality_metrics_without_second_pass(spark):
+    from pyspark.sql import Observation
+
+    from build_datawarehouse_demo_spark.operators.profiling import with_quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (4, None)], "k long, s string"
+    )
+    obs = Observation("quality")
+    out = with_quality_metrics(df, obs, "k", "s")
+    out.write.format("noop").mode("overwrite").save()  # the ONLY pass
+    m = obs.get
+    assert m["n_rows"] == 4 and m["n_null_k"] == 1 and m["n_null_s"] == 2
