@@ -806,3 +806,71 @@ def register_layer_b() -> None:
         ORDER BY s.s_name
         """,
     )
+
+    # Recursive CTE (Spark 4.x WITH RECURSIVE): generate the month
+    # spine recursively, LEFT JOIN facts onto it — the gaps-preserving
+    # calendar aggregation a pandas reference does with reindex().
+    # Identical text runs on DuckDB (its recursive CTE dialect
+    # matches), so the oracle IS the query.
+    register_sql(
+        "sql_recursive_cte_months",
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01' AS m
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-12-01'
+        )
+        SELECT m AS month_ts, count(l_orderkey) AS n_items
+        FROM months LEFT JOIN lineitem ON date_trunc('month', l_shipdate) = m
+        GROUP BY m
+        """,
+    )
+
+    # Correlated LATERAL subquery with ORDER BY + LIMIT: top-1 line
+    # item per order. Catalyst must decorrelate this to a window/join
+    # (no per-row re-execution); same text runs on DuckDB.
+    register_sql(
+        "sql_lateral_topk_per_group",
+        """
+        SELECT o.o_orderkey, x.l_linenumber, x.l_extendedprice
+        FROM orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) x
+        """,
+    )
+
+    # Native PIVOT syntax (vs the portable conditional-agg form
+    # registered as sql_agg_pivot_conditional). DuckDB's PIVOT dialect
+    # differs, so the oracle is the conditional-agg equivalent.
+    register_sql(
+        "sql_pivot_native",
+        """
+        SELECT * FROM (SELECT l_returnflag, l_linestatus,
+                              CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)
+        PIVOT (CAST(sum(q) AS DOUBLE) FOR l_linestatus IN ('O' AS qty_o, 'F' AS qty_f))
+        """,
+        oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+
+    # Native UNPIVOT (wide -> long): nulls excluded by default, which
+    # these non-null columns make moot. Oracle is the UNION ALL
+    # equivalent.
+    register_sql(
+        "sql_unpivot_native",
+        """
+        SELECT p_partkey, metric, val FROM
+        (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v, p_retailprice AS price_v FROM part)
+        UNPIVOT (val FOR metric IN (size_v AS size, price_v AS price))
+        """,
+        oracle="""
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
+        """,
+    )
