@@ -138,6 +138,16 @@ def main() -> None:
     # The write-path median rides alongside in queries/samples but is
     # excluded from the sum (it measures the sink, not the queries).
     query_total = sum(v for k, v in timings.items() if k != "write_tables_concurrent")
+    # The driver captures only the last few KB of stdout; the round-3
+    # record came back unparseable because samples+gc_ms pushed the one
+    # JSON line past that buffer. Keep the printed line compact and
+    # ship the per-run audit detail in a side file instead.
+    detail = {"samples": samples, "gc_ms": gc_ms, "runs": runs, "sf": sf_val}
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {
@@ -145,8 +155,6 @@ def main() -> None:
                 "value": round(query_total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
-                "gc_ms": gc_ms,
                 "runs": runs,
                 "sf": sf_val,
             }
