@@ -3,12 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "samples": {...}, "runs": R, "sf": ...}
+   "runs": R, "sf": ...}
 
 Discipline (VERDICT round 1 item 4; round 2 item 3): every number is
 the MEDIAN of $SPARK_GRAFT_BENCH_RUNS runs (default 5) — single
-samples on this box swing ±30% — and the raw samples ship alongside so
-the medians are auditable. `value` is the sum of medians. Query order
+samples on this box swing ±30% — and the raw per-run samples + GC
+deltas go to a side file (BENCH_LOCAL_DETAIL[_$SPARK_GRAFT_ROUND].json,
+gitignored) so the medians stay auditable without blowing the driver's
+stdout capture. `value` is the sum of medians. Query order
 ROTATES each run (run r starts at query r), so no query always pays
 the same predecessor's session state; per-query GC deltas ship in
 `gc_ms` (the round-2 flagship "regression" was bimodal box noise —
@@ -143,11 +145,18 @@ def main() -> None:
     # JSON line past that buffer. Keep the printed line compact and
     # ship the per-run audit detail in a side file instead.
     detail = {"samples": samples, "gc_ms": gc_ms, "runs": runs, "sf": sf_val}
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_DETAIL.json"),
-        "w",
-    ) as f:
-        json.dump(detail, f, indent=1)
+    # Stamp the side file per round (SPARK_GRAFT_ROUND, if the driver
+    # exports one) so successive runs don't clobber a round's audit
+    # detail; never let an unwritable dir kill the headline JSON line.
+    stamp = os.environ.get("SPARK_GRAFT_ROUND", "")
+    detail_name = f"BENCH_LOCAL_DETAIL_{stamp}.json" if stamp else "BENCH_LOCAL_DETAIL.json"
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write {detail_name}: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
