@@ -91,3 +91,135 @@ def register_round5() -> None:
 
         edges = transition_edges(_t(spark, sf_dir, "events"))
         return pagerank(edges).select("node", F.round("rank", 6).alias("rank"))
+
+    # ------------------------------------------------------------------
+    # Spark 4 API surface: UDTF, VARIANT, HLL sketches, mapInArrow
+    # ------------------------------------------------------------------
+
+    @register(
+        "udtf_tokenize_positions",
+        oracle=r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, i - 1 AS pos, w[i] AS token, length(w[i]) AS n_chars
+        FROM tok, unnest(generate_series(1, len(w))) AS t(i)
+        """,
+    )
+    def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Python UDTF via LATERAL join — the Spark 4 table-function
+        escape hatch for one-to-many Python logic."""
+        from build_datawarehouse_demo_spark.operators.udfs import (
+            make_tokenize_positions_udtf,
+        )
+
+        spark.udtf.register("tokenize_positions", make_tokenize_positions_udtf())
+        _t(spark, sf_dir, "documents", rebalance=False).createOrReplaceTempView(
+            "udtf_docs"
+        )
+        return spark.sql(
+            """
+            SELECT d.doc_id, t.pos, t.token, t.n_chars
+            FROM udtf_docs d, LATERAL tokenize_positions(d.text) t
+            WHERE d.text IS NOT NULL
+            """
+        )
+
+    @register(
+        "sql_variant_extract",
+        oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        """,
+    )
+    def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """VARIANT ingestion (Spark 4): parse_json once at scan time,
+        then typed variant_get extraction — the open-schema semi-
+        structured path that replaces repeated string JSON parsing.
+        At 100 TB the parse happens once per row in the scan project,
+        and the binary variant encoding is far cheaper to re-read than
+        re-parsing JSON text per access."""
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        # try_parse_json: malformed rows become NULL instead of failing
+        # the scan (the oracle's input is well-formed, so parity holds).
+        k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("k")
+        return (
+            ev.select("event_type", k)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+
+    @register(
+        "agg_hll_sketch_merge",
+        oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bounds
+        FROM events
+        GROUP BY event_type
+        """,
+    )
+    def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mergeable HLL sketches (Spark 4 hll_* functions): build one
+        sketch per (event_type, day), union the days, estimate — the
+        incremental-stats pattern where a 100 TB history keeps only
+        per-partition sketch bytes and distinct counts stay queryable
+        without rescanning raw data.
+
+        Bounds-invariant oracle (same discipline as agg_approx_stats):
+        both engines emit the exact count and a boolean asserting the
+        merged estimate sits within 3x the documented rsd for
+        lgConfigK=12 (1.04/sqrt(2^12) ~ 1.6%) — a guarantee, not a
+        flake; a sketch out of bounds hash-mismatches."""
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        lg_k = 12
+        eps = 3 * 1.04 / (2**lg_k) ** 0.5
+        daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+            F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+        )
+        merged = daily.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("exact_users")
+        )
+        return exact.join(merged, "event_type").select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(eps)
+            ).alias("within_bounds"),
+        )
+
+    @register(
+        "udf_arrow_map",
+        oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * x))), 6) AS l2_norm
+        FROM embeddings
+        """,
+    )
+    def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """mapInArrow kernel over raw Arrow buffers (see
+        operators/udfs.py:embedding_norms_arrow)."""
+        from build_datawarehouse_demo_spark.operators.udfs import (
+            embedding_norms_arrow,
+        )
+
+        return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
