@@ -223,3 +223,60 @@ def register_round5() -> None:
         )
 
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
+
+    # ------------------------------------------------------------------
+    # runtime row-level filtering (injected bloom filter)
+    # ------------------------------------------------------------------
+
+    @register(
+        "join_bloom_runtime_filter",
+        oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY o.o_orderpriority
+        """,
+    )
+    def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Shuffle join with an INJECTED runtime bloom filter: Spark
+        builds a bloom filter from the selective (filtered) orders side
+        and applies might_contain() on lineitem BEFORE its shuffle —
+        at 100 TB this drops most fact rows pre-exchange, the same IO
+        win dynamic partition pruning gives a partitioned layout, but
+        for arbitrary (unpartitioned) join keys.
+
+        Config scope: a ``newSession()`` clone shares the JVM/context
+        but carries its own SQLConf, so the injection thresholds (tuned
+        down to fire at test scale) and the broadcast opt-out never
+        leak into the caller's session or the bench's other plans.
+        tests/test_scale_layout.py asserts might_contain is really in
+        this plan.
+        """
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+        # force the shuffle-join shape the filter exists for (a
+        # broadcast build already reaches every executor; bloom
+        # injection targets exchanges)
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = _t(s2, sf_dir, "lineitem", rebalance=False)
+        orders = _t(s2, sf_dir, "orders", rebalance=False).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )

@@ -120,3 +120,24 @@ def test_clustered_write_files_cover_disjoint_ranges(spark, tmp_path):
     assert len(ranges) >= 4  # range partitioner may merge tiny bounds
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping clustered files: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_bloom_runtime_filter_injected_and_scoped(spark):
+    """join_bloom_runtime_filter must really carry the injected
+    might_contain() filter on the fact side, and its tuned injection
+    thresholds must stay in the newSession clone — never the caller's
+    session."""
+    from build_datawarehouse_demo_spark import registry
+
+    before = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    df = registry.queries()["join_bloom_runtime_filter"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert df.count() > 0
+    after = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    assert after == before
