@@ -225,6 +225,32 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # streaming: stream-stream LEFT OUTER interval join (batch twin)
+    # ------------------------------------------------------------------
+
+    @register(
+        "streaming_interval_join_outer",
+        oracle="""
+        SELECT a.event_id, b.event_id AS prior_event_id
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id AND b.ts < a.ts
+         AND b.ts >= a.ts - INTERVAL 1 HOUR
+        """,
+    )
+    def q_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch form of the watermarked stream-stream LEFT OUTER
+        interval join (streaming/joins.py): match-less events surface
+        with NULL prior_event_id once the watermark proves no match
+        can still arrive. Stream ≡ batch asserted in
+        tests/test_streaming.py with watermark flush events."""
+        from build_datawarehouse_demo_spark.streaming.joins import (
+            prior_events_interval_join,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        return prior_events_interval_join(ev, ev, how="left_outer")
+
+    # ------------------------------------------------------------------
     # runtime row-level filtering (injected bloom filter)
     # ------------------------------------------------------------------
 

@@ -29,10 +29,19 @@ def prior_events_interval_join(
     time_col: str = "ts",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """(event_id, prior_event_id) pairs: for every left event, the
     right events of the same key strictly earlier but within
-    `lookback`. Pass the same frame twice for the self-join form."""
+    `lookback`. Pass the same frame twice for the self-join form.
+
+    ``how="left_outer"`` keeps match-less left events with a NULL
+    prior_event_id — under streaming, Spark holds the left row in
+    state until the watermark proves no matching right row can still
+    arrive, THEN emits the null row; the outer result is therefore
+    only complete once the watermark has passed `ts + lookback` for
+    every left event (tests push it past the end with flush events).
+    """
     l_side = left.select(F.col(key), F.col(id_col), F.col(time_col))
     r_side = right.select(
         F.col(key).alias("__rkey"),
@@ -48,4 +57,4 @@ def prior_events_interval_join(
         & (F.col("__rts") < F.col(time_col))
         & (F.col("__rts") >= F.col(time_col) - F.expr(f"INTERVAL {lookback}"))
     )
-    return l_side.join(r_side, cond, "inner").select(id_col, "prior_event_id")
+    return l_side.join(r_side, cond, how).select(id_col, "prior_event_id")

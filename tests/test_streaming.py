@@ -172,3 +172,48 @@ def test_interval_join_stream_equals_batch(spark):
             for r in spark.sql("SELECT * FROM ivj_out").collect()
         }
         assert got == expect and len(expect) > 0
+
+
+def test_interval_join_outer_stream_equals_batch(spark):
+    """Stream-stream LEFT OUTER interval join: null rows for
+    match-less events are only emitted once the watermark passes
+    ts + lookback, so the finite input is followed by two far-future
+    flush events in their own triggers — the first advances the
+    watermark past every real event, the second gives Spark a trigger
+    in which to emit the expired outer rows."""
+    import time
+
+    from build_datawarehouse_demo_spark.streaming.joins import prior_events_interval_join
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = _events_as_stream_dir(spark, tmpdir)
+        batch_df = spark.read.parquet(path)
+        expect = {
+            (r.event_id, r.prior_event_id)
+            for r in prior_events_interval_join(batch_df, batch_df, how="left_outer").collect()
+        }
+        max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+        # flush events: far-future rows for a user id outside the data,
+        # written AFTER the main files so the file source (oldest mtime
+        # first, one file per trigger) processes each in its own trigger.
+        for i, hours in enumerate((10, 20)):
+            time.sleep(0.05)
+            spark.createDataFrame(
+                [(10_000_000 + i, max_ts, -1, "flush", 0.0, "{}")],
+                schema=batch_df.schema,
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).coalesce(
+                1
+            ).write.mode("append").parquet(path)
+        s1 = read_event_stream(spark, path, max_files_per_trigger=1)
+        s2 = read_event_stream(spark, path, max_files_per_trigger=1)
+        joined = prior_events_interval_join(s1, s2, how="left_outer")
+        assert joined.isStreaming
+        run_stream_to_memory(joined, "ivjo_out", output_mode="append")
+        got = {
+            (r.event_id, r.prior_event_id)
+            for r in spark.sql("SELECT * FROM ivjo_out").collect()
+            if r.event_id < 10_000_000  # drop the flush sentinels
+        }
+        assert got == expect and len(expect) > 0
+        # the outer rows are the point: at least one null must be there
+        assert any(p is None for _, p in got)
