@@ -60,6 +60,39 @@ def stratified_sample_by_hash(
     return df.filter(_bucket(F.col(id_col), seed, purpose="strat") < threshold)
 
 
+def reservoir_sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly min(k, |group|) rows
+    per group, chosen uniformly by ranking the purpose-salted id hash.
+
+    The distributed answer to reservoir sampling — same marginal
+    distribution (each member equally likely under the random-oracle
+    hash), but a pure function of the data: re-runnable, engine-
+    portable, oracle-checkable, and streaming-friendly (a new row
+    displaces the current max-hash member iff its hash is smaller).
+
+    Scale shape: one shuffle on group_col for the rank window. For
+    heavy groups, pre-filter with an approximate per-group hash
+    threshold before the window to cap state (not needed here; noted
+    for the 100 TB path). Hash ties are broken by id so the window
+    order is total; NULL ids are dropped (no stable identity = no
+    stable sample membership).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    h = hash32(F.concat(F.lit("reservoir:"), F.col(id_col).cast("string")), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("__rs_rank", F.row_number().over(w))
+        .where(F.col("__rs_rank") <= k)
+        .drop("__rs_rank")
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

@@ -225,6 +225,39 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # deterministic fixed-size per-group sampling
+    # ------------------------------------------------------------------
+
+    @register(
+        "sample_reservoir_per_group",
+        oracle="""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('0:reservoir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM documents WHERE doc_id IS NOT NULL
+        ),
+        r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h
+        )
+        SELECT doc_id, lang FROM r WHERE rn <= 5
+        """,
+    )
+    def q_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exactly-k-per-group deterministic sample (reservoir
+        semantics as a hash-rank window — see operators/sampling.py)."""
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            reservoir_sample_per_group,
+        )
+
+        docs = _t(spark, sf_dir, "documents", rebalance=False)
+        return reservoir_sample_per_group(docs, "lang", "doc_id", k=5).select(
+            "doc_id", "lang"
+        )
+
+    # ------------------------------------------------------------------
     # streaming: stream-stream LEFT OUTER interval join (batch twin)
     # ------------------------------------------------------------------
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from build_datawarehouse_demo_spark.operators.sampling import (
     sample_by_hash,
     stratified_sample_by_hash,
@@ -77,3 +79,30 @@ def test_split_null_id_gets_null_label(spark):
     df = spark.createDataFrame([(1,), (None,)], "doc_id long")
     got = {r.doc_id: r.split for r in train_val_test_split(df, "doc_id").collect()}
     assert got[None] is None and got[1] in ("train", "val", "test")
+
+
+def test_reservoir_sample_per_group_exact_k_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)] + [(None, "a")],
+        "id long, g string",
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import reservoir_sample_per_group
+
+    s1 = reservoir_sample_per_group(df, "g", "id", k=10)
+    rows = s1.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], set()).add(r["id"])
+    assert len(by_g["a"]) == 10 and len(by_g["b"]) == 10
+    assert None not in by_g["a"]
+    # deterministic under a different partitioning
+    s2 = reservoir_sample_per_group(df.repartition(7), "g", "id", k=10)
+    assert {(r["g"], r["id"]) for r in s2.collect()} == {(r["g"], r["id"]) for r in rows}
+    # small groups return whole group
+    tiny = reservoir_sample_per_group(df.where("g = 'b'"), "g", "id", k=500)
+    assert tiny.count() == 20
+    # seed changes the draw
+    s3 = reservoir_sample_per_group(df, "g", "id", k=10, seed=1)
+    assert {r["id"] for r in s3.collect()} != {r["id"] for r in rows}
+    with pytest.raises(ValueError):
+        reservoir_sample_per_group(df, "g", "id", k=0)
