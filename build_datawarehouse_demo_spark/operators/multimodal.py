@@ -112,6 +112,51 @@ def sample_frames(
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "id bigint, src_bytes bigint, dst_bytes int, resized_md5 string"
+
+
+def resize_payload_nearest(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Nearest-neighbor resample of an opaque binary payload to a fixed
+    size: output byte j = input byte (j * n) // target.
+
+    The batched-resize operator shape with a real (if 1-D) kernel: a
+    production image resize swaps the per-payload function for
+    PIL.Image.resize over decoded pixels — the Spark side (binary
+    Arrow batches in, fixed-size payload digests out, null/empty rows
+    skipped not fatal) is identical. Emitting the md5 instead of the
+    resized payload keeps the registered result oracle-checkable;
+    writers would keep the bytes.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_id, out_n, out_md5 = [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue  # nothing to resample; not a crash
+                n = len(payload)
+                resized = bytes(
+                    payload[(j * n) // target_bytes] for j in range(target_bytes)
+                )
+                out_id.append(rid)
+                out_n.append(n)
+                out_md5.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "src_bytes": pd.Series(out_n, dtype="int64"),
+                    "dst_bytes": pd.Series([target_bytes] * len(out_id), dtype="int32"),
+                    "resized_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 IMAGE_META_SCHEMA = (
     "id bigint, n_bytes bigint, width int, height int, format string, content_md5 string"
 )

@@ -225,6 +225,41 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # multimodal: batched nearest-neighbor payload resize
+    # ------------------------------------------------------------------
+
+    @register(
+        "multimodal_resize_nearest",
+        oracle="""
+        WITH src AS (
+          SELECT doc_id, text, length(text) AS n
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        px AS (
+          SELECT doc_id, n, j,
+                 substr(text, CAST((j * n) // 64 AS INTEGER) + 1, 1) AS ch
+          FROM src, unnest(generate_series(0, 63)) AS t(j)
+        )
+        SELECT doc_id AS id, CAST(n AS BIGINT) AS src_bytes, 64 AS dst_bytes,
+               md5(string_agg(ch, '' ORDER BY j)) AS resized_md5
+        FROM px GROUP BY doc_id, n
+        """,
+    )
+    def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched binary resize (operators/multimodal.py:
+        resize_payload_nearest) over the UTF-8 payload stand-in. The
+        oracle resamples characters — the testdata text is ASCII so
+        byte j == char j; real image bytes would be compared by digest
+        against the same kernel run offline."""
+        from build_datawarehouse_demo_spark.operators.multimodal import (
+            attach_binary,
+            resize_payload_nearest,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        return resize_payload_nearest(attach_binary(docs))
+
+    # ------------------------------------------------------------------
     # deterministic fixed-size per-group sampling
     # ------------------------------------------------------------------
 

@@ -80,3 +80,24 @@ def test_decode_image_unknown_format_fails_loud(spark):
         pass
     with pytest.raises(Exception, match="no decoder for payload"):
         decode_image(df).collect()
+
+
+def test_resize_payload_nearest_kernel(spark):
+    from build_datawarehouse_demo_spark.operators.multimodal import resize_payload_nearest
+
+    df = spark.createDataFrame(
+        [(1, b"abcd"), (2, b"x"), (3, None), (4, b"")],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in resize_payload_nearest(df, target_bytes=8).collect()}
+    # null/empty payloads are skipped, not fatal
+    assert set(rows) == {1, 2}
+    import hashlib
+
+    # id 1: n=4, target=8 -> indices (j*4)//8 = [0,0,1,1,2,2,3,3]
+    assert rows[1]["resized_md5"] == hashlib.md5(b"aabbccdd").hexdigest()
+    assert rows[1]["src_bytes"] == 4 and rows[1]["dst_bytes"] == 8
+    # id 2: single byte replicated
+    assert rows[2]["resized_md5"] == hashlib.md5(b"xxxxxxxx").hexdigest()
+    with pytest.raises(ValueError):
+        resize_payload_nearest(df, target_bytes=0)
