@@ -225,6 +225,34 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # scale layout: Z-order clustered write + 2-D box scan
+    # ------------------------------------------------------------------
+
+    @register(
+        "sink_zorder_scan",
+        oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem
+        WHERE l_orderkey <= 3000 AND l_partkey <= 400
+        """,
+    )
+    def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Z-order layout (sources/writers.py:write_zordered): one
+        Morton sort keeps files compact in BOTH l_orderkey and
+        l_partkey, so the 2-D box filter skips most files via parquet
+        min/max — what no single-column clustering can give both dims
+        at once."""
+        from build_datawarehouse_demo_spark.registry_parity import SCRATCH
+        from build_datawarehouse_demo_spark.sources.writers import write_zordered
+
+        path = f"{SCRATCH}/lineitem_zorder"
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        write_zordered(li, path, "l_orderkey", "l_partkey", n_files=16)
+        return spark.read.parquet(path).where(
+            (F.col("l_orderkey") <= 3000) & (F.col("l_partkey") <= 400)
+        )
+
+    # ------------------------------------------------------------------
     # multimodal: batched nearest-neighbor payload resize
     # ------------------------------------------------------------------
 

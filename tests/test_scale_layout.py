@@ -141,3 +141,45 @@ def test_bloom_runtime_filter_injected_and_scoped(spark):
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     )
     assert after == before
+
+
+def test_zorder_write_compact_in_both_dims(spark, tmp_path):
+    """Z-ordered files must stay compact in BOTH dimensions: each
+    file's min/max span should cover a small fraction of the global
+    range for x AND y — a single-column sort can only deliver that
+    for its own column (the control assertion shows exactly that)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from build_datawarehouse_demo_spark.sources.writers import write_clustered, write_zordered
+
+    n = 1 << 14
+    # x walks the range, y is a decorrelated permutation of it
+    df = spark.range(n).selectExpr("id AS x", f"CAST((id * 48271) % {n} AS LONG) AS y")
+
+    def spans(path, colnames):
+        out = {c: [] for c in colnames}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for c in colnames:
+                i = names.index(c)
+                sts = [md.row_group(rg).column(i).statistics for rg in range(md.num_row_groups)]
+                out[c].append((min(s.min for s in sts), max(s.max for s in sts)))
+        return out
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=16)
+    zs = spans(zpath, ["x", "y"])
+    assert len(zs["x"]) >= 8
+    for c in ("x", "y"):
+        avg_span = sum(hi - lo for lo, hi in zs[c]) / len(zs[c])
+        assert avg_span < 0.5 * n, f"z-order not compact in {c}: avg span {avg_span}"
+
+    # control: x-only clustering leaves y spans ~ full range
+    cpath = str(tmp_path / "xonly")
+    write_clustered(df, cpath, ("x",), n_files=16)
+    cs = spans(cpath, ["y"])
+    avg_y = sum(hi - lo for lo, hi in cs["y"]) / len(cs["y"])
+    assert avg_y > 0.9 * n, f"control unexpectedly compact in y: {avg_y}"
