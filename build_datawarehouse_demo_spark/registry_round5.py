@@ -225,6 +225,110 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # AQE skew-join: runtime hot-partition splitting
+    # ------------------------------------------------------------------
+
+    @register(
+        "join_skew_aqe",
+        oracle="""
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey END AS k,
+                 l_quantity
+          FROM lineitem
+        ),
+        dim AS (
+          SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 10 >= 8
+          UNION ALL SELECT 1
+        )
+        SELECT (f.k = 1) AS hot,
+               count(*) AS n_items,
+               CAST(sum(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM fact f JOIN dim d ON d.k = f.k
+        GROUP BY (f.k = 1)
+        """,
+    )
+    def q_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """AQE skew-join split: 80% of lineitem collapses onto one hot
+        key, and Spark splits that reduce partition at RUNTIME from the
+        real shuffle sizes (SortMergeJoin(skew=true), asserted in
+        tests/test_skew_keys.py) — the engine-native complement to the
+        manual salting ops (operators/skew.py). Thresholds are tuned
+        down to fire at test scale inside a newSession clone; at real
+        scale the defaults (256 MB / factor 5) do the same job.
+
+        Pattern constraint worth knowing: the join children must reach
+        the SMJ as PLAIN shuffle stages — an aggregate (e.g. distinct)
+        between shuffle and join breaks AQE's skew pattern-match, so
+        the dim side is built as filter+union instead (measured: the
+        distinct form never splits).
+        """
+        s2 = spark.newSession()
+        for key, val in {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        }.items():
+            s2.conf.set(key, val)
+        fact = _t(s2, sf_dir, "lineitem").select(
+            F.when((F.col("l_orderkey") % 10) < 8, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        dim = (
+            _t(s2, sf_dir, "orders", rebalance=False)
+            .where((F.col("o_orderkey") % 10) >= 8)
+            .select(F.col("o_orderkey").alias("k"))
+            .union(s2.range(1, 2).select(F.col("id").alias("k")))
+        )
+        return (
+            fact.join(dim, "k")
+            .groupBy((F.col("k") == 1).alias("hot"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # custom Python Data Source (Spark 4 DataSource API)
+    # ------------------------------------------------------------------
+
+    @register(
+        "src_python_datasource",
+        oracle="""
+        SELECT i AS id, CAST(i % 10 AS INTEGER) AS bucket,
+               md5(CAST(i AS VARCHAR)) AS payload
+        FROM generate_series(0, 999) AS t(i)
+        WHERE i % 10 < 3
+        """,
+    )
+    def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Partition-parallel custom Python source (sources/
+        python_datasource.py) — rows are pure functions of id, so the
+        oracle regenerates them; the filter runs Spark-side on the
+        source output."""
+        from build_datawarehouse_demo_spark.sources.python_datasource import (
+            SyntheticDocsDataSource,
+        )
+
+        try:
+            spark.dataSource.register(SyntheticDocsDataSource)
+        except Exception:
+            pass  # idempotent re-register in the same session
+        return (
+            spark.read.format("synthetic_docs")
+            .option("rows", "1000")
+            .option("partitions", "8")
+            .load()
+            .where(F.col("bucket") < 3)
+        )
+
+    # ------------------------------------------------------------------
     # scale layout: Z-order clustered write + 2-D box scan
     # ------------------------------------------------------------------
 

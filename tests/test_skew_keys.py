@@ -46,3 +46,20 @@ def test_scalable_key_no_python_rdd_and_contiguous(spark):
     assert (agg.lo, agg.hi, agg.n) == (1, 5000, 5000)
     # the id must pair 1:1 with rows (no drops/dups through the join)
     assert keyed.select("x").distinct().count() == 5000
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """join_skew_aqe must end up with SortMergeJoin(skew=true) in the
+    FINAL adaptive plan — i.e. Spark really split the hot partition at
+    runtime — and its thresholds must not leak into the caller."""
+    from build_datawarehouse_demo_spark import registry
+
+    before = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    df = registry.queries()["join_skew_aqe"](spark, "/root/testdata/sf0.001")
+    rows = {r["hot"]: r["n_items"] for r in df.collect()}
+    assert rows[True] > rows[False] > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]
+    assert (
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        == before
+    )

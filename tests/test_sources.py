@@ -137,3 +137,28 @@ def test_observe_quality_metrics_without_second_pass(spark):
     out.write.format("noop").mode("overwrite").save()  # the ONLY pass
     m = obs.get
     assert m["n_rows"] == 4 and m["n_null_k"] == 1 and m["n_null_s"] == 2
+
+
+def test_python_datasource_partitioned_read(spark):
+    from build_datawarehouse_demo_spark.sources.python_datasource import (
+        SyntheticDocsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "103")  # deliberately not divisible by partitions
+        .option("partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert sorted(r["id"] for r in rows) == list(range(103))
+    import hashlib
+
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[7]["payload"] == hashlib.md5(b"7").hexdigest()
+    assert by_id[7]["bucket"] == 7
