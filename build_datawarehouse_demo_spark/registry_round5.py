@@ -225,6 +225,27 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # streaming: transformWithState running counts (batch twin)
+    # ------------------------------------------------------------------
+
+    @register(
+        "streaming_transform_with_state",
+        oracle="""
+        SELECT user_id, event_type, count(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+        """,
+    )
+    def q_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch twin of the transformWithState MapState counter
+        (streaming/stateful.py:user_event_type_counts); stream ≡ batch
+        asserted in tests/test_streaming.py."""
+        from build_datawarehouse_demo_spark.streaming.stateful import (
+            user_event_type_counts,
+        )
+
+        return user_event_type_counts(_t(spark, sf_dir, "events", rebalance=False))
+
+    # ------------------------------------------------------------------
     # AQE skew-join: runtime hot-partition splitting
     # ------------------------------------------------------------------
 

@@ -120,3 +120,95 @@ def _running_totals_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, USER_TOTALS_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+TYPE_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def user_event_type_counts(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts — the transformWithState
+    flavor of the stateful surface (Spark 4's successor API to
+    applyInPandasWithState, used by user_running_totals above).
+
+    Batch input -> plain groupBy count (the final state; the
+    registered, oracle-checked form). Streaming input -> a
+    StatefulProcessor holding ONE MapState per user keyed by
+    event_type: composable typed state (Value/List/Map + timers + TTL)
+    instead of a single monolithic state tuple, still partitioned by
+    key across executors and sized by #users x #types, not #events.
+    Each micro-batch emits the updated (user, type) counts only.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+    return _event_type_counts_stream(events)
+
+
+def _event_type_counts_stream(events: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    # transformWithState's state server speaks protobuf between the JVM
+    # and a Python driver worker; without it the worker crashes with an
+    # opaque "exited unexpectedly". Probe up front and fail precisely
+    # (same capability-gate convention as sources/formats.py).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package on the "
+            "driver and executors (pip install protobuf); its state-server "
+            "protocol is protobuf-encoded. The batch form of "
+            "user_event_type_counts works without it."
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "event_type string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                for et, c in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(c)
+            updated: dict[str, int] = {}
+            for et, c in batch.items():
+                prev = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                total = prev + c
+                self._counts.updateValue((et,), (total,))
+                updated[et] = total
+            if updated:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(updated),
+                        "event_type": list(updated),
+                        "n_events": list(updated.values()),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TypeCounts(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
