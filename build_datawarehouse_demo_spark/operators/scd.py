@@ -134,3 +134,32 @@ def scd2_as_of(history: DataFrame, ts: str) -> DataFrame:
     """Point-in-time view: the version of every key valid at `ts`."""
     t = F.lit(ts).cast("timestamp")
     return history.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+
+
+def apply_cdc_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC change feed to the current state of every key:
+    the LAST change wins (by order_cols — make the last column a
+    unique tiebreak so "last" is total), and keys whose last change is
+    a delete/tombstone disappear.
+
+    The Debezium/Delta-CDF apply shape as one window pass: shuffle on
+    the key, rank within it, keep rn=1 non-tombstones. At 100 TB the
+    feed is usually log-partitioned by ingest time — this op neither
+    assumes nor preserves that; its one exchange is the per-key
+    collapse that MERGE INTO would also pay. For continuous feeds run
+    it per micro-batch and fold into upsert() against the base table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("__cdc_rn", F.row_number().over(w))
+        .where((F.col("__cdc_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__cdc_rn")
+    )

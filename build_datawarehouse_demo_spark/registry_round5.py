@@ -225,6 +225,84 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # CDC: collapse a change feed to current state
+    # ------------------------------------------------------------------
+
+    @register(
+        "cdc_apply_changes",
+        oracle="""
+        WITH feed AS (
+          SELECT o_custkey AS cust_id,
+                 CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+                 o_orderdate AS change_ts, o_orderkey AS seq,
+                 o_totalprice AS price
+          FROM orders
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY cust_id
+                     ORDER BY change_ts DESC, seq DESC) AS rn
+          FROM feed
+        )
+        SELECT cust_id, change_ts, seq, price
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+    )
+    def q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CDC apply (operators/scd.py:apply_cdc_changes): a synthetic
+        change feed derived from orders (every 5th change a tombstone),
+        collapsed to last-change-wins current state."""
+        from build_datawarehouse_demo_spark.operators.scd import apply_cdc_changes
+
+        feed = _t(spark, sf_dir, "orders", rebalance=False).select(
+            F.col("o_custkey").alias("cust_id"),
+            F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U").alias("op"),
+            F.col("o_orderdate").alias("change_ts"),
+            F.col("o_orderkey").alias("seq"),
+            F.col("o_totalprice").alias("price"),
+        )
+        return apply_cdc_changes(
+            feed, key_cols=["cust_id"], order_cols=["change_ts", "seq"]
+        ).select("cust_id", "change_ts", "seq", "price")
+
+    # ------------------------------------------------------------------
+    # ML featurization: feature hashing (HashingTF shape)
+    # ------------------------------------------------------------------
+
+    @register(
+        "ml_feature_hashing",
+        oracle=r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5('0:' || tok), 1, 8)) AS BIGINT) % 64
+                    AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM tok GROUP BY 1, 2
+        """,
+    )
+    def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Feature hashing (HashingTF): tokens -> md5-derived bucket in
+        [0, 64) -> per-doc bucket counts. Scalarized (doc_id, bucket,
+        n) rows instead of a packed vector so the result stays
+        hashable by the driver; assembling the dense vector is a
+        groupBy collect_list away. Engine-portable hash = the same
+        featurization in any serving stack."""
+        from build_datawarehouse_demo_spark.operators.dedup import hash32
+        from build_datawarehouse_demo_spark.operators.text import tokens
+
+        docs = _t(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+            .select("doc_id", (hash32(F.col("tok")) % 64).alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    # ------------------------------------------------------------------
     # streaming: transformWithState running counts (batch twin)
     # ------------------------------------------------------------------
 

@@ -103,3 +103,29 @@ def test_incremental_rollup_bootstrap_none(spark):
     assert {tuple(x) for x in r.collect()} == {
         tuple(x) for x in rollup_events_hourly(events).collect()
     }
+
+
+def test_apply_cdc_changes_last_wins_and_tombstones(spark):
+    from build_datawarehouse_demo_spark.operators.scd import apply_cdc_changes
+
+    feed = spark.createDataFrame(
+        [
+            # key 1: U then U — last price wins
+            (1, "U", 1, 10.0),
+            (1, "U", 2, 20.0),
+            # key 2: U then D — disappears
+            (2, "U", 1, 5.0),
+            (2, "D", 2, None),
+            # key 3: D then U — resurrected by the later upsert
+            (3, "D", 1, None),
+            (3, "U", 2, 7.0),
+            # key 4: same seq would be ambiguous; unique seq is the contract
+            (4, "U", 9, 1.0),
+        ],
+        "k long, op string, seq long, price double",
+    )
+    got = {
+        r["k"]: r["price"]
+        for r in apply_cdc_changes(feed, key_cols=["k"], order_cols=["seq"]).collect()
+    }
+    assert got == {1: 20.0, 3: 7.0, 4: 1.0}
