@@ -70,6 +70,11 @@ HEADLINE = [
     # pays the write-once build, later runs measure the exchange-free
     # join alone, so the MEDIAN of 5 is the join — by design.
     "join_bucketed_shuffle_free",
+    # round-5 families worth tracking: the iterative join+agg loop
+    # (regressions here are silent otherwise) and the Arrow-native
+    # kernel lane
+    "graph_pagerank",
+    "udf_arrow_map",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

@@ -61,6 +61,7 @@ def pagerank(
     weight: str = "w",
     damping: float = 0.85,
     iterations: int = 5,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Weighted PageRank, fixed number of power iterations.
 
@@ -71,6 +72,14 @@ def pagerank(
     redistributed — the standard simplification; both this and the SQL
     oracle implement identical semantics.  Returns (node, rank) with
     full-precision doubles; callers round for display/oracle hashing.
+
+    ``broadcast_ranks`` (default) hints the |nodes|-row rank and
+    contribution tables broadcast, so the stationary edge set is NEVER
+    shuffled — without the hint Catalyst falls back to sort-merge and
+    re-shuffles the edges every iteration (measured: 5 SMJs on the
+    edge side). Disable only when the node count itself exceeds
+    broadcast capacity; the plan then degrades to shuffle joins whose
+    edge-side exchange is at least reused from the checkpoint read.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -98,14 +107,15 @@ def pagerank(
     # Python-side doubles match SQL: (1.0 - 0.85) and 1.0/n are single
     # IEEE ops on exactly-representable inputs in both engines.
     teleport = (1.0 - damping) / n
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            share.join(ranks, share["e_src"] == ranks["node"])
+            share.join(hint(ranks), share["e_src"] == ranks["node"])
             .groupBy("e_dst")
             .agg(F.sum(F.col("rank") * F.col("share")).alias("c"))
         )
-        ranks = nodes.join(contribs, nodes["node"] == contribs["e_dst"], "left").select(
+        ranks = nodes.join(hint(contribs), nodes["node"] == contribs["e_dst"], "left").select(
             "node",
             (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
                 "rank"
