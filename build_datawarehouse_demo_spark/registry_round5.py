@@ -225,6 +225,94 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # statistics family, windowed distinct, incremental-ingest dedup
+    # ------------------------------------------------------------------
+
+    @register(
+        "sql_agg_stats_family",
+        oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(median(l_quantity), 6) AS med_qty,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6) AS var_qty
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+    def q_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact median + sample stddev/variance per group. Both
+        engines compute incremental moments in doubles; at these
+        magnitudes the cross-engine drift sits orders below the 6dp
+        rounding (probed before registration)."""
+        li = _t(spark, sf_dir, "lineitem", rebalance=False)
+        return li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        )
+
+    @register(
+        "sql_window_distinct_running",
+        oracle="""
+        SELECT o_custkey, o_orderkey,
+               count(DISTINCT o_orderpriority) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS n_priorities
+        FROM orders
+        """,
+    )
+    def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Running DISTINCT count over a window. Spark has no
+        count(DISTINCT) OVER — size(collect_set() OVER) is the
+        idiomatic equivalent (set state is per distinct value, fine
+        for low-cardinality payloads like priorities; for high-card
+        columns use the HLL sketch entry instead)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return _t(spark, sf_dir, "orders", rebalance=False).select(
+            "o_custkey",
+            "o_orderkey",
+            F.size(F.collect_set("o_orderpriority").over(w))
+            .cast("bigint")
+            .alias("n_priorities"),
+        )
+
+    @register(
+        "dedup_incremental_new_docs",
+        oracle="""
+        WITH seen AS (
+          SELECT DISTINCT md5(text) AS digest FROM documents
+          WHERE doc_id % 3 <> 0
+        ),
+        batch AS (
+          SELECT doc_id, md5(text) AS digest FROM documents
+          WHERE doc_id % 3 = 0
+        )
+        SELECT b.doc_id, b.digest FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.digest = b.digest)
+        """,
+    )
+    def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental-ingest dedup: a new batch keeps only docs whose
+        content digest is unseen in the corpus — LEFT ANTI join on the
+        16-byte digest, never the payload. The per-batch form of
+        dedup_exact that a continuous pipeline actually runs (at
+        100 TB the seen-set is a bucketed digest table; the anti join
+        stays digest-only either way)."""
+        docs = _t(spark, sf_dir, "documents", rebalance=False)
+        seen = (
+            docs.where(F.col("doc_id") % 3 != 0)
+            .select(F.md5("text").alias("digest"))
+            .distinct()
+        )
+        batch = docs.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.md5("text").alias("digest")
+        )
+        return batch.join(seen, "digest", "left_anti").select("doc_id", "digest")
+
+    # ------------------------------------------------------------------
     # CDC: collapse a change feed to current state
     # ------------------------------------------------------------------
 
