@@ -33,19 +33,27 @@ def asof_join(
     build_cols: tuple[str, ...],
     inclusive: bool = True,
     build_order: tuple[str, ...] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: probe rows annotated with the latest build row
-    whose time is <= (or < when inclusive=False) the probe time.
+    whose time is <= (or < when inclusive=False) the probe time —
+    or, with ``direction="forward"``, the EARLIEST build row at-or-
+    after (>` when exclusive) the probe time: the next-reading /
+    next-version lookup.
 
     probe keeps all its columns; `build_cols` (+ matched build time as
-    `asof_time`) are appended, null when no build row precedes.
+    `asof_time`) are appended, null when no build row precedes
+    (follows, for forward).
 
-    Duplicate (key, time) build rows: pass `build_order` and the LAST
-    row in that ascending order wins (e.g. build_order=("version",)
-    picks the max version) — this replaces a pre-aggregation groupBy,
-    saving its shuffle: the whole operator then moves data exactly
-    once, on the window's hashpartitioning(key).
+    Duplicate (key, time) build rows: pass `build_order` and the row
+    with the MAX build_order value wins in both directions (backward
+    carries last-in-ascending, forward carries first-in-descending) —
+    this replaces a pre-aggregation groupBy, saving its shuffle: the
+    whole operator then moves data exactly once, on the window's
+    hashpartitioning(key).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     overlap = set(probe.columns) & ({*build_cols, "asof_time"})
     if overlap:
         # letting these through would emit duplicate column names and
@@ -97,27 +105,37 @@ def asof_join(
     )
     unioned = p_aligned.unionByName(b_aligned)
 
-    # build rows sort before probe rows at equal times when inclusive
-    # (so an exact-tie build row is visible to the probe), after when
-    # exclusive; among equal-time build rows the last in build_order
-    # wins via last(). build_order columns live inside the struct;
-    # getField on the probe rows' null struct is null (nulls first, as
-    # before).
-    side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
-    order_cols = [F.col("__t").asc(), side_order] + [
-        F.col(f"__bpay.{c}").asc_nulls_first() for c in build_order
-    ]
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
-    )
+    # Tie discipline (backward): build rows sort before probe rows at
+    # equal times when inclusive (so an exact-tie build row is visible
+    # to the probe), after when exclusive; among equal-time build rows
+    # the last in ascending build_order wins via last(). Forward
+    # mirrors it: the frame looks ahead, first() carries the next
+    # build payload backward, ties flip sides (inclusive wants the
+    # tie build INSIDE the following frame, i.e. after the probe),
+    # and build_order sorts descending so first() still picks the max.
+    # build_order columns live inside the struct; getField on the
+    # probe rows' null struct is null.
+    if direction == "backward":
+        side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
+        order_cols = [F.col("__t").asc(), side_order] + [
+            F.col(f"__bpay.{c}").asc_nulls_first() for c in build_order
+        ]
+        frame = (Window.unboundedPreceding, 0 if inclusive else -1)
+        carry = F.last
+    else:
+        side_order = F.col("__side").desc() if inclusive else F.col("__side").asc()
+        order_cols = [F.col("__t").asc(), side_order] + [
+            F.col(f"__bpay.{c}").desc_nulls_last() for c in build_order
+        ]
+        frame = (0, Window.unboundedFollowing)
+        carry = F.first
+    w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(*frame)
     carried = unioned.select(
         F.col(key),
         "__t",
         "__side",
         *probe_payload,
-        F.last("__bpay", ignorenulls=True).over(w).alias("__bpay"),
+        carry("__bpay", ignorenulls=True).over(w).alias("__bpay"),
     )
     return (
         carried.filter(F.col("__side") == 1)

@@ -225,6 +225,52 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # forward as-of join (next-reading lookup)
+    # ------------------------------------------------------------------
+
+    @register(
+        "join_asof_forward",
+        oracle="""
+        WITH b AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, b.next_orderkey,
+               b.o_orderdate AS asof_time
+        FROM events e
+        ASOF LEFT JOIN b ON e.user_id = b.o_custkey AND e.ts <= b.o_orderdate
+        """,
+    )
+    def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Forward as-of join (operators/asof.py, direction=
+        "forward"): each event annotated with the EARLIEST order at or
+        after it — the next-reading/next-version lookup, checked
+        against DuckDB's native forward ASOF JOIN. Same one-shuffle
+        union+carry shape as the backward form, with first() looking
+        down an unbounded-following frame instead of last() up a
+        preceding one."""
+        from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+        events = _t(spark, sf_dir, "events", rebalance=False).select(
+            "event_id", F.col("user_id"), "ts"
+        )
+        orders = _t(spark, sf_dir, "orders", rebalance=False).select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("o_orderkey").alias("next_orderkey"),
+        )
+        return asof_join(
+            events,
+            orders,
+            key="user_id",
+            probe_time="ts",
+            build_time="o_orderdate",
+            build_cols=("next_orderkey",),
+            build_order=("next_orderkey",),
+            direction="forward",
+        ).select("event_id", "user_id", "next_orderkey", "asof_time")
+
+    # ------------------------------------------------------------------
     # statistics family, windowed distinct, incremental-ingest dedup
     # ------------------------------------------------------------------
 

@@ -134,3 +134,64 @@ def test_range_join_rejects_nonpositive_bucket_width(spark):
     iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
     with _pytest.raises(ValueError, match="bucket_width"):
         range_join_bucketed(pts, iv, "x", "lo", "hi", bucket_width=0.0)
+
+
+def test_asof_forward_basic_and_ties(spark):
+    from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 5, "p5"), (1, 10, "p10"), (1, 99, "p99"), (2, 1, "q1")],
+        "k long, t long, tag string",
+    )
+    build = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 200), (2, 0, 900)],
+        "k long, bt long, val long",
+    )
+    # inclusive: probe at t=10 sees the build AT 10
+    got = {
+        r["tag"]: (r["val"], r["asof_time"])
+        for r in asof_join(
+            probe, build, key="k", probe_time="t", build_time="bt",
+            build_cols=("val",), direction="forward",
+        ).collect()
+    }
+    assert got == {
+        "p5": (100, 10),
+        "p10": (100, 10),
+        "p99": (None, None),  # nothing after 99
+        "q1": (None, None),  # build at 0 is BEFORE the probe
+    }
+    # exclusive: the tie at t=10 no longer matches
+    got_ex = {
+        r["tag"]: r["val"]
+        for r in asof_join(
+            probe, build, key="k", probe_time="t", build_time="bt",
+            build_cols=("val",), inclusive=False, direction="forward",
+        ).collect()
+    }
+    assert got_ex["p10"] == 200 and got_ex["p5"] == 100
+
+
+def test_asof_forward_duplicate_time_build_order_max_wins(spark):
+    from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame([(1, 5)], "k long, t long")
+    build = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 7), (1, 10, 3)], "k long, bt long, version long"
+    )
+    rows = asof_join(
+        probe, build, key="k", probe_time="t", build_time="bt",
+        build_cols=("version",), build_order=("version",), direction="forward",
+    ).collect()
+    assert rows[0]["version"] == 7  # max build_order wins, as backward
+
+
+def test_asof_direction_validated(spark):
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, t long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df.selectExpr("k", "t AS bt"), key="k", probe_time="t",
+                  build_time="bt", build_cols=(), direction="nearest")
