@@ -225,6 +225,55 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # set-similarity join with prefix filtering
+    # ------------------------------------------------------------------
+
+    @register(
+        "join_fuzzy_jaccard_prefix",
+        oracle=r"""
+        WITH lt AS (
+          SELECT doc_id AS l_id,
+                 list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                           x -> x <> '')) AS ts
+          FROM documents
+        ),
+        rt AS (
+          SELECT doc_id AS r_id,
+                 list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                           x -> x <> '')) AS ts
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        pairs AS (
+          SELECT l_id, r_id,
+                 len(list_intersect(lt.ts, rt.ts)) AS n_inter,
+                 len(lt.ts) AS nl, len(rt.ts) AS nr
+          FROM lt, rt
+          WHERE len(lt.ts) > 0 AND len(rt.ts) > 0
+        )
+        SELECT l_id, r_id, CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_inter AS DOUBLE) / (nl + nr - n_inter) AS jaccard
+        FROM pairs
+        WHERE CAST(n_inter AS DOUBLE) / (nl + nr - n_inter) >= 0.9
+        """,
+    )
+    def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-table token-set Jaccard join at t=0.9 via prefix
+        filtering (operators/fuzzy_join.py): equi-joins on rare-first
+        prefix tokens replace the cross product; the oracle computes
+        the quadratic truth directly, so lossless-ness is what the
+        hash-match proves."""
+        from build_datawarehouse_demo_spark.operators.fuzzy_join import (
+            fuzzy_jaccard_join,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        left = docs.select(F.col("doc_id").alias("l_id"), "text")
+        right = docs.where(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("r_id"), "text"
+        )
+        return fuzzy_jaccard_join(left, right, threshold=0.9)
+
+    # ------------------------------------------------------------------
     # forward as-of join (next-reading lookup)
     # ------------------------------------------------------------------
 

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.operators.fuzzy_join import fuzzy_jaccard_join
+
+
+def _brute_force(spark, left, right, t):
+    from build_datawarehouse_demo_spark.operators.text import tokens
+
+    l = left.select("l_id", F.array_distinct(tokens(F.col("text"))).alias("lt"))
+    r = right.select("r_id", F.array_distinct(tokens(F.col("text"))).alias("rt"))
+    inter = F.size(F.array_intersect("lt", "rt"))
+    return {
+        (row["l_id"], row["r_id"]): row["j"]
+        for row in l.crossJoin(r)
+        .where((F.size("lt") > 0) & (F.size("rt") > 0))
+        .select(
+            "l_id",
+            "r_id",
+            (inter.cast("double") / (F.size("lt") + F.size("rt") - inter)).alias("j"),
+        )
+        .where(F.col("j") >= t)
+        .collect()
+    }
+
+
+def test_fuzzy_join_equals_brute_force(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma"),
+            (3, "zeta eta theta"),
+            (4, ""),  # no tokens: can never match
+            (5, "alpha alpha beta beta gamma"),  # duplicates collapse
+        ],
+        "l_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (11, "zeta eta theta iota"),
+            (12, "unrelated words only"),
+        ],
+        "r_id long, text string",
+    )
+    for t in (0.5, 0.7, 0.99):
+        got = {
+            (r["l_id"], r["r_id"]): r["jaccard"]
+            for r in fuzzy_jaccard_join(left, right, t).collect()
+        }
+        assert got == _brute_force(spark, left, right, t), f"t={t}"
+    # sanity on content: exact duplicate pair is found at the top
+    got = {
+        (r["l_id"], r["r_id"]) for r in fuzzy_jaccard_join(left, right, 0.99).collect()
+    }
+    assert (1, 10) in got and (4, 12) not in got
+
+
+def test_fuzzy_join_threshold_validated(spark):
+    df = spark.createDataFrame([(1, "a")], "l_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_jaccard_join(df, df.selectExpr("l_id AS r_id", "text"), 0.0)
