@@ -140,7 +140,7 @@ def apply_cdc_changes(
     changes: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
-    op_col: str = "op",
+    op_col: str | None = "op",
     delete_op: str = "D",
 ) -> DataFrame:
     """Collapse a CDC change feed to the current state of every key:
@@ -154,12 +154,18 @@ def apply_cdc_changes(
     assumes nor preserves that; its one exchange is the per-key
     collapse that MERGE INTO would also pay. For continuous feeds run
     it per micro-batch and fold into upsert() against the base table.
+
+    ``op_col=None`` means the feed carries no tombstones (pure upsert
+    stream): last change per key wins unconditionally.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    keep = F.col("__cdc_rn") == 1
+    if op_col is not None:
+        keep = keep & (F.col(op_col) != delete_op)
     return (
         changes.withColumn("__cdc_rn", F.row_number().over(w))
-        .where((F.col("__cdc_rn") == 1) & (F.col(op_col) != delete_op))
+        .where(keep)
         .drop("__cdc_rn")
     )
