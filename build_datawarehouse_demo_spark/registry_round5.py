@@ -225,6 +225,70 @@ def register_round5() -> None:
         return embedding_norms_arrow(_t(spark, sf_dir, "embeddings"))
 
     # ------------------------------------------------------------------
+    # scalar kits: higher-order array functions, date truncation
+    # ------------------------------------------------------------------
+
+    @register(
+        "fn_array_kit",
+        oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               round(list_reduce(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) AS sum_all,
+               round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+        FROM embeddings
+        """,
+    )
+    def q_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Higher-order array functions (transform/filter/aggregate/
+        array_max) — the expression-level surface the dedup/similarity
+        operators build on, exercised directly. list_reduce in DuckDB
+        folds left like F.aggregate, so the sums match bit-for-bit
+        before the 6dp rounding."""
+        emb = _t(spark, sf_dir, "embeddings", rebalance=False)
+        return emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+            F.round(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                6,
+            ).alias("sum_all"),
+            F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        )
+
+    @register(
+        "fn_date_trunc_kit",
+        oracle="""
+        SELECT event_id,
+               date_trunc('hour', ts) AS ts_hour,
+               date_trunc('day', ts) AS ts_day,
+               date_trunc('week', ts) AS ts_week,
+               date_trunc('month', ts) AS ts_month,
+               date_trunc('quarter', ts) AS ts_quarter
+        FROM events
+        """,
+    )
+    def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """date_trunc across the grains a rollup hierarchy uses;
+        identical semantics both engines (Monday weeks, calendar
+        quarters), emitted as timestamps (never DATE — the known
+        cross-engine pandas conversion trap)."""
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        return ev.select(
+            "event_id",
+            *[
+                F.date_trunc(g, "ts").alias(f"ts_{g}")
+                for g in ("hour", "day", "week", "month", "quarter")
+            ],
+        )
+
+    # ------------------------------------------------------------------
     # set-similarity join with prefix filtering
     # ------------------------------------------------------------------
 
