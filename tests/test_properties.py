@@ -69,3 +69,37 @@ def test_word_shingles_matches_python_model(spark, docs, k):
             if sh:
                 expect.add((i, sh))
     assert got == expect
+
+
+@given(
+    left_docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=6), min_size=1, max_size=8
+    ),
+    right_docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=6), min_size=1, max_size=6
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.75, 1.0]),
+)
+@SET
+def test_fuzzy_jaccard_join_matches_python_model(spark, left_docs, right_docs, threshold):
+    """Prefix filtering must be LOSSLESS: results equal the quadratic
+    Jaccard truth computed in pure Python, for any corpus and
+    threshold — the property the candidate-pruning bound guarantees."""
+    from build_datawarehouse_demo_spark.operators.fuzzy_join import fuzzy_jaccard_join
+
+    left = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(left_docs)], "l_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(right_docs)], "r_id long, text string"
+    )
+    got = {
+        (r["l_id"], r["r_id"]) for r in fuzzy_jaccard_join(left, right, threshold).collect()
+    }
+    expect = set()
+    for i, dl in enumerate(left_docs):
+        for j, dr in enumerate(right_docs):
+            a, b = set(dl), set(dr)
+            if a and b and len(a & b) / len(a | b) >= threshold:
+                expect.add((i, j))
+    assert got == expect
