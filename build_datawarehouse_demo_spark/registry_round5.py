@@ -263,6 +263,32 @@ def register_round5() -> None:
         )
 
     @register(
+        "agg_corr_regression",
+        oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+    def q_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bivariate statistics: correlation, sample covariance, and
+        OLS slope/intercept per group — both engines use one-pass
+        co-moment updates whose drift sits far below 6dp at this
+        scale (parity probed before registration)."""
+        li = _t(spark, sf_dir, "lineitem", rebalance=False)
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qp"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+                "intercept"
+            ),
+        )
+
+    @register(
         "fn_date_trunc_kit",
         oracle="""
         SELECT event_id,
