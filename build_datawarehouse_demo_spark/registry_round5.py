@@ -263,6 +263,44 @@ def register_round5() -> None:
         )
 
     @register(
+        "sql_window_navigation_kit",
+        oracle="""
+        SELECT s_suppkey,
+               cume_dist() OVER w AS cdist,
+               first_value(s_suppkey) OVER w AS first_k,
+               last_value(s_suppkey) OVER (
+                 ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_k,
+               nth_value(s_suppkey, 3) OVER w AS third_k
+        FROM supplier
+        WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+        """,
+    )
+    def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Navigation-window completeness: cume_dist, first/last/nth
+        value (last_value over the full frame — the default running
+        frame is the classic footgun both engines share). Identical
+        SQL text runs on Catalyst and DuckDB."""
+        from build_datawarehouse_demo_spark.sources.readers import register_star_views
+
+        register_star_views(spark, sf_dir)
+        return spark.sql(
+            """
+            SELECT s_suppkey,
+                   cume_dist() OVER w AS cdist,
+                   first_value(s_suppkey) OVER w AS first_k,
+                   last_value(s_suppkey) OVER (
+                     ORDER BY s_acctbal DESC, s_suppkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS last_k,
+                   nth_value(s_suppkey, 3) OVER w AS third_k
+            FROM supplier
+            WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+            """
+        )
+
+    @register(
         "agg_corr_regression",
         oracle="""
         SELECT l_returnflag,
