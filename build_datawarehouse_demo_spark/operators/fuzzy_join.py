@@ -28,6 +28,195 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _qgrams(col, q: int):
+    """Distinct character q-grams of a string column (empty array for
+    strings shorter than q, including NULL — callers drop those rows or
+    route them to the short bucket)."""
+    return F.when(
+        F.length(col) >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - q + 1),
+                lambda i: col.substr(i, F.lit(q)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _deletion_variants(vals: DataFrame, val: str, k: int) -> DataFrame:
+    """(val, variant) pairs where variant is val with 0..k single-char
+    deletions applied (distinct). |variants| <= 1 + L + L^2/2 + ... —
+    bounded for the short strings this path is gated to."""
+    one_del = F.transform(
+        F.sequence(F.lit(1), F.length("variant")),
+        lambda i: F.concat(
+            F.col("variant").substr(F.lit(1), i - 1),
+            F.col("variant").substr(i + 1, F.length("variant")),
+        ),
+    )
+    cur = vals.select(val, F.col(val).alias("variant"))
+    out = cur
+    for _ in range(k):
+        cur = cur.where(F.length("variant") > 0).select(
+            val, F.explode(F.array_distinct(one_del)).alias("variant")
+        )
+        out = out.unionAll(cur)
+    return out.distinct()
+
+
+def levenshtein_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_distance: int,
+    left_col: str = "l_name",
+    right_col: str = "r_name",
+    q: int = 2,
+    ordered_pairs: bool = True,
+    method: str = "auto",
+) -> DataFrame:
+    """All (left_val, right_val, dist) pairs of DISTINCT string values
+    with Levenshtein(edit) distance <= max_distance, without the
+    quadratic cross join — the edit-distance twin of
+    ``fuzzy_jaccard_join`` (the reference's data-cleaning joins on
+    business names / categories, /root/reference/transformation.py:143-168,
+    are edit-distance territory: token-set Jaccard can't see
+    single-character typos).
+
+    Two published candidate-generation schemes, picked by ``method``
+    (``auto`` = deletion neighborhoods for max_distance <= 2, q-grams
+    above):
+
+    ``deletion`` — FastSS (Bocek et al., "Fast Similarity Search in
+    Large Dictionaries", 2007; the SymSpell scheme): each DISTINCT
+    value emits every variant reachable by <= k character deletions
+    (L+1 variants at k=1); ed(a,b) <= k implies a and b share such a
+    variant (delete the substituted/inserted/deleted positions from
+    each side), so candidates come from an equi-join on variant
+    strings whose buckets are near-singleton — candidates ~ true
+    pairs, no hot-token sensitivity. The variant count grows
+    O(L^k), hence the k <= 2 gate.
+
+    ``qgram`` — the Ed-Join scheme (Xiao, Wang, Lin, "Ed-Join: an
+    efficient algorithm for similarity joins with edit distance
+    constraints", VLDB'08), set-semantics variant:
+
+    - one edit destroys at most ``q`` distinct q-grams, so
+      ed(a,b) <= k implies ``|G(a) \\ G(b)| <= k*q``;
+    - under a consistent global gram ordering (rarest first), two
+      gram sets whose difference is bounded by k*q must share a gram
+      within their first ``k*q + 1`` grams (prefix-filter lemma), so
+      candidates come from an EQUI-join on prefix grams only;
+    - strings with <= k*q grams (length <= k*q + q - 1) have no such
+      guarantee; they go to a SHORT BUCKET joined by exploded
+      length-band keys (|len(a) - len(b)| <= k is necessary for
+      ed <= k). The bucket is bounded: its members are strings
+      shorter than ~(k+1)*q+k chars, whose distinct cardinality is
+      alphabet-limited — and the join runs on DISTINCT values, so a
+      billion duplicate short strings cost one row here.
+    - verification is exact ``F.levenshtein`` on candidates; the
+      length filter applies to ALL candidate pairs.
+
+    Lossless by the two bounds above; results equal the quadratic
+    truth (property-tested against it in tests/test_properties.py).
+    Scale posture: distinct-value dedup first, then equi-joins and
+    hash aggs only; the gram-frequency table is a broadcast; output
+    pairs are ordered left < right (self-join halves come out once).
+    """
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    if method not in ("auto", "deletion", "qgram"):
+        raise ValueError(f"unknown method {method!r}")
+    k, p = max_distance, max_distance * q + 1
+    short_len = max_distance * q + q - 1  # <= k*q grams ⇒ no prefix guarantee
+    if method == "auto":
+        method = "deletion" if k <= 2 else "qgram"
+
+    lv = left.select(F.col(left_col).alias("lval")).where(F.col("lval").isNotNull()).distinct()
+    rv = right.select(F.col(right_col).alias("rval")).where(F.col("rval").isNotNull()).distinct()
+
+    if method == "deletion":
+        cand = _candidates_deletion(lv, rv, k)
+    else:
+        cand = _candidates_qgram(lv, rv, k, q, p, short_len)
+
+    pair_filter = (
+        F.col("lval") < F.col("rval")  # self-join: each unordered pair once
+        if ordered_pairs
+        else F.col("lval") != F.col("rval")
+    )
+    dist = F.levenshtein("lval", "rval")
+    return (
+        cand.where(pair_filter & (F.abs(F.length("lval") - F.length("rval")) <= k))
+        .distinct()
+        .select("lval", "rval", dist.cast("int").alias("dist"))
+        .where(F.col("dist") <= k)
+    )
+
+
+def _candidates_deletion(lv: DataFrame, rv: DataFrame, k: int) -> DataFrame:
+    lvar = _deletion_variants(lv, "lval", k)
+    rvar = _deletion_variants(rv, "rval", k)
+    return lvar.join(rvar, "variant").select("lval", "rval")
+
+
+def _candidates_qgram(
+    lv: DataFrame, rv: DataFrame, k: int, q: int, p: int, short_len: int
+) -> DataFrame:
+    lg = lv.select("lval", _qgrams(F.col("lval"), q).alias("grams"))
+    rg = rv.select("rval", _qgrams(F.col("rval"), q).alias("grams"))
+
+    # global rare-first gram ordering over BOTH inputs (only has to be
+    # consistent; the union keeps one frequency table)
+    freq = (
+        lg.select(F.explode("grams").alias("gram"))
+        .unionAll(rg.select(F.explode("grams").alias("gram")))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    def prefixed(g: DataFrame, val: str) -> DataFrame:
+        return (
+            g.select(val, F.explode("grams").alias("gram"))
+            .join(F.broadcast(freq), "gram")
+            .groupBy(val)
+            .agg(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("freq", "gram"))),
+                        lambda s: s["gram"],
+                    ),
+                    1,
+                    p,
+                ).alias("prefix")
+            )
+            .select(val, F.explode("prefix").alias("gram"))
+        )
+
+    cand_long = (
+        prefixed(lg.where(F.length("lval") > short_len), "lval")
+        .join(prefixed(rg.where(F.length("rval") > short_len), "rval"), "gram")
+        .select("lval", "rval")
+    )
+    # short bucket: every pair where EITHER side lacks the gram
+    # guarantee — both members are then <= short_len + k chars
+    sb_l = lv.where(F.length("lval") <= short_len + k)
+    sb_r = rv.where(F.length("rval") <= short_len + k)
+    cand_short = (
+        sb_l.select(
+            "lval",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length("lval") - k, F.lit(0)), F.length("lval") + k
+                )
+            ).alias("blen"),
+        )
+        .join(sb_r.select("rval", F.length("rval").alias("blen")), "blen")
+        .where((F.length("lval") <= short_len) | (F.length("rval") <= short_len))
+        .select("lval", "rval")
+    )
+    return cand_long.unionAll(cand_short)
+
+
 def _sorted_token_sets(df: DataFrame, id_col: str, text_col: str, freq: DataFrame) -> DataFrame:
     """(id, toks) with toks = distinct tokens sorted by (global freq
     asc, token) — the consistent ordering both sides must share."""
@@ -79,7 +268,10 @@ def fuzzy_jaccard_join(
 
     def prefix(sets: DataFrame, id_col: str) -> DataFrame:
         n = F.size("toks")
-        plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+        # epsilon guards the fp product: threshold*n landing a hair above
+        # an exact integer would make ceil overshoot and shorten the
+        # prefix by one, breaking the lossless bound
+        plen = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
         return sets.select(
             F.col(id_col), F.explode(F.slice("toks", 1, plen)).alias("tok")
         )

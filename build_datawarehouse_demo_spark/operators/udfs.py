@@ -87,7 +87,10 @@ def make_tokenize_positions_udtf():
             if text is None:
                 return
             pos = 0
-            for tok in re.split(r"\s+", text):
+            # re.ASCII pins \s to ASCII whitespace — Python's default is
+            # Unicode-aware (NBSP etc.) while Spark's Java split and the
+            # DuckDB oracle's RE2 \s are ASCII-only
+            for tok in re.split(r"\s+", text, flags=re.ASCII):
                 if tok:
                     yield pos, tok, len(tok)
                     pos += 1

@@ -728,8 +728,12 @@ def register_round5() -> None:
 
         try:
             spark.dataSource.register(SyntheticDocsDataSource)
-        except Exception:
-            pass  # idempotent re-register in the same session
+        except Exception as exc:
+            # tolerate only the same-session re-register collision; a
+            # missing DataSource API or a broken source class must
+            # propagate here, not as an opaque .load() failure later
+            if "already" not in str(exc).lower():
+                raise
         return (
             spark.read.format("synthetic_docs")
             .option("rows", "1000")

@@ -63,3 +63,56 @@ def test_fuzzy_join_threshold_validated(spark):
     df = spark.createDataFrame([(1, "a")], "l_id long, text string")
     with pytest.raises(ValueError, match="threshold"):
         fuzzy_jaccard_join(df, df.selectExpr("l_id AS r_id", "text"), 0.0)
+
+
+def test_levenshtein_band_join_two_tables(spark):
+    """Left/right from different tables, ordered_pairs=False keeps both
+    directions out of scope (pairs are value pairs, lval != rval)."""
+    from build_datawarehouse_demo_spark.operators.fuzzy_join import levenshtein_band_join
+
+    left = spark.createDataFrame(
+        [("acme corp",), ("acme  corp",), ("zzz",), (None,)], "biz string"
+    )
+    right = spark.createDataFrame(
+        [("acme corp",), ("acme carp",), ("ab",), ("",)], "biz string"
+    )
+    got = {
+        (r.lval, r.rval, r.dist)
+        for r in levenshtein_band_join(
+            left, right, 1, "biz", "biz", ordered_pairs=False
+        ).collect()
+    }
+    # every cross pair within distance 1, excluding equal values
+    assert got == {
+        ("acme corp", "acme carp", 1),
+        ("acme  corp", "acme corp", 1),
+    }
+
+
+def test_levenshtein_band_join_short_strings_qgram_bucket(spark):
+    """Strings shorter than q have no q-grams; the qgram path must
+    still find them via the short bucket (losslessness edge)."""
+    from build_datawarehouse_demo_spark.operators.fuzzy_join import levenshtein_band_join
+
+    df = spark.createDataFrame([("a",), ("b",), ("ab",), ("",), ("abcd",)], "s string")
+    got = {
+        (r.lval, r.rval, r.dist)
+        for r in levenshtein_band_join(df, df, 1, "s", "s", method="qgram").collect()
+    }
+    assert got == {
+        ("", "a", 1),
+        ("", "b", 1),
+        ("a", "b", 1),
+        ("a", "ab", 1),
+        ("ab", "b", 1),
+    }
+
+
+def test_levenshtein_band_join_validates_args(spark):
+    from build_datawarehouse_demo_spark.operators.fuzzy_join import levenshtein_band_join
+
+    df = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ValueError):
+        levenshtein_band_join(df, df, 0, "s", "s")
+    with pytest.raises(ValueError):
+        levenshtein_band_join(df, df, 1, "s", "s", method="nope")

@@ -103,3 +103,48 @@ def test_fuzzy_jaccard_join_matches_python_model(spark, left_docs, right_docs, t
             if a and b and len(a & b) / len(a | b) >= threshold:
                 expect.add((i, j))
     assert got == expect
+
+
+def _ed(a: str, b: str) -> int:
+    """Plain DP Levenshtein (unit costs) — the quadratic truth."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet=st.sampled_from("abc"), max_size=7), min_size=1, max_size=18
+    ),
+    k=st.integers(1, 3),
+)
+@SET
+def test_levenshtein_band_join_matches_python_model(spark, words, k):
+    """BOTH candidate paths (deletion neighborhood, Ed-Join q-grams)
+    must be LOSSLESS: the banded join equals the quadratic edit-
+    distance truth for any corpus, including empty strings and strings
+    shorter than q."""
+    from build_datawarehouse_demo_spark.operators.fuzzy_join import levenshtein_band_join
+
+    df = spark.createDataFrame([(w,) for w in words], "name string")
+    vals = sorted(set(words))
+    expect = {
+        (a, b, _ed(a, b))
+        for ia, a in enumerate(vals)
+        for b in vals[ia + 1 :]
+        if _ed(a, b) <= k
+    }
+    for method in ("deletion", "qgram"):
+        got = {
+            (r.lval, r.rval, r.dist)
+            for r in levenshtein_band_join(
+                df, df, k, "name", "name", method=method
+            ).collect()
+        }
+        assert got == expect, method

@@ -231,22 +231,34 @@ def test_transform_with_state_counts_stream_equals_batch(spark):
     )
     from build_datawarehouse_demo_spark.streaming.stateful import user_event_type_counts
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
     with tempfile.TemporaryDirectory() as tmpdir:
         path = _events_as_stream_dir(spark, tmpdir)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            provider_key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        batch = user_event_type_counts(spark.read.parquet(path))
-        expect = {(r.user_id, r.event_type): r.n_events for r in batch.collect()}
-        stream = user_event_type_counts(read_event_stream(spark, path, max_files_per_trigger=1))
-        assert stream.isStreaming
-        run_stream_to_memory(stream, "tws_out", output_mode="update")
-        got: dict = {}
-        for r in spark.sql("SELECT * FROM tws_out").collect():
-            k = (r.user_id, r.event_type)
-            got[k] = max(got.get(k, 0), r.n_events)
-        assert got == expect and len(expect) > 0
+        try:
+            batch = user_event_type_counts(spark.read.parquet(path))
+            expect = {(r.user_id, r.event_type): r.n_events for r in batch.collect()}
+            stream = user_event_type_counts(
+                read_event_stream(spark, path, max_files_per_trigger=1)
+            )
+            assert stream.isStreaming
+            run_stream_to_memory(stream, "tws_out", output_mode="update")
+            got: dict = {}
+            for r in spark.sql("SELECT * FROM tws_out").collect():
+                k = (r.user_id, r.event_type)
+                got[k] = max(got.get(k, 0), r.n_events)
+            assert got == expect and len(expect) > 0
+        finally:
+            # don't leak the provider into later streaming tests on the
+            # shared session fixture
+            if prior is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prior)
 
 
 def test_transform_with_state_gate_is_loud_without_protobuf(spark):
