@@ -236,21 +236,19 @@ def _sorted_token_sets(df: DataFrame, id_col: str, text_col: str, freq: DataFram
     )
 
 
-def fuzzy_jaccard_join(
+def fuzzy_jaccard_candidates(
     left: DataFrame,
     right: DataFrame,
     threshold: float,
     left_id: str = "l_id",
     right_id: str = "r_id",
     text_col: str = "text",
-) -> DataFrame:
-    """All (left_id, right_id, n_inter, jaccard) pairs with
-    Jaccard(token set, token set) >= threshold, via prefix filtering.
-
-    The global ordering comes from token frequencies over BOTH inputs
-    (it only has to be consistent; using the union keeps one table).
-    Rows with no tokens cannot reach any positive threshold and drop.
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Candidate (left_id, right_id) pairs from the prefix filter, plus
+    the sorted token sets for the verify stage. Exposed separately so
+    tests can assert the candidate count stays near-linear under
+    pathological (hot-token) distributions — the prefix filter's worst
+    case — without running the verify join."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from build_datawarehouse_demo_spark.operators.text import tokens
@@ -281,6 +279,27 @@ def fuzzy_jaccard_join(
         .join(prefix(r_sets, right_id), "tok")
         .select(left_id, right_id)
         .distinct()
+    )
+    return cand, l_sets, r_sets
+
+
+def fuzzy_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All (left_id, right_id, n_inter, jaccard) pairs with
+    Jaccard(token set, token set) >= threshold, via prefix filtering.
+
+    The global ordering comes from token frequencies over BOTH inputs
+    (it only has to be consistent; using the union keeps one table).
+    Rows with no tokens cannot reach any positive threshold and drop.
+    """
+    cand, l_sets, r_sets = fuzzy_jaccard_candidates(
+        left, right, threshold, left_id, right_id, text_col
     )
     inter = F.size(F.array_intersect("l_toks", "r_toks"))
     return (

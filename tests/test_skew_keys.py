@@ -63,3 +63,47 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         == before
     )
+
+
+def test_fuzzy_join_prefix_filter_defends_against_hot_token(spark):
+    """Prefix-filter worst case: one token in 90% of rows. A naive
+    token-bucket join would generate ~(0.9n)^2 candidate pairs from the
+    hot bucket alone; rarest-first prefix ordering must keep the hot
+    token OUT of prefixes (it is never among a row's rarest tokens), so
+    candidates stay ~O(n): self pairs + the true near-dup pairs.
+    Counts are recorded in ROUND_NOTES (round 6)."""
+    from build_datawarehouse_demo_spark.operators.fuzzy_join import (
+        fuzzy_jaccard_candidates,
+        fuzzy_jaccard_join,
+    )
+
+    n = 400  # 200 near-dup pairs
+    rows = []
+    for i in range(n // 2):
+        shared = " ".join(f"s{i}_{j}" for j in range(9))
+        hot_a = "hot " if (2 * i) % 10 else ""  # 90% of rows carry it
+        hot_b = "hot " if (2 * i + 1) % 10 else ""
+        rows.append((2 * i, f"{hot_a}{shared} a{i}"))
+        rows.append((2 * i + 1, f"{hot_b}{shared} b{i}"))
+    df = spark.createDataFrame(rows, "l_id long, text string")
+    right = df.withColumnRenamed("l_id", "r_id")
+
+    cand, _, _ = fuzzy_jaccard_candidates(df, right, 0.8)
+    n_cand = cand.count()
+    # naive hot-bucket candidates would be (0.9n)^2 = 129_600 ordered
+    # pairs; the defended plan stays within a small multiple of n
+    assert n_cand <= 4 * n, f"candidate blowup: {n_cand} pairs for n={n}"
+
+    # and the join is still exact: compare the near-dup pairs against
+    # the python truth (hot-token membership shifts J: both-hot pairs
+    # score 10/12, neither-hot 9/11, mixed 9/12 < 0.8 and drop)
+    out = fuzzy_jaccard_join(df, right, 0.8)
+    matched = {(r.l_id, r.r_id) for r in out.collect() if r.l_id != r.r_id}
+    toks = {i: set(t.split()) for i, t in rows}
+    expect = set()
+    for i in range(n // 2):
+        a, b = toks[2 * i], toks[2 * i + 1]
+        if len(a & b) / len(a | b) >= 0.8:
+            expect.add((2 * i, 2 * i + 1))
+            expect.add((2 * i + 1, 2 * i))
+    assert matched == expect and len(expect) > 0
