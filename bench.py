@@ -75,6 +75,9 @@ HEADLINE = [
     # kernel lane
     "graph_pagerank",
     "udf_arrow_map",
+    # round-6 family: edit-distance band join (deletion-neighborhood
+    # candidate path)
+    "join_levenshtein_band",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

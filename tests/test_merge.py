@@ -1,0 +1,141 @@
+"""File-level MERGE over partitioned parquet: blast radius (only
+touched partitions rewritten — file-listing asserted), idempotent
+replay, last-change-wins ordering, full-partition delete."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.operators.merge import merge_into_partitioned_parquet
+
+
+def _target(spark, path: str) -> None:
+    rows = [
+        # (id, part, v)
+        (1, 1, 10.0),
+        (2, 1, 20.0),
+        (3, 2, 30.0),
+        (4, 2, 40.0),
+        (5, 3, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, part int, v double")
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+
+
+def _state(spark, path: str) -> set:
+    return {
+        (r.id, r.part, r.v) for r in spark.read.parquet(path).collect()
+    }
+
+
+def _part_files(path: str, part: int) -> dict[str, float]:
+    d = os.path.join(path, f"part={part}")
+    if not os.path.isdir(d):
+        return {}
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    before_p2 = _part_files(path, 2)
+    before_p3 = _part_files(path, 3)
+    assert before_p2 and before_p3
+
+    feed = spark.createDataFrame(
+        [(1, 1, 11.0, "U", 1), (6, 1, 60.0, "U", 1), (2, 1, 0.0, "D", 1)],
+        "id long, part int, v double, op string, seq int",
+    )
+    touched = merge_into_partitioned_parquet(
+        spark, path, feed, ["id"], ["seq", "id"], "part"
+    )
+    assert touched == [1]
+    assert _state(spark, path) == {
+        (1, 1, 11.0),  # updated
+        (6, 1, 60.0),  # inserted
+        (3, 2, 30.0),
+        (4, 2, 40.0),
+        (5, 3, 50.0),
+    }
+    # untouched partitions: exact same files, untouched mtimes
+    assert _part_files(path, 2) == before_p2
+    assert _part_files(path, 3) == before_p3
+
+
+def test_merge_is_idempotent_on_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    feed = spark.createDataFrame(
+        [(3, 2, 33.0, "U", 1), (4, 2, 0.0, "D", 1)],
+        "id long, part int, v double, op string, seq int",
+    )
+    merge_into_partitioned_parquet(spark, path, feed, ["id"], ["seq", "id"], "part")
+    first = _state(spark, path)
+    merge_into_partitioned_parquet(spark, path, feed, ["id"], ["seq", "id"], "part")
+    assert _state(spark, path) == first == {
+        (1, 1, 10.0),
+        (2, 1, 20.0),
+        (3, 2, 33.0),
+        (5, 3, 50.0),
+    }
+
+
+def test_merge_last_change_wins_within_feed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    feed = spark.createDataFrame(
+        [
+            (5, 3, 51.0, "U", 1),
+            (5, 3, 52.0, "U", 2),  # later seq wins
+            (1, 1, 0.0, "D", 1),
+            (1, 1, 12.0, "U", 2),  # delete then re-insert: survives
+            (2, 1, 21.0, "U", 1),
+            (2, 1, 0.0, "D", 2),  # update then delete: gone
+        ],
+        "id long, part int, v double, op string, seq int",
+    )
+    merge_into_partitioned_parquet(spark, path, feed, ["id"], ["seq", "id"], "part")
+    assert _state(spark, path) == {
+        (1, 1, 12.0),
+        (3, 2, 30.0),
+        (4, 2, 40.0),
+        (5, 3, 52.0),
+    }
+
+
+def test_merge_drops_fully_deleted_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    feed = spark.createDataFrame(
+        [(5, 3, 0.0, "D", 1)],
+        "id long, part int, v double, op string, seq int",
+    )
+    merge_into_partitioned_parquet(spark, path, feed, ["id"], ["seq", "id"], "part")
+    # partition 3 emitted no rows: dynamic overwrite alone would keep
+    # its stale files — the operator must remove the directory
+    assert _part_files(path, 3) == {}
+    assert _state(spark, path) == {
+        (1, 1, 10.0),
+        (2, 1, 20.0),
+        (3, 2, 30.0),
+        (4, 2, 40.0),
+    }
+
+
+def test_merge_empty_feed_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    before = {p: _part_files(path, p) for p in (1, 2, 3)}
+    feed = spark.createDataFrame(
+        [], "id long, part int, v double, op string, seq int"
+    )
+    assert merge_into_partitioned_parquet(
+        spark, path, feed, ["id"], ["seq", "id"], "part"
+    ) == []
+    assert {p: _part_files(path, p) for p in (1, 2, 3)} == before
