@@ -128,6 +128,15 @@ def write_bucketed_share(share: DataFrame, table: str, buckets: int = 32) -> Dat
     shuffle the layout pays) and return the catalog-backed read."""
     spark = share.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a session that died between create and drop leaves the managed
+    # location on disk with no catalog entry; saveAsTable would then
+    # fail with LOCATION_ALREADY_EXISTS — clear the orphan first
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
     (
         # repartition on the bucket key first so each task holds exactly
         # one bucket's rows -> ONE file per bucket, which is what lets

@@ -280,3 +280,50 @@ def test_dim_date_reference_column_names(wh):
         "quarter",
     }
     assert set(wh["dim_hour"].columns) == {"hour_id", "hour_of_day"}
+
+
+def test_no_fact_scale_global_windows_in_warehouse_build(wh):
+    """VERDICT r5 item 2: global (partition-less) windows are only
+    legal over DIM derivations. Mechanical pin: every Window node with
+    an empty partitionSpec in every warehouse table's plan must have an
+    aggregation/distinct boundary BELOW it (the dim build collapses
+    cardinality before the window), so raw fact-scale rows can never
+    flow through a single-partition window. The one fact-scale
+    surrogate (checkins) uses surrogate_key_scalable, which plans no
+    Window at all."""
+
+    def kids(node):
+        out = [node.children().apply(i) for i in range(node.children().length())]
+        if node.nodeName() == "AdaptiveSparkPlan":
+            out.append(node.initialPlan())
+        return out
+
+    def subtree_names(node, out):
+        out.append(node.nodeName())
+        for c in kids(node):
+            subtree_names(c, out)
+        return out
+
+    def check(node, table, found):
+        name = node.nodeName()
+        if "Window" in name:
+            try:
+                is_global = node.partitionSpec().isEmpty()
+            except Exception:
+                is_global = True
+            if is_global:
+                below = subtree_names(node, [])[1:]
+                assert any("Aggregate" in n for n in below), (
+                    f"{table}: global Window over non-aggregated input: {below}"
+                )
+                found.append(table)
+        for c in kids(node):
+            check(c, table, found)
+
+    found: list = []
+    for table, df in wh.items():
+        check(df._jdf.queryExecution().executedPlan(), table, found)
+    # sanity: the audit actually saw the dim windows (surrogate_key_rownum
+    # sites exist in this build) — an empty `found` would mean the walk
+    # silently stopped matching node names
+    assert found, "no global Window found at all — walker is broken?"
