@@ -75,9 +75,13 @@ HEADLINE = [
     # kernel lane
     "graph_pagerank",
     "udf_arrow_map",
-    # round-6 family: edit-distance band join (deletion-neighborhood
-    # candidate path)
+    # round-6 families: edit-distance band join (deletion-neighborhood
+    # candidate path), bucketed-layout pagerank steady state, n-gram
+    # decontamination, fact-scale rolling time window
     "join_levenshtein_band",
+    "graph_pagerank_bucketed",
+    "text_decontaminate",
+    "agg_rolling_time_window",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

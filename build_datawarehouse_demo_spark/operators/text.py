@@ -504,3 +504,50 @@ def pack_sequences(
             .alias("n_seqs"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a benchmark/eval set — the GPT-3/PaLM-style
+    n-gram-overlap filter every serious pretraining pipeline runs
+    (13-grams in the GPT-3 paper; ``n`` is a parameter because eval
+    sets with short prompts need smaller n).
+
+    Per train doc: (id, n_hits = DISTINCT overlapping n-grams,
+    contaminated = n_hits > 0 as int). Docs shorter than n words have
+    no n-grams and report 0.
+
+    Scale shape: both sides explode to DISTINCT n-grams; the benchmark
+    gram set (small — eval sets are tiny next to the corpus) deduped
+    and broadcast into an equi-join; counts group on the train doc id.
+    The corpus is never compared pairwise to the benchmark — cost is
+    one pass over train grams + a broadcast, exactly like the dedup
+    family's candidate generators.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        staged = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        return staged.select(
+            id_col,
+            F.explode(F.array_distinct(ngram_array(F.col("__toks"), n))).alias("gram"),
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    hits = (
+        grams(train)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return train.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )

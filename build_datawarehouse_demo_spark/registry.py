@@ -107,7 +107,10 @@ def _load_all() -> None:
         return
     from build_datawarehouse_demo_spark.registry_parity import register_parity  # noqa
     from build_datawarehouse_demo_spark.registry_round5 import register_round5  # noqa
-    from build_datawarehouse_demo_spark.registry_round6 import register_round6  # noqa
+    from build_datawarehouse_demo_spark.registry_round6 import (  # noqa
+        register_round6,
+        register_round6_analytics,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -116,6 +119,7 @@ def _load_all() -> None:
     register_layer_b()
     register_round5()
     register_round6()
+    register_round6_analytics()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

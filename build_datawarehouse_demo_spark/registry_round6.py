@@ -198,3 +198,256 @@ def register_round6() -> None:
             .cast("double")
             .alias("sum_value"),
         )
+
+
+def register_round6_analytics() -> None:
+    """Second round-6 batch: pipeline decontamination + classic
+    event-analytics operators (rolling time windows, funnels, retention
+    cohorts, exact grouped percentiles, unpivot)."""
+
+    # ------------------------------------------------------------------
+    # training-pipeline: benchmark decontamination (n-gram overlap)
+    # ------------------------------------------------------------------
+
+    @register(
+        "text_decontaminate",
+        oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 0)),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+            FROM w
+          )
+        ),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        hits AS (
+          SELECT g.doc_id, count(*) AS n_hits
+          FROM g JOIN bg USING (gram)
+          WHERE g.doc_id % 50 <> 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+    )
+    def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GPT-3/PaLM-style n-gram decontamination (operators/text.py:
+        decontaminate): docs with doc_id % 50 == 0 act as the held-out
+        benchmark, the rest as the training corpus; n=3 because the
+        synthetic vocab is 31 words (real pipelines use 8-13 — the n
+        is a parameter, the plan shape is identical)."""
+        from build_datawarehouse_demo_spark.operators.text import decontaminate
+
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        train = docs.where(F.col("doc_id") % 50 != 0)
+        return decontaminate(train, bench, n=3)
+
+    # ------------------------------------------------------------------
+    # event analytics: rolling time window, funnel, retention, quantiles
+    # ------------------------------------------------------------------
+
+    @register(
+        "agg_rolling_time_window",
+        oracle="""
+        SELECT event_id, user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum_7d,
+               count(*) OVER w AS n_7d
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+        )
+        """,
+    )
+    def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user 7-day rolling sum/count — RANGE frame over epoch
+        MICROseconds on both engines (identical peer semantics at
+        equal timestamps; interval-literal frames differ between
+        engines, numeric frames don't). DECIMAL(18,2) in-window sum:
+        exact regardless of frame evaluation order. One exchange on
+        user_id."""
+        from pyspark.sql import Window
+
+        # ts is TIMESTAMP_NTZ in the driver parquet; unix_micros needs
+        # TIMESTAMP. The cast's tz interpretation shifts every epoch by
+        # the same constant, and RANGE frames depend only on
+        # differences, so the frames are tz-invariant.
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+            .rangeBetween(-604_800_000_000, 0)
+        )
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("roll_sum_7d"),
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+        )
+
+    @register(
+        "funnel_view_click_purchase",
+        oracle="""
+        WITH v AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_view_click_purchase
+        """,
+    )
+    def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ordered funnel view -> click -> purchase: users counted at a
+        stage only if it happened strictly AFTER their earliest
+        previous stage. Each stage is an agg + join on user_id (the
+        |users|-row stage tables broadcast against the event scan);
+        the three stage counts cross-join as 1-row aggregates — the
+        broadcast-scalar pattern from text.py's corpus stats."""
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        v = (
+            ev.where(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        c = (
+            ev.where(F.col("event_type") == "click")
+            .join(F.broadcast(v), "user_id")
+            .where(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        p = (
+            ev.where(F.col("event_type") == "purchase")
+            .join(F.broadcast(c), "user_id")
+            .where(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        return (
+            v.agg(F.count(F.lit(1)).alias("n_view"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+            .crossJoin(
+                p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+            )
+        )
+
+    @register(
+        "retention_cohorts",
+        oracle="""
+        WITH firstd AS (
+          SELECT user_id, min(CAST(day(ts) AS INTEGER)) AS cohort_day
+          FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(day(e.ts) AS INTEGER) - f.cohort_day AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN firstd f ON f.user_id = e.user_id
+        GROUP BY 1, 2
+        """,
+    )
+    def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cohort retention triangle: cohort = first active day per
+        user, cell = distinct users from that cohort active at each
+        day offset. Two aggs + one broadcast join of the |users|-row
+        cohort table."""
+        ev = _t(spark, sf_dir, "events", rebalance=False).select(
+            "user_id", F.dayofmonth("ts").cast("int").alias("d")
+        )
+        firstd = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+        return (
+            ev.join(F.broadcast(firstd), "user_id")
+            .groupBy(
+                "cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset")
+            )
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
+    @register(
+        "agg_percentiles_grouped",
+        oracle="""
+        SELECT event_type,
+               round(CAST(quantile_cont(CAST(value AS DOUBLE), 0.25) AS DOUBLE), 6) AS p25,
+               round(CAST(quantile_cont(CAST(value AS DOUBLE), 0.50) AS DOUBLE), 6) AS p50,
+               round(CAST(quantile_cont(CAST(value AS DOUBLE), 0.75) AS DOUBLE), 6) AS p75,
+               round(CAST(quantile_cont(CAST(value AS DOUBLE), 0.99) AS DOUBLE), 6) AS p99
+        FROM events GROUP BY event_type
+        """,
+    )
+    def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EXACT linear-interpolation percentiles per group — Spark's
+        `percentile` (not approx_percentile) matches DuckDB's
+        quantile_cont definition bit-for-bit modulo summation, so 6
+        decimals is safe. The exact twin of agg_approx_stats' sketch
+        path: use this when groups fit a sort, the sketch when they
+        don't."""
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99}
+        return ev.groupBy("event_type").agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(CAST(value AS DOUBLE), {q})"), 6
+                ).alias(name)
+                for name, q in qs.items()
+            ]
+        )
+
+    @register(
+        "proj_unpivot_metrics",
+        oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               CAST(l_quantity AS DOUBLE) AS val
+        FROM lineitem WHERE l_orderkey % 10 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem WHERE l_orderkey % 10 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+        FROM lineitem WHERE l_orderkey % 10 = 0
+        """,
+    )
+    def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Wide-to-long reshape via the native unpivot (melt) operator
+        — a generator over the scan, zero shuffle; the oracle states
+        the UNION ALL equivalent."""
+        li = (
+            _t(spark, sf_dir, "lineitem", rebalance=False)
+            .where(F.col("l_orderkey") % 10 == 0)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.col("l_quantity").cast("double").alias("l_quantity"),
+                F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+                F.col("l_discount").cast("double").alias("l_discount"),
+            )
+        )
+        return li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )

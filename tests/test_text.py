@@ -242,3 +242,38 @@ def test_prepare_training_data_filters_dedups_splits(spark):
     r = rows[0]
     assert r.pred_lang == "en" and r.split in ("train", "val", "test")
     assert r.n_tokens == len(good.split()) and 0.0 <= r.quality <= 1.0
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Python-model check: doc flagged iff it shares a distinct word
+    n-gram with the benchmark; n_hits counts DISTINCT shared grams."""
+    from build_datawarehouse_demo_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "lorem ipsum dolor")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a quick brown fox jumps"),      # shares 'quick brown fox'... n=3
+            (2, "the quick brown fox again"),    # shares 2 grams
+            (3, "completely unrelated words here"),
+            (4, "to be"),                        # shorter than n: no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(train, bench, n=3).collect()
+    }
+
+    def grams(s, n=3):
+        t = s.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bg = grams("the quick brown fox") | grams("lorem ipsum dolor")
+    for doc_id, text in [(1, "a quick brown fox jumps"), (2, "the quick brown fox again"),
+                         (3, "completely unrelated words here"), (4, "to be")]:
+        n_hits = len(grams(text) & bg)
+        assert got[doc_id] == (n_hits, int(n_hits > 0)), (doc_id, got[doc_id], n_hits)
+    assert got[2][1] == 1 and got[3] == (0, 0) and got[4] == (0, 0)
