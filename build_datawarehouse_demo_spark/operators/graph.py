@@ -170,8 +170,21 @@ def pagerank_from_bucketed_share(
         .distinct()
         .localCheckpoint()
     )
+    # checkpoint_ranks: one composite 5-iteration plan defeats the
+    # bucketed scan (Catalyst's auto-bucketed-scan keeps only 2-5 of
+    # the repeated scans bucketed and re-shuffles the rest on e_src —
+    # measured in PLANS.md round 6). Materializing the |nodes|-row
+    # rank table per iteration — exactly what a Pregel superstep does —
+    # makes every iteration a standalone plan, which provably scans
+    # the buckets with ZERO edge-side Exchange (test_graph.py).
     return _pagerank_iterate(
-        nodes, share, damping, iterations, broadcast_ranks=False, force_merge=True
+        nodes,
+        share,
+        damping,
+        iterations,
+        broadcast_ranks=False,
+        force_merge=True,
+        checkpoint_ranks=True,
     )
 
 
@@ -182,6 +195,7 @@ def _pagerank_iterate(
     iterations: int,
     broadcast_ranks: bool,
     force_merge: bool = False,
+    checkpoint_ranks: bool = False,
 ) -> DataFrame:
     n = nodes.count()
     if n == 0:
@@ -209,4 +223,6 @@ def _pagerank_iterate(
                 "rank"
             ),
         )
+        if checkpoint_ranks:
+            ranks = ranks.localCheckpoint()
     return ranks
