@@ -139,3 +139,19 @@ def test_merge_empty_feed_is_noop(spark, tmp_path):
         spark, path, feed, ["id"], ["seq", "id"], "part"
     ) == []
     assert {p: _part_files(path, p) for p in (1, 2, 3)} == before
+
+
+def test_merge_creates_new_partition_for_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    feed = spark.createDataFrame(
+        [(9, 7, 90.0, "U", 1)],  # partition 7 does not exist yet
+        "id long, part int, v double, op string, seq int",
+    )
+    touched = merge_into_partitioned_parquet(
+        spark, path, feed, ["id"], ["seq", "id"], "part"
+    )
+    assert touched == [7]
+    assert _part_files(path, 7)
+    assert (9, 7, 90.0) in _state(spark, path)
+    assert len(_state(spark, path)) == 6
