@@ -131,11 +131,12 @@ def levenshtein_band_join(
     if method == "auto":
         method = "deletion" if k <= 2 else "qgram"
 
+    self_join = left is right and left_col == right_col
     lv = left.select(F.col(left_col).alias("lval")).where(F.col("lval").isNotNull()).distinct()
     rv = right.select(F.col(right_col).alias("rval")).where(F.col("rval").isNotNull()).distinct()
 
     if method == "deletion":
-        cand = _candidates_deletion(lv, rv, k)
+        cand = _candidates_deletion(lv, rv, k, self_join=self_join)
     else:
         cand = _candidates_qgram(lv, rv, k, q, p, short_len)
 
@@ -153,10 +154,24 @@ def levenshtein_band_join(
     )
 
 
-def _candidates_deletion(lv: DataFrame, rv: DataFrame, k: int) -> DataFrame:
-    lvar = _deletion_variants(lv, "lval", k)
-    rvar = _deletion_variants(rv, "rval", k)
-    return lvar.join(rvar, "variant").select("lval", "rval")
+def _candidates_deletion(
+    lv: DataFrame, rv: DataFrame, k: int, self_join: bool = False
+) -> DataFrame:
+    # join on the 8-byte hash of the variant, not the variant string:
+    # halves the shuffle width, and a hash collision can only produce a
+    # candidate the exact levenshtein verify rejects (lossless either
+    # way, over-generation is filtered)
+    lvar = _deletion_variants(lv, "lval", k).select(
+        "lval", F.xxhash64("variant").alias("vh")
+    )
+    rvar = (
+        lvar.select(F.col("lval").alias("rval"), "vh")
+        if self_join  # same distinct values: derive, don't recompute
+        else _deletion_variants(rv, "rval", k).select(
+            "rval", F.xxhash64("variant").alias("vh")
+        )
+    )
+    return lvar.join(rvar, "vh").select("lval", "rval")
 
 
 def _candidates_qgram(
