@@ -9,7 +9,11 @@ partitioned by one column —
 1. the change feed names the partitions it touches (it must carry the
    partition column; a key's partition is IMMUTABLE under this
    contract, the standard assumption for partitioned upserts — moving
-   a key is a delete in one partition plus an insert in another);
+   a key is a delete in one partition plus an insert in another).
+   Use int or plain-string partition values: Spark's partition-column
+   type inference on readback must yield the same type the feed
+   carries, or the union fails loudly (date-LOOKING strings infer as
+   DATE — prefer an int day key, as the registered entry does);
 2. only target partitions intersecting the feed's partition values are
    READ (partition pruning does the file skipping);
 3. the feed collapses last-change-wins per key

@@ -148,3 +148,54 @@ def test_levenshtein_band_join_matches_python_model(spark, words, k):
             ).collect()
         }
         assert got == expect, method
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 3), st.integers(0, 99)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    feed=st.lists(
+        st.tuples(
+            st.integers(0, 18),  # id (may be new)
+            st.integers(0, 99),  # new value
+            st.booleans(),  # delete?
+        ),
+        max_size=10,
+    ),
+)
+@SET
+def test_merge_partitioned_matches_python_model(spark, tmp_path_factory, base, feed):
+    """merge_into_partitioned_parquet == the dict-model MERGE for any
+    base table and CDC feed (keys' partitions fixed: base partition
+    when the key exists, id % 3 + 1 for inserts; later feed rows win)."""
+    from build_datawarehouse_demo_spark.operators.merge import (
+        merge_into_partitioned_parquet,
+    )
+
+    path = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    bdf = spark.createDataFrame(
+        [(i, p, float(v)) for i, p, v in base], "id long, part int, v double"
+    )
+    bdf.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    part_of = {i: p for i, p, _ in base}
+    rows = []
+    for seq, (i, v, is_del) in enumerate(feed, start=1):
+        p = part_of.get(i, i % 3 + 1)
+        rows.append((i, p, float(v), "D" if is_del else "U", seq))
+    fdf = spark.createDataFrame(
+        rows, "id long, part int, v double, op string, seq int"
+    )
+    merge_into_partitioned_parquet(spark, path, fdf, ["id"], ["seq", "id"], "part")
+
+    model = {i: (p, float(v)) for i, p, v in base}
+    for i, p, v, op, _seq in rows:
+        if op == "D":
+            model.pop(i, None)
+        else:
+            model[i] = (p, v)
+    got = {r.id: (r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == model
