@@ -55,11 +55,22 @@ def merge_into_partitioned_parquet(
     partition_col: str,
     op_col: str | None = "op",
     delete_op: str = "D",
+    version_aware: bool = False,
 ) -> list:
     """Apply a CDC change feed to a partitioned parquet table in
     place, rewriting only touched partitions. Returns the touched
     partition values (sorted) so callers/tests can audit the blast
     radius.
+
+    ``version_aware=False`` (default): the feed unconditionally
+    replaces matched keys — correct when batches arrive log-ordered
+    per key (the standard CDC topic contract).
+    ``version_aware=True``: the target rows compete with the feed
+    under the same ``order_cols`` ordering — an OLD change arriving
+    after a newer one is a no-op, the MERGE condition
+    ``source.order > target.order`` of a lakehouse sink. Requires the
+    target to CARRY the order columns (the bootstrap write keeps
+    them).
     """
     part_vals = [
         r[0] for r in changes.select(partition_col).distinct().collect()
@@ -67,21 +78,52 @@ def merge_into_partitioned_parquet(
     if not part_vals:
         return []
 
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    tpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    if not tpath.getFileSystem(hconf).exists(tpath):
+        # bootstrap: no target yet (first micro-batch of a streaming
+        # merge sink) — the collapsed feed IS the initial state
+        bootstrap = apply_cdc_changes(
+            changes, key_cols, order_cols, op_col=op_col, delete_op=delete_op
+        ).drop(*([op_col] if op_col else []))
+        bootstrap.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        return sorted(part_vals)
+
     target = spark.read.parquet(target_path)
     data_cols = [c for c in target.columns]
     touched = target.where(F.col(partition_col).isin(part_vals))
 
-    # collapse the feed: last change per key wins, tombstones drop
-    collapsed = apply_cdc_changes(
-        changes, key_cols, order_cols, op_col=op_col, delete_op=delete_op
-    ).select(*data_cols)
-    # delete keys = keys whose LAST change is a tombstone: they must
-    # leave the target, and they are exactly the feed keys absent from
-    # `collapsed`
-    feed_keys = changes.select(*key_cols).distinct()
+    if version_aware:
+        # target rows enter the same last-change-wins contest as the
+        # feed: tag them as plain upserts at their STORED order values,
+        # so a stale feed change loses to the row already in the table
+        tag = [op_col] if op_col else []
+        combined = (
+            touched.withColumns({c: F.lit("U") for c in tag})
+            .select(*data_cols, *tag)
+            .unionByName(changes.select(*data_cols, *tag))
+        )
+        # one last-change-wins pass over everything: contested keys
+        # resolve by order, keys absent from the feed win trivially as
+        # their own only row — no separate anti-join needed
+        new_state = apply_cdc_changes(
+            combined, key_cols, order_cols, op_col=op_col, delete_op=delete_op
+        ).select(*data_cols)
+    else:
+        # collapse the feed: last change per key wins, tombstones drop
+        collapsed = apply_cdc_changes(
+            changes, key_cols, order_cols, op_col=op_col, delete_op=delete_op
+        ).select(*data_cols)
+        # delete keys = keys whose LAST change is a tombstone: they must
+        # leave the target, and they are exactly the feed keys absent
+        # from `collapsed`
+        feed_keys = changes.select(*key_cols).distinct()
 
-    kept = touched.join(feed_keys, on=key_cols, how="left_anti")
-    new_state = kept.unionByName(collapsed)
+        kept = touched.join(feed_keys, on=key_cols, how="left_anti")
+        new_state = kept.unionByName(collapsed)
 
     # materialize before overwriting the path being read; scope the
     # dynamic-overwrite conf to this one write

@@ -451,3 +451,90 @@ def register_round6_analytics() -> None:
             "metric",
             "val",
         )
+
+
+def register_round6_streaming() -> None:
+    @register(
+        "streaming_merge_partitioned_sink",
+        oracle="""
+        WITH feed AS (
+          SELECT event_id % 100 AS k,
+                 CAST((event_id % 100) % 5 AS INTEGER) AS part,
+                 CAST(value AS DOUBLE) AS v,
+                 CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                 event_id AS seq
+          FROM events
+        ),
+        last AS (
+          SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, k DESC) AS rn
+          FROM feed
+        )
+        SELECT part, count(*) AS n_rows,
+               CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+               CAST(sum(seq) AS BIGINT) AS sum_seq
+        FROM last WHERE rn = 1 AND op <> 'D'
+        GROUP BY part
+        """,
+    )
+    def q_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end streaming CDC apply: a deterministic change feed
+        (derived from events) is driven through availableNow
+        micro-batches into the partitioned MERGE sink
+        (streaming/sinks.py:stream_merge_to_partitioned_parquet,
+        version_aware so the final state is independent of how the
+        file source slices batches), and the RESULTING table is
+        aggregated per partition. The oracle states the same
+        last-change-wins + tombstone semantics over the whole feed in
+        one SQL pass — a hash match proves the incremental micro-batch
+        path converges to the batch answer."""
+        import os
+        import shutil
+
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+        from build_datawarehouse_demo_spark.streaming.sinks import (
+            stream_merge_to_partitioned_parquet,
+        )
+
+        base = os.path.join(_bucketed_scratch_dir(), "stream_merge")
+        feed_dir, target, ckpt = (
+            f"{base}/feed",
+            f"{base}/target",
+            f"{base}/ckpt",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        (
+            _t(spark, sf_dir, "events", rebalance=False)
+            .select(
+                (F.col("event_id") % 100).alias("k"),
+                ((F.col("event_id") % 100) % 5).cast("int").alias("part"),
+                F.col("value").cast("double").alias("v"),
+                F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
+                F.col("event_id").alias("seq"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(feed_dir)
+        )
+        feed = (
+            spark.readStream.schema("k long, part int, v double, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = stream_merge_to_partitioned_parquet(
+            feed,
+            target,
+            key_cols=["k"],
+            order_cols=["seq", "k"],
+            partition_col="part",
+            checkpoint_dir=ckpt,
+            version_aware=True,
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(target)
+        return out.groupBy(F.col("part").cast("int").alias("part")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+            F.sum("seq").alias("sum_seq"),
+        )

@@ -155,3 +155,77 @@ def test_merge_creates_new_partition_for_inserts(spark, tmp_path):
     assert _part_files(path, 7)
     assert (9, 7, 90.0) in _state(spark, path)
     assert len(_state(spark, path)) == 6
+
+
+def test_merge_version_aware_rejects_stale_changes(spark, tmp_path):
+    """version_aware: a change older (by order_cols) than the stored
+    row must lose — updates AND deletes — while genuinely newer
+    changes still win. The target carries the order column."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, 10.0, 5), (2, 1, 20.0, 5), (3, 2, 30.0, 5)],
+        "id long, part int, v double, seq int",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    feed = spark.createDataFrame(
+        [
+            (1, 1, 11.0, "U", 3),  # stale update: loses to seq 5
+            (2, 1, 0.0, "D", 4),   # stale delete: loses
+            (3, 2, 33.0, "U", 9),  # newer update: wins
+            (4, 2, 40.0, "U", 1),  # new key: inserts
+        ],
+        "id long, part int, v double, op string, seq int",
+    )
+    merge_into_partitioned_parquet(
+        spark, path, feed, ["id"], ["seq", "id"], "part", version_aware=True
+    )
+    got = {(r.id, r.part, r.v, r.seq) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, 1, 10.0, 5),
+        (2, 1, 20.0, 5),
+        (3, 2, 33.0, 9),
+        (4, 2, 40.0, 1),
+    }
+
+
+def test_stream_merge_version_aware_out_of_order_batches(spark, tmp_path):
+    """Micro-batches delivered OUT of per-key order: batch files are
+    processed oldest-file-first, but file 0 carries the NEWER seq.
+    version_aware=True must converge to the per-key max-seq state
+    anyway."""
+    import tempfile
+
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_merge_to_partitioned_parquet,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    target = str(tmp_path / "target")
+    # file 00000: newer changes; file 00001: stale ones
+    spark.createDataFrame(
+        [(1, 1, 100.0, "U", 10), (2, 1, 200.0, "U", 10)],
+        "id long, part int, v double, op string, seq int",
+    ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    spark.createDataFrame(
+        [(1, 1, 1.0, "U", 2), (2, 1, 0.0, "D", 3), (3, 2, 30.0, "U", 1)],
+        "id long, part int, v double, op string, seq int",
+    ).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    feed = (
+        spark.readStream.schema("id long, part int, v double, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = stream_merge_to_partitioned_parquet(
+        feed,
+        target,
+        key_cols=["id"],
+        order_cols=["seq", "id"],
+        partition_col="part",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        version_aware=True,
+    )
+    q.awaitTermination(120)
+    got = {(r.id, r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 100.0, 10), (2, 200.0, 10), (3, 30.0, 1)}

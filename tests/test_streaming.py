@@ -322,3 +322,71 @@ def test_foreachbatch_upsert_exactly_once_convergence(spark):
         again = {tuple(r) for r in spark.table(table).select(*cols).collect()}
         assert again == got
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_merge_sink_equals_batch_merge(spark):
+    """stream≡batch for the partitioned MERGE sink: a CDC feed driven
+    through foreachBatch micro-batches (maxFilesPerTrigger=1) must
+    leave the target in the same state as one batch merge of the whole
+    feed — including bootstrap (no target before batch 1), updates
+    winning by seq, and tombstone deletes."""
+    from build_datawarehouse_demo_spark.operators.merge import (
+        merge_into_partitioned_parquet,
+    )
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_merge_to_partitioned_parquet,
+    )
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        feed_dir = f"{tmpdir}/feed"
+        # deterministic CDC feed derived from events: updates for most
+        # keys, tombstones for every 7th; seq = event_id (unique order)
+        ev = read_parquet(spark, f"{SF_DIR}/events.parquet").select(
+            (F.col("event_id") % 50).alias("k"),
+            (F.col("event_id") % 5).cast("int").alias("part"),
+            F.col("value").alias("v"),
+            F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
+            F.col("event_id").alias("seq"),
+        )
+        # keys' partitions must be stable: k -> k % 5 is a function of k
+        ev = ev.withColumn("part", (F.col("k") % 5).cast("int"))
+        ev.coalesce(4).write.mode("overwrite").parquet(feed_dir)
+
+        # batch truth
+        batch_target = f"{tmpdir}/batch_target"
+        merge_into_partitioned_parquet(
+            spark,
+            batch_target,
+            spark.read.parquet(feed_dir),
+            key_cols=["k"],
+            order_cols=["seq"],
+            partition_col="part",
+        )
+        expect = {
+            (r.k, r.part, r.v)
+            for r in spark.read.parquet(batch_target).collect()
+        }
+
+        # streamed in 4 micro-batches
+        stream_target = f"{tmpdir}/stream_target"
+        feed = (
+            spark.readStream.schema(
+                "k long, part int, v double, op string, seq long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = stream_merge_to_partitioned_parquet(
+            feed,
+            stream_target,
+            key_cols=["k"],
+            order_cols=["seq"],
+            partition_col="part",
+            checkpoint_dir=f"{tmpdir}/ckpt",
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.k, r.part, r.v)
+            for r in spark.read.parquet(stream_target).collect()
+        }
+        assert got == expect and len(expect) > 0
