@@ -102,3 +102,61 @@ def with_quality_metrics(df: DataFrame, observation, id_col: str, *metric_cols: 
     for c in metric_cols:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}"))
     return df.observe(observation, *aggs)
+
+
+def constraint_violations(
+    df: DataFrame,
+    not_null: list[str] = (),
+    unique: list[str] = (),
+    ranges: dict[str, tuple] = None,
+    accepted_values: dict[str, list] = None,
+) -> DataFrame:
+    """dbt-style data-quality checks as ONE aggregation pass: returns
+    (constraint, n_violations) rows, one per declared constraint, all
+    computed from a single scan with conditional aggregates — no
+    per-constraint jobs, no driver-side loop over results.
+
+    - ``not_null``: count of NULLs per column
+    - ``unique``: n_rows - n_distinct per column (0 = unique; exact
+      count_distinct — swap for approx_count_distinct at extreme
+      cardinality)
+    - ``ranges``: {col: (lo, hi)} inclusive-bounds violations (NULLs
+      don't count — they're the not_null check's job)
+    - ``accepted_values``: {col: [allowed...]} membership violations
+
+    Referential-integrity (orphan-key) checks live with the caller as
+    an anti-join count — they need a second table and belong in the
+    join layer, not a single-table profile.
+    """
+    aggs = []
+    for c in not_null:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"not_null:{c}")
+        )
+    for c in unique:
+        aggs.append(
+            (F.count(F.col(c)) - F.countDistinct(F.col(c))).alias(f"unique:{c}")
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        aggs.append(
+            F.count(
+                F.when(F.col(c).isNotNull() & ~F.col(c).between(lo, hi), 1)
+            ).alias(f"range:{c}")
+        )
+    for c, allowed in (accepted_values or {}).items():
+        aggs.append(
+            F.count(
+                F.when(
+                    F.col(c).isNotNull() & ~F.col(c).isin(list(allowed)), 1
+                )
+            ).alias(f"accepted_values:{c}")
+        )
+    if not aggs:
+        raise ValueError("no constraints declared")
+    wide = df.agg(*aggs)
+    # long form: one row per constraint (stack is a generator — the
+    # single wide row explodes executor-side, no collect)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in wide.columns)
+    return wide.selectExpr(
+        f"stack({len(wide.columns)}, {pairs}) AS (constraint, n_violations)"
+    )

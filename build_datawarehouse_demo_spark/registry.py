@@ -110,6 +110,7 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round6 import (  # noqa
         register_round6,
         register_round6_analytics,
+        register_round6_quality,
         register_round6_streaming,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -121,6 +122,7 @@ def _load_all() -> None:
     register_round5()
     register_round6()
     register_round6_analytics()
+    register_round6_quality()
     register_round6_streaming()
 
     rank = _rotation_rank()

@@ -538,3 +538,41 @@ def register_round6_streaming() -> None:
             F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
             F.sum("seq").alias("sum_seq"),
         )
+
+
+def register_round6_quality() -> None:
+    @register(
+        "dq_constraint_check",
+        oracle="""
+        WITH wide AS (
+          SELECT
+            count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nn_cust,
+            count(o_orderkey) - count(DISTINCT o_orderkey) AS uq_key,
+            count(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice NOT BETWEEN 0 AND 600000 THEN 1 END) AS rg_price,
+            count(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS av_status
+          FROM orders
+        )
+        SELECT 'not_null:o_custkey' AS constraint, CAST(nn_cust AS BIGINT) AS n_violations FROM wide
+        UNION ALL SELECT 'unique:o_orderkey', CAST(uq_key AS BIGINT) FROM wide
+        UNION ALL SELECT 'range:o_totalprice', CAST(rg_price AS BIGINT) FROM wide
+        UNION ALL SELECT 'accepted_values:o_orderstatus', CAST(av_status AS BIGINT) FROM wide
+        """,
+    )
+    def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """dbt-style declarative DQ checks in one aggregation pass
+        (operators/profiling.py:constraint_violations): not-null,
+        uniqueness, range, accepted-values — all conditional aggregates
+        over a single scan, stacked to long form executor-side."""
+        from build_datawarehouse_demo_spark.operators.profiling import (
+            constraint_violations,
+        )
+
+        return constraint_violations(
+            _t(spark, sf_dir, "orders", rebalance=False),
+            not_null=["o_custkey"],
+            unique=["o_orderkey"],
+            ranges={"o_totalprice": (0, 600000)},
+            accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        )

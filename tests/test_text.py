@@ -277,3 +277,40 @@ def test_decontaminate_flags_benchmark_overlap(spark):
         n_hits = len(grams(text) & bg)
         assert got[doc_id] == (n_hits, int(n_hits > 0)), (doc_id, got[doc_id], n_hits)
     assert got[2][1] == 1 and got[3] == (0, 0) and got[4] == (0, 0)
+
+
+def test_constraint_violations_counts(spark):
+    """Each declared constraint reports its exact violation count from
+    one pass; NULLs only count against not_null."""
+    from build_datawarehouse_demo_spark.operators.profiling import (
+        constraint_violations,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (1, "b", 50.0),   # dup id, range violation (50 > 10)
+            (2, None, -1.0),  # null name, range violation
+            (3, "zz", None),  # bad accepted value; NULL v not a range violation
+        ],
+        "id long, name string, v double",
+    )
+    got = {
+        r.constraint: r.n_violations
+        for r in constraint_violations(
+            df,
+            not_null=["name"],
+            unique=["id"],
+            ranges={"v": (0, 10)},
+            accepted_values={"name": ["a", "b"]},
+        ).collect()
+    }
+    assert got == {
+        "not_null:name": 1,
+        "unique:id": 1,
+        "range:v": 2,
+        "accepted_values:name": 1,
+    }
+    with pytest.raises(ValueError):
+        constraint_violations(df)
