@@ -111,6 +111,7 @@ def _load_all() -> None:
         register_round6,
         register_round6_analytics,
         register_round6_quality,
+        register_round6_quality_ri,
         register_round6_streaming,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -123,6 +124,7 @@ def _load_all() -> None:
     register_round6()
     register_round6_analytics()
     register_round6_quality()
+    register_round6_quality_ri()
     register_round6_streaming()
 
     rank = _rotation_rank()

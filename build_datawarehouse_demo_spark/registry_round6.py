@@ -576,3 +576,40 @@ def register_round6_quality() -> None:
             ranges={"o_totalprice": (0, 600000)},
             accepted_values={"o_orderstatus": ["O", "F", "P"]},
         )
+
+
+def register_round6_quality_ri() -> None:
+    @register(
+        "dq_referential_check",
+        oracle="""
+        SELECT 'orders.o_custkey -> customer.c_custkey' AS fk,
+               count(*) AS n_orphans
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+          )
+        """,
+    )
+    def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Referential-integrity DQ check: orphan-FK count as a
+        LEFT ANTI join (the fact side streams; the key side is just its
+        distinct keys, broadcast when dim-sized). Completes the
+        declarative DQ family next to dq_constraint_check."""
+        orders = _t(spark, sf_dir, "orders", rebalance=False)
+        cust_keys = _t(spark, sf_dir, "customer", rebalance=False).select(
+            "c_custkey"
+        ).distinct()
+        orphans = (
+            orders.where(F.col("o_custkey").isNotNull())
+            .join(
+                F.broadcast(cust_keys),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return orphans.select(
+            F.lit("orders.o_custkey -> customer.c_custkey").alias("fk"),
+            "n_orphans",
+        )
