@@ -110,6 +110,7 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round6 import (  # noqa
         register_round6,
         register_round6_analytics,
+        register_round6_basket,
         register_round6_quality,
         register_round6_quality_ri,
         register_round6_streaming,
@@ -123,6 +124,7 @@ def _load_all() -> None:
     register_round5()
     register_round6()
     register_round6_analytics()
+    register_round6_basket()
     register_round6_quality()
     register_round6_quality_ri()
     register_round6_streaming()

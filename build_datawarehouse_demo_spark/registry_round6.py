@@ -613,3 +613,53 @@ def register_round6_quality_ri() -> None:
             F.lit("orders.o_custkey -> customer.c_custkey").alias("fk"),
             "n_orphans",
         )
+
+
+def register_round6_basket() -> None:
+    @register(
+        "assoc_brand_pairs",
+        oracle="""
+        WITH basket AS (
+          SELECT DISTINCT l.l_orderkey, p.p_brand
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        )
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               count(*) AS n_orders
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        """,
+    )
+    def q_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Market-basket pair counting (the size-2 frequent-itemset
+        core): distinct (order, brand) baskets, per-order self-join
+        with an ordering predicate (each unordered pair once), support
+        count per pair. Scale shape: one shuffle on the basket key;
+        per-key fanout is C(basket_size, 2) — baskets are small, so
+        the join output stays linear in orders; the 25-brand dim keeps
+        the result bounded. FP-growth territory starts where pair
+        counting stops being enough — this is the SQL-expressible
+        foundation."""
+        li = _t(spark, sf_dir, "lineitem", rebalance=False).select(
+            "l_orderkey", "l_partkey"
+        )
+        part = _t(spark, sf_dir, "part", rebalance=False).select(
+            "p_partkey", "p_brand"
+        )
+        basket = (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .select("l_orderkey", "p_brand")
+            .distinct()
+        )
+        a = basket.select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+        )
+        b = basket.select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+        )
+        return (
+            a.join(b, "ok")
+            .where(F.col("brand_a") < F.col("brand_b"))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
