@@ -13,9 +13,9 @@ merged side file reports, per query:
                    amortizing), > 1 super-linear (candidate blowup,
                    spill, or a plan that stopped fitting)
 
-Usage: python tools/bench_scale.py [small_dir] [big_dir] [runs]
-Defaults: /root/testdata/sf0.1  testdata_local/sf1  3
-Writes BENCH_SCALE_r06.json at the repo root.
+Usage: python tools/bench_scale.py [small_dir] [big_dir] [runs] [out_name]
+Defaults: /root/testdata/sf0.1  testdata_local/sf1  3  BENCH_SCALE_r06.json
+Writes the result JSON at the repo root.
 """
 
 from __future__ import annotations
@@ -83,7 +83,8 @@ def main() -> None:
             sorted(per_query.items(), key=lambda kv: -kv[1]["ratio"])
         ),
     }
-    out_path = os.path.join(ROOT, "BENCH_SCALE_r06.json")
+    out_name = sys.argv[4] if len(sys.argv) > 4 else "BENCH_SCALE_r06.json"
+    out_path = os.path.join(ROOT, out_name)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {out_path}", flush=True)

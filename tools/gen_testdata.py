@@ -65,16 +65,16 @@ def generate(sf: float, out: str) -> None:
     _write(
         f"{out}/region.parquet",
         {
-            "r_regionkey": np.arange(5, dtype=np.int64),
+            "r_regionkey": np.arange(5, dtype=np.int32),
             "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
         },
     )
     _write(
         f"{out}/nation.parquet",
         {
-            "n_nationkey": np.arange(25, dtype=np.int64),
+            "n_nationkey": np.arange(25, dtype=np.int32),
             "n_name": [f"NATION_{i}" for i in range(25)],
-            "n_regionkey": np.arange(25, dtype=np.int64) % 5,
+            "n_regionkey": (np.arange(25) % 5).astype(np.int32),
         },
     )
     _write(
@@ -200,7 +200,9 @@ def generate(sf: float, out: str) -> None:
         f"{out}/embeddings.parquet",
         {
             "vec_id": np.arange(n_v, dtype=np.int64),
-            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "embedding": pa.array(
+                list(vecs), type=pa.list_(pa.field("element", pa.float32()))
+            ),
             "label": rng.integers(0, 10, n_v).astype(np.int32),
         },
     )
