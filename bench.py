@@ -82,6 +82,9 @@ HEADLINE = [
     "graph_pagerank_bucketed",
     "text_decontaminate",
     "agg_rolling_time_window",
+    # auto-scaled LSH near-dup (the fix for the fixed-signature
+    # quadratic exposed at sf4 — track it next to the fixed entry)
+    "dedup_embedding_cosine_auto",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

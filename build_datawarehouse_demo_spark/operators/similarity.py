@@ -383,11 +383,50 @@ def embedding_near_dup_pairs_exact(
     )
 
 
+def lsh_auto_params(
+    n: int,
+    target_similarity: float = 0.9,
+    recall_target: float = 0.93,
+    bucket_size: int = 32,
+    min_rows: int = 4,
+    max_rows: int = 24,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) sized for a corpus of ``n`` vectors.
+
+    Fixed LSH parameters are a SCALE BUG: with r sign bits per band
+    there are only 2^r buckets, so once n >> 2^r * bucket_size every
+    bucket is packed and candidate pairs grow as bands * n^2 / 2^r —
+    quadratic (measured: the 8x8 config went from 12.6s at sf1 to
+    227.8s at sf4, exponent 2.09, BENCH_SCALE_r06_sf1_sf4.json). The
+    production parameterization grows the signature with the corpus:
+
+    - rows_per_band r = ceil(log2(n / bucket_size)): keeps expected
+      bucket occupancy ~bucket_size, so candidates ~ bands * n *
+      bucket_size — LINEAR in n;
+    - bands b solves the recall constraint 1 - (1 - p^r)^b >=
+      recall_target at the collision probability p = 1 - theta/pi of
+      the ``target_similarity`` operating point — the extra bands pay
+      back the selectivity that a wider signature costs.
+
+    The returned pair is deterministic in (n, constants), so an oracle
+    can replicate the exact bucketing for any FIXED n.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, target_similarity))) / math.pi
+    r = max(min_rows, min(max_rows, math.ceil(math.log2(max(n, 2) / bucket_size))))
+    pr = p**r
+    if pr >= 1.0:
+        return 1, r
+    bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - pr)))
+    return bands, r
+
+
 def embedding_near_dup_pairs_bucketed(
     corpus: DataFrame,
     threshold: float = 0.4,
-    bands: int = 8,
-    rows_per_band: int = 8,
+    bands: int | None = 8,
+    rows_per_band: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -430,7 +469,17 @@ def embedding_near_dup_pairs_bucketed(
 
     Null signatures (dim-mismatched vectors) never equi-join — loud
     empty output, same failure mode as ann_rp_lsh_topk.
+
+    Pass ``bands=None`` / ``rows_per_band=None`` to auto-size from the
+    corpus count via ``lsh_auto_params`` (one count() action) — the
+    scale-safe mode; the fixed 8x8 default exists for oracle-pinned
+    callers and SMALL corpora only (quadratic beyond ~2^r * 32 rows,
+    see lsh_auto_params).
     """
+    if bands is None or rows_per_band is None:
+        auto_b, auto_r = lsh_auto_params(corpus.count())
+        bands = auto_b if bands is None else bands
+        rows_per_band = auto_r if rows_per_band is None else rows_per_band
     planes = rp_planes(bands * rows_per_band, dim)
     vecs = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
     # staged_projections: all bands·r dots once per row (the per-bit

@@ -111,6 +111,7 @@ def _load_all() -> None:
         register_round6,
         register_round6_analytics,
         register_round6_basket,
+        register_round6_lsh_auto,
         register_round6_quality,
         register_round6_quality_ri,
         register_round6_streaming,
@@ -125,6 +126,7 @@ def _load_all() -> None:
     register_round6()
     register_round6_analytics()
     register_round6_basket()
+    register_round6_lsh_auto()
     register_round6_quality()
     register_round6_quality_ri()
     register_round6_streaming()

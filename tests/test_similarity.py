@@ -210,3 +210,81 @@ def test_index_search_equals_direct_ann(spark, mat):
         want = {tuple(r) for r in direct.collect()}
         assert got == want and len(want) > 0
         spark.sql("DROP TABLE IF EXISTS ann_idx_test")
+
+
+def test_lsh_auto_params_scaling_law():
+    """r grows log2(n) keeping bucket occupancy flat; bands grow to
+    hold the recall constraint; both monotone in n."""
+    from build_datawarehouse_demo_spark.operators.similarity import lsh_auto_params
+
+    prev_b = prev_r = 0
+    for n in [200, 2_000, 20_000, 200_000, 2_000_000]:
+        b, r = lsh_auto_params(n)
+        assert r >= prev_r and b >= prev_b, (n, b, r)
+        prev_b, prev_r = b, r
+    # the config that went quadratic: 80k vectors need r > 8
+    b, r = lsh_auto_params(80_000)
+    assert r > 8
+    # recall constraint holds at the operating point
+    import math
+
+    p = 1 - math.acos(0.9) / math.pi
+    assert 1 - (1 - p**r) ** b >= 0.93
+
+
+def test_auto_lsh_candidates_scale_linearly(spark):
+    """THE scale property: growing the corpus 4x must grow the
+    candidate-pair count ~4x (auto params), not ~16x (what any FIXED
+    signature does once buckets saturate)."""
+    import numpy as np
+
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        lsh_auto_params,
+        rp_planes,
+        sign_bit,
+        staged_projections,
+    )
+    from pyspark.sql import functions as F
+
+    def candidates(n):
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((n, 16)).astype(float)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        bands, r = lsh_auto_params(n, bucket_size=8)
+        planes = rp_planes(bands * r, 16)
+        proj = staged_projections(
+            df.select("vec_id", F.col("embedding").alias("__v")), "__v", planes,
+            out_col="__projs",
+        )
+        structs = []
+        for b in range(bands):
+            sig = None
+            for j in range(r):
+                bit = sign_bit(F.element_at(F.col("__projs"), b * r + j + 1), 1 << j)
+                sig = bit if sig is None else sig + bit
+            structs.append(F.struct(F.lit(b).alias("band"), sig.cast("int").alias("sig")))
+        tagged = proj.select(
+            "vec_id", F.explode(F.array(*structs)).alias("bs")
+        ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        return (
+            tagged.alias("a")
+            .join(
+                tagged.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+
+    c1, c4 = candidates(500), candidates(2000)
+    growth = c4 / max(c1, 1)
+    # linear-ish (bands also grow, so allow up to ~8x); a fixed
+    # signature saturates and lands near 16x
+    assert growth < 9, (c1, c4, growth)
