@@ -242,7 +242,7 @@ def ann_rp_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -265,7 +265,19 @@ def ann_rp_lsh_topk(
     corpus. Candidate (probe, corpus) pairs reached via several probe
     variants are deduplicated BEFORE scoring so each pair is scored
     once and occupies one rank.
+
+    ``n_planes=None`` auto-sizes from the corpus count (one count()
+    action): ceil(log2(n / 64)) clamped to [8, 24] — the same
+    fixed-signature scale trap as lsh_auto_params: 8 planes = 256
+    buckets means per-probe verify cost grows n/256, i.e. LINEAR per
+    probe once the corpus dwarfs the bucket space; growing planes with
+    log2(n) keeps buckets ~64 deep, and multiprobe=True is the recall
+    compensation for the narrower buckets.
     """
+    if n_planes is None:
+        import math
+
+        n_planes = max(8, min(24, math.ceil(math.log2(max(corpus.count(), 2) / 64))))
     planes = rp_planes(n_planes, dim)
     c = rp_signature_staged(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")), "__cv", planes

@@ -288,3 +288,28 @@ def test_auto_lsh_candidates_scale_linearly(spark):
     # linear-ish (bands also grow, so allow up to ~8x); a fixed
     # signature saturates and lands near 16x
     assert growth < 9, (c1, c4, growth)
+
+
+def test_ann_auto_planes_scale_with_corpus(spark):
+    """n_planes=None sizes the signature from the corpus count — a
+    big corpus gets a wider signature (deeper pruning), a small one
+    keeps the 8-plane floor; results stay valid top-k."""
+    import numpy as np
+
+    from build_datawarehouse_demo_spark.operators.similarity import ann_rp_lsh_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((400, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "probe_id long, embedding array<double>"
+    )
+    out = ann_rp_lsh_topk(
+        corpus, probes, k=3, n_planes=None, dim=16, multiprobe=True
+    ).collect()
+    assert 0 < len(out) <= 3
+    assert all(r.probe_id == 0 and r.vec_id != 0 for r in out)
