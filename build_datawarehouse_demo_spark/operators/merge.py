@@ -29,6 +29,16 @@ Idempotent by construction: re-applying the same feed converges to the
 same state (pytest replay test, the same contract as the foreachBatch
 idempotent sink).
 
+``version_aware=True`` additionally persists DELETES as tombstones in
+a sibling ``<target>_tombstones`` store (key + order + partition
+columns, partitioned the same way). Without them a delete erases the
+key's order value, so a STALE lower-order update arriving in a later
+micro-batch would find no competitor and re-insert the deleted key —
+the classic lakehouse MERGE pitfall. With them the final state is
+independent of how the feed is sliced into batches (pinned by the
+delete-then-stale-update cross-batch test). The data directory stays a
+plain parquet table — tombstones never pollute direct reads.
+
 Scale note: the new state of touched partitions is localCheckpoint'ed
 before the write because Spark cannot overwrite a path it is currently
 reading. That materialization is bounded by the touched-partition
@@ -46,6 +56,58 @@ from pyspark.sql import functions as F
 from build_datawarehouse_demo_spark.operators.scd import apply_cdc_changes
 
 
+def tombstone_store_path(target_path: str) -> str:
+    """Sibling directory holding persisted tombstones for a
+    version_aware merge target."""
+    return target_path.rstrip("/") + "_tombstones"
+
+
+def read_merged_parquet(spark: SparkSession, target_path: str) -> DataFrame:
+    """Documented read entry point for a merge target.
+
+    version_aware tombstones live in the sibling
+    ``<target>_tombstones`` store, so the data directory is always a
+    plain parquet table — any reader sees the correct logical state.
+    This helper exists to make the contract explicit at call sites.
+    """
+    return spark.read.parquet(target_path)
+
+
+def _exists(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
+def _delete_partition_dirs(
+    spark: SparkSession, base: str, partition_col: str, values
+) -> None:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{partition_col}={v}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+
+
+def _dynamic_overwrite(
+    spark: SparkSession, df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Overwrite only the partitions present in `df`, scoping the
+    dynamic-overwrite conf to this one write."""
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key, "dynamic")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+
+
 def merge_into_partitioned_parquet(
     spark: SparkSession,
     target_path: str,
@@ -56,6 +118,7 @@ def merge_into_partitioned_parquet(
     op_col: str | None = "op",
     delete_op: str = "D",
     version_aware: bool = False,
+    max_touched_partitions: int = 10_000,
 ) -> list:
     """Apply a CDC change feed to a partitioned parquet table in
     place, rewriting only touched partitions. Returns the touched
@@ -70,48 +133,141 @@ def merge_into_partitioned_parquet(
     after a newer one is a no-op, the MERGE condition
     ``source.order > target.order`` of a lakehouse sink. Requires the
     target to CARRY the order columns (the bootstrap write keeps
-    them).
+    them). Winning deletes persist as tombstones in the sibling
+    ``<target>_tombstones`` store so stale changes in LATER batches
+    still lose to them; the data directory itself never holds
+    tombstone rows.
+
+    ``max_touched_partitions`` bounds the driver-side collect of the
+    feed's distinct partition values — the CDC blast-radius contract
+    made explicit. A merge is touched-partition-bounded BY DESIGN
+    (that is what makes it cheaper than a full rewrite); a feed
+    touching more partitions than this is almost always a bug (wrong
+    partition column, unpartitioned feed) and fails loudly instead of
+    silently materializing a full-table rewrite through the driver.
     """
     part_vals = [
-        r[0] for r in changes.select(partition_col).distinct().collect()
+        r[0]
+        for r in changes.select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
     ]
+    if len(part_vals) > max_touched_partitions:
+        raise ValueError(
+            f"merge feed touches > {max_touched_partitions} distinct "
+            f"'{partition_col}' partitions — beyond the CDC blast-radius "
+            "contract this merge is designed for (touched partitions are "
+            "collected to the driver and rewritten). Raise "
+            "max_touched_partitions if this is intentional, or rewrite "
+            "the table wholesale instead of merging."
+        )
     if not part_vals:
         return []
 
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    tpath = jvm.org.apache.hadoop.fs.Path(target_path)
-    if not tpath.getFileSystem(hconf).exists(tpath):
+    keep_tomb = version_aware and op_col is not None
+    tomb_path = tombstone_store_path(target_path)
+    # tombstone-store schema: just enough to contest (and re-win) —
+    # key identity, ordering, and the partition it lives in
+    tomb_cols = list(dict.fromkeys([*key_cols, *order_cols, partition_col]))
+
+    if not _exists(spark, target_path):
         # bootstrap: no target yet (first micro-batch of a streaming
-        # merge sink) — the collapsed feed IS the initial state
-        bootstrap = apply_cdc_changes(
-            changes, key_cols, order_cols, op_col=op_col, delete_op=delete_op
-        ).drop(*([op_col] if op_col else []))
-        bootstrap.write.mode("overwrite").partitionBy(partition_col).parquet(
-            target_path
+        # merge sink) — the collapsed feed IS the initial state. In
+        # version_aware mode winning tombstones go to the sibling
+        # store so a stale change in a later batch still loses to them.
+        winners = apply_cdc_changes(
+            changes,
+            key_cols,
+            order_cols,
+            op_col=op_col,
+            delete_op=delete_op,
+            keep_tombstones=keep_tomb,
         )
+        if keep_tomb:
+            winners = winners.localCheckpoint(eager=True)
+            is_del = F.col(op_col) == delete_op
+            winners.where(is_del).select(*tomb_cols).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(tomb_path)
+            winners = winners.where(~is_del)
+        winners.drop(*([op_col] if op_col else [])).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(target_path)
         return sorted(part_vals)
 
     target = spark.read.parquet(target_path)
-    data_cols = [c for c in target.columns]
+    data_cols = list(target.columns)
     touched = target.where(F.col(partition_col).isin(part_vals))
 
     if version_aware:
         # target rows enter the same last-change-wins contest as the
-        # feed: tag them as plain upserts at their STORED order values,
-        # so a stale feed change loses to the row already in the table
+        # feed: live rows as upserts, persisted tombstones as deletes,
+        # each at their STORED order values — so a stale feed change
+        # loses to the row (or the delete) already in the table
         tag = [op_col] if op_col else []
-        combined = (
-            touched.withColumns({c: F.lit("U") for c in tag})
-            .select(*data_cols, *tag)
-            .unionByName(changes.select(*data_cols, *tag))
+        stored = touched.withColumns({c: F.lit("U") for c in tag}).select(
+            *data_cols, *tag
         )
+        if keep_tomb and _exists(spark, tomb_path):
+            from pyspark.sql.types import StructType
+
+            dtypes = dict(target.dtypes)
+            # explicit schema (types come from the target, which carries
+            # every tombstone column): an EMPTY store — bootstrap batch
+            # had no deletes — has no files to infer from
+            tomb_schema = StructType([target.schema[c] for c in tomb_cols])
+            tombs = spark.read.schema(tomb_schema).parquet(tomb_path).where(
+                F.col(partition_col).isin(part_vals)
+            )
+            # widen to the data schema (columns a tombstone doesn't
+            # carry are null — if it wins, the key is gone anyway)
+            widened = tombs.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in tombs.columns
+                        else F.lit(None).cast(dtypes[c])
+                    ).alias(c)
+                    for c in data_cols
+                ]
+            ).withColumn(op_col, F.lit(delete_op))
+            stored = stored.unionByName(widened)
+        combined = stored.unionByName(changes.select(*data_cols, *tag))
         # one last-change-wins pass over everything: contested keys
         # resolve by order, keys absent from the feed win trivially as
         # their own only row — no separate anti-join needed
-        new_state = apply_cdc_changes(
-            combined, key_cols, order_cols, op_col=op_col, delete_op=delete_op
-        ).select(*data_cols)
+        winners = apply_cdc_changes(
+            combined,
+            key_cols,
+            order_cols,
+            op_col=op_col,
+            delete_op=delete_op,
+            keep_tombstones=keep_tomb,
+        )
+        if keep_tomb:
+            # materialize before overwriting the paths being read;
+            # both the data write and the tombstone write feed from it
+            winners = winners.localCheckpoint(eager=True)
+            is_del = F.col(op_col) == delete_op
+            new_tombs = winners.where(is_del).select(*tomb_cols)
+            _dynamic_overwrite(spark, new_tombs, tomb_path, partition_col)
+            # touched partitions whose tombstones all vanished (every
+            # delete was superseded by a newer upsert) emit nothing —
+            # drop their stale store directories
+            tomb_present = {
+                r[0] for r in new_tombs.select(partition_col).distinct().collect()
+            }
+            _delete_partition_dirs(
+                spark,
+                tomb_path,
+                partition_col,
+                [v for v in part_vals if v not in tomb_present],
+            )
+            # winners is already materialized — safe to overwrite
+            new_state = winners.where(~is_del).select(*data_cols)
+        else:
+            new_state = winners.select(*data_cols).localCheckpoint(eager=True)
     else:
         # collapse the feed: last change per key wins, tombstones drop
         collapsed = apply_cdc_changes(
@@ -123,36 +279,18 @@ def merge_into_partitioned_parquet(
         feed_keys = changes.select(*key_cols).distinct()
 
         kept = touched.join(feed_keys, on=key_cols, how="left_anti")
-        new_state = kept.unionByName(collapsed)
+        new_state = kept.unionByName(collapsed).localCheckpoint(eager=True)
 
-    # materialize before overwriting the path being read; scope the
-    # dynamic-overwrite conf to this one write
-    new_state = new_state.localCheckpoint(eager=True)
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prior = spark.conf.get(conf_key, None)
-    try:
-        spark.conf.set(conf_key, "dynamic")
-        (
-            new_state.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_path)
-        )
-    finally:
-        if prior is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prior)
+    _dynamic_overwrite(spark, new_state, target_path, partition_col)
 
     # dynamic overwrite only replaces partitions PRESENT in the output:
     # a partition whose rows were all deleted emits nothing and would
     # keep its stale files — drop those directories explicitly
     present = {r[0] for r in new_state.select(partition_col).distinct().collect()}
-    vanished = [v for v in part_vals if v not in present]
-    if vanished:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        for v in vanished:
-            p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_col}={v}")
-            fs = p.getFileSystem(hconf)
-            fs.delete(p, True)
+    _delete_partition_dirs(
+        spark,
+        target_path,
+        partition_col,
+        [v for v in part_vals if v not in present],
+    )
     return sorted(part_vals)

@@ -142,6 +142,7 @@ def apply_cdc_changes(
     order_cols: list[str],
     op_col: str | None = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Collapse a CDC change feed to the current state of every key:
     the LAST change wins (by order_cols — make the last column a
@@ -157,12 +158,17 @@ def apply_cdc_changes(
 
     ``op_col=None`` means the feed carries no tombstones (pure upsert
     stream): last change per key wins unconditionally.
+
+    ``keep_tombstones=True`` keeps the winning row even when it is a
+    tombstone (``op_col`` still carries ``delete_op`` on it) — for
+    sinks that must PERSIST deletes so later out-of-order changes can
+    lose to them (operators/merge.py version_aware mode).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
     keep = F.col("__cdc_rn") == 1
-    if op_col is not None:
+    if op_col is not None and not keep_tombstones:
         keep = keep & (F.col(op_col) != delete_op)
     return (
         changes.withColumn("__cdc_rn", F.row_number().over(w))

@@ -532,7 +532,13 @@ def register_round6_streaming() -> None:
             version_aware=True,
         )
         q.awaitTermination(300)
-        out = spark.read.parquet(target)
+        from build_datawarehouse_demo_spark.operators.merge import (
+            read_merged_parquet,
+        )
+
+        # version_aware targets persist tombstones; the logical table
+        # is read through the helper that hides them
+        out = read_merged_parquet(spark, target)
         return out.groupBy(F.col("part").cast("int").alias("part")).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),

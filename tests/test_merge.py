@@ -189,6 +189,94 @@ def test_merge_version_aware_rejects_stale_changes(spark, tmp_path):
     }
 
 
+def test_merge_version_aware_delete_then_stale_update_across_batches(spark, tmp_path):
+    """The tombstone case (round-7 ADVICE): a delete in one batch must
+    PERSIST so a stale (lower-seq) update arriving in a LATER batch
+    still loses — without stored tombstones the delete erases the
+    key's order value and the stale update re-inserts the deleted key.
+    Also: a genuinely NEWER update must supersede the tombstone (and
+    clear it from the store)."""
+    from build_datawarehouse_demo_spark.operators.merge import (
+        tombstone_store_path,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, 10.0, 1), (2, 1, 20.0, 1), (9, 1, 90.0, 1)],
+        "id long, part int, v double, seq int",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    args = (["id"], ["seq", "id"], "part")
+    # batch 1: delete keys 1 and 2 at seq 10 (key 9 stays live)
+    merge_into_partitioned_parquet(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 1, 0.0, "D", 10), (2, 1, 0.0, "D", 10)],
+            "id long, part int, v double, op string, seq int",
+        ),
+        *args,
+        version_aware=True,
+    )
+    assert _state(spark, path) == {(9, 1, 90.0)}
+    # tombstones persisted in the sibling store, not the data dir
+    tombs = {
+        (r.id, r.seq)
+        for r in spark.read.parquet(tombstone_store_path(path)).collect()
+    }
+    assert tombs == {(1, 10), (2, 10)}
+
+    # batch 2 (out of order): stale update for key 1 (seq 5 < 10) must
+    # lose to the tombstone; newer update for key 2 (seq 20) must win
+    merge_into_partitioned_parquet(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 1, 99.0, "U", 5), (2, 1, 22.0, "U", 20)],
+            "id long, part int, v double, op string, seq int",
+        ),
+        *args,
+        version_aware=True,
+    )
+    got = {(r.id, r.v, r.seq) for r in spark.read.parquet(path).collect()}
+    assert got == {(2, 22.0, 20), (9, 90.0, 1)}
+    # key 2's tombstone was superseded and cleared; key 1's remains
+    tombs = {
+        (r.id, r.seq)
+        for r in spark.read.parquet(tombstone_store_path(path)).collect()
+    }
+    assert tombs == {(1, 10)}
+
+
+def test_merge_blast_radius_guard(spark, tmp_path):
+    """max_touched_partitions makes the driver-side collect of touched
+    partition values an explicit, loudly-enforced contract."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    feed = spark.createDataFrame(
+        [(100 + i, 100 + i, 1.0, "U", 1) for i in range(8)],
+        "id long, part int, v double, op string, seq int",
+    )
+    with pytest.raises(ValueError, match="blast-radius"):
+        merge_into_partitioned_parquet(
+            spark,
+            path,
+            feed,
+            ["id"],
+            ["seq", "id"],
+            "part",
+            max_touched_partitions=5,
+        )
+    # under the cap it proceeds
+    touched = merge_into_partitioned_parquet(
+        spark, path, feed, ["id"], ["seq", "id"], "part", max_touched_partitions=8
+    )
+    assert len(touched) == 8
+
+
 def test_stream_merge_version_aware_out_of_order_batches(spark, tmp_path):
     """Micro-batches delivered OUT of per-key order: batch files are
     processed oldest-file-first, but file 0 carries the NEWER seq.
@@ -229,3 +317,43 @@ def test_stream_merge_version_aware_out_of_order_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.id, r.v, r.seq) for r in spark.read.parquet(target).collect()}
     assert got == {(1, 100.0, 10), (2, 200.0, 10), (3, 30.0, 1)}
+
+
+def test_stream_merge_delete_survives_later_stale_batch(spark, tmp_path):
+    """Cross-batch tombstone through the streaming sink: batch 1
+    deletes a key, batch 2 carries a STALE update for it — the key
+    must stay deleted (batch-slicing independence for deletes, the
+    exact failure the ADVICE flagged)."""
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_merge_to_partitioned_parquet,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    target = str(tmp_path / "target")
+    # file 00000: upsert then delete (newer); file 00001: stale update
+    spark.createDataFrame(
+        [(1, 1, 10.0, "U", 1), (1, 1, 0.0, "D", 10), (2, 1, 20.0, "U", 1)],
+        "id long, part int, v double, op string, seq int",
+    ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    spark.createDataFrame(
+        [(1, 1, 55.0, "U", 5)],
+        "id long, part int, v double, op string, seq int",
+    ).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    feed = (
+        spark.readStream.schema("id long, part int, v double, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = stream_merge_to_partitioned_parquet(
+        feed,
+        target,
+        key_cols=["id"],
+        order_cols=["seq", "id"],
+        partition_col="part",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        version_aware=True,
+    )
+    q.awaitTermination(120)
+    got = {(r.id, r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert got == {(2, 20.0, 1)}
