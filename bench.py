@@ -54,7 +54,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine (FIXED 8x8 signature) was demoted in r7:
+    # measured quadratic at sf1->sf4 (exponent 2.09) — it stays
+    # oracle-checked for continuity but only the auto-scaled entry
+    # below belongs in a headline that feeds the scale gate
     "sim_cosine_topk",
     "text_quality_score",
     "join_asof",

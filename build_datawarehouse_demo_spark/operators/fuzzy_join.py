@@ -83,8 +83,10 @@ def levenshtein_band_join(
     single-character typos).
 
     Two published candidate-generation schemes, picked by ``method``
-    (``auto`` = deletion neighborhoods for max_distance <= 2, q-grams
-    above):
+    (``auto`` = deletion neighborhoods for max_distance <= 2 AND a
+    measured p99 value length under 64 (k=1) / 32 (k=2) chars —
+    variants grow O(L^k) per value, so long-string domains fall back
+    to q-grams):
 
     ``deletion`` — FastSS (Bocek et al., "Fast Similarity Search in
     Large Dictionaries", 2007; the SymSpell scheme): each DISTINCT
@@ -128,12 +130,27 @@ def levenshtein_band_join(
         raise ValueError(f"unknown method {method!r}")
     k, p = max_distance, max_distance * q + 1
     short_len = max_distance * q + q - 1  # <= k*q grams ⇒ no prefix guarantee
-    if method == "auto":
-        method = "deletion" if k <= 2 else "qgram"
 
     self_join = left is right and left_col == right_col
     lv = left.select(F.col(left_col).alias("lval")).where(F.col("lval").isNotNull()).distinct()
     rv = right.select(F.col(right_col).alias("rval")).where(F.col("rval").isNotNull()).distinct()
+
+    if method == "auto":
+        # the deletion path emits O(L^k) variants per DISTINCT value, so
+        # "k <= 2" alone is not a safe gate: long strings (addresses,
+        # descriptions) explode candidate generation. Measure the p99
+        # length of the distinct values (one cheap agg over data the
+        # join scans anyway) and require it under a per-k cutoff —
+        # ~64 variants/value worst case — else fall back to q-grams.
+        if k <= 2:
+            vals = lv if self_join else lv.unionAll(rv.select(F.col("rval").alias("lval")))
+            p99 = (
+                vals.agg(F.percentile_approx(F.length("lval"), 0.99)).first()[0]
+                or 0
+            )
+            method = "deletion" if p99 <= (64 if k == 1 else 32) else "qgram"
+        else:
+            method = "qgram"
 
     if method == "deletion":
         cand = _candidates_deletion(lv, rv, k, self_join=self_join)

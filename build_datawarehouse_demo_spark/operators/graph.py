@@ -130,10 +130,21 @@ def write_bucketed_share(share: DataFrame, table: str, buckets: int = 32) -> Dat
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a session that died between create and drop leaves the managed
     # location on disk with no catalog entry; saveAsTable would then
-    # fail with LOCATION_ALREADY_EXISTS — clear the orphan first
+    # fail with LOCATION_ALREADY_EXISTS — clear the orphan first.
+    # Resolve the managed location through the CATALOG (warehouse.dir +
+    # table would be wrong for a db-qualified name or a non-default
+    # current database: it could miss the real orphan or delete an
+    # unrelated path).
+    parts = table.split(".")
+    if len(parts) == 2:
+        db, tbl = parts
+    elif len(parts) == 1:
+        db, tbl = spark.catalog.currentDatabase(), parts[0]
+    else:
+        raise ValueError(f"expected 'tbl' or 'db.tbl', got {table!r}")
+    loc = spark.catalog.getDatabase(db).locationUri
     jvm = spark._jvm
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    p = jvm.org.apache.hadoop.fs.Path(f"{loc}/{tbl.lower()}")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
         fs.delete(p, True)

@@ -128,35 +128,57 @@ def constraint_violations(
     an anti-join count — they need a second table and belong in the
     join layer, not a single-table profile.
     """
+    # column names are USER INPUT and land in constraint labels: keep
+    # them out of every name-parsing surface (F.col / df[c] /
+    # selectExpr / aliases all parse dots, quotes, backticks as
+    # syntax). Rename every input column to a safe positional name
+    # first (toDF is purely positional), compute against those, and
+    # carry the real names only as literal labels.
+    safe = {}
+    for i, c in enumerate(df.columns):
+        safe.setdefault(c, f"__in{i}")
+    sdf = df.toDF(*[f"__in{i}" for i in range(len(df.columns))])
+
+    def _in(c: str):
+        if c not in safe:
+            raise ValueError(f"unknown column {c!r}; have {df.columns}")
+        return F.col(safe[c])
+
+    labels: list[str] = []
     aggs = []
+
+    def _add(label: str, expr) -> None:
+        aggs.append(expr.alias(f"__c{len(aggs)}"))
+        labels.append(label)
+
     for c in not_null:
-        aggs.append(
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"not_null:{c}")
-        )
+        _add(f"not_null:{c}", F.count(F.when(_in(c).isNull(), 1)))
     for c in unique:
-        aggs.append(
-            (F.count(F.col(c)) - F.countDistinct(F.col(c))).alias(f"unique:{c}")
-        )
+        _add(f"unique:{c}", F.count(_in(c)) - F.countDistinct(_in(c)))
     for c, (lo, hi) in (ranges or {}).items():
-        aggs.append(
-            F.count(
-                F.when(F.col(c).isNotNull() & ~F.col(c).between(lo, hi), 1)
-            ).alias(f"range:{c}")
+        _add(
+            f"range:{c}",
+            F.count(F.when(_in(c).isNotNull() & ~_in(c).between(lo, hi), 1)),
         )
     for c, allowed in (accepted_values or {}).items():
-        aggs.append(
-            F.count(
-                F.when(
-                    F.col(c).isNotNull() & ~F.col(c).isin(list(allowed)), 1
-                )
-            ).alias(f"accepted_values:{c}")
+        _add(
+            f"accepted_values:{c}",
+            F.count(F.when(_in(c).isNotNull() & ~_in(c).isin(list(allowed)), 1)),
         )
     if not aggs:
         raise ValueError("no constraints declared")
-    wide = df.agg(*aggs)
-    # long form: one row per constraint (stack is a generator — the
-    # single wide row explodes executor-side, no collect)
-    pairs = ", ".join(f"'{c}', `{c}`" for c in wide.columns)
-    return wide.selectExpr(
-        f"stack({len(wide.columns)}, {pairs}) AS (constraint, n_violations)"
+    wide = sdf.agg(*aggs)
+    # long form: one row per constraint, exploded executor-side from
+    # the single wide row (no collect)
+    kvs = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("constraint"),
+                F.col(f"__c{i}").alias("n_violations"),
+            )
+            for i, label in enumerate(labels)
+        ]
+    )
+    return wide.select(F.explode(kvs).alias("kv")).select(
+        "kv.constraint", "kv.n_violations"
     )

@@ -376,6 +376,15 @@ def register_extensions() -> None:
         """,
     )
     def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SMALL-CORPUS-ONLY (kept for oracle continuity, demoted from
+        the bench HEADLINE in round 7): this entry pins a FIXED 8x8
+        LSH signature, and fixed parameters are a measured
+        scale-killer — once n >> 2^r * bucket_size every bucket
+        saturates and candidates grow ~n^2 (measured exponent 2.09 at
+        sf1→sf4, 227.8s at sf4; BENCH_SCALE_r06_sf1_sf4.json). Use
+        `dedup_embedding_cosine_auto` (bands=None, rows_per_band=None →
+        lsh_auto_params corpus-sized signatures, measured exponent
+        ~0.9) for anything beyond a few thousand vectors."""
         from build_datawarehouse_demo_spark.operators.similarity import (
             embedding_near_dup_pairs_bucketed,
         )

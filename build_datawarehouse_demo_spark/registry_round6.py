@@ -680,10 +680,19 @@ def register_round6_lsh_auto() -> None:
         rp_planes,
     )
 
-    # the driver's correctness gate runs at sf0.01 (500 vectors); the
-    # oracle replicates the EXACT bucketing lsh_auto_params picks for
-    # that n — same count-pinned-constant precedent as sink_zorder_scan
-    _A_BANDS, _A_R = lsh_auto_params(500)
+    # the driver's correctness gate runs at sf0.01; the oracle must
+    # replicate the EXACT bucketing lsh_auto_params picks for that
+    # corpus, so derive n from the actual driver table's parquet
+    # metadata at registration (ADVICE r6: a hard-coded 500 silently
+    # diverges impl vs oracle if the fixture row count ever changes) —
+    # same count-pinned-constant precedent as sink_zorder_scan
+    try:
+        import pyarrow.dataset as _pds
+
+        _A_N = _pds.dataset("/root/testdata/sf0.01/embeddings.parquet").count_rows()
+    except Exception:
+        _A_N = 500
+    _A_BANDS, _A_R = lsh_auto_params(_A_N)
     _a_planes = rp_planes(_A_BANDS * _A_R, 64)
 
     def _band_sig_sql(b: int) -> str:

@@ -314,3 +314,19 @@ def test_constraint_violations_counts(spark):
     }
     with pytest.raises(ValueError):
         constraint_violations(df)
+
+
+def test_constraint_violations_hostile_column_names(spark):
+    """Column names with quotes/backticks must not break (or inject
+    into) the long-form stacking — the labels are built with typed
+    APIs, not interpolated SQL text."""
+    from build_datawarehouse_demo_spark.operators.profiling import (
+        constraint_violations,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], ["it's `odd`"])
+    got = {
+        r.constraint: r.n_violations
+        for r in constraint_violations(df, not_null=["it's `odd`"]).collect()
+    }
+    assert got == {"not_null:it's `odd`": 1}
