@@ -88,6 +88,11 @@ HEADLINE = [
     # auto-scaled LSH near-dup (the fix for the fixed-signature
     # quadratic exposed at sf4 — track it next to the fixed entry)
     "dedup_embedding_cosine_auto",
+    # round-7 ANN lanes: corpus-sized signature search and the
+    # k-means-trained IVF (index build included in the timing — the
+    # "build is part of the engine" path)
+    "sim_ann_rp_lsh_auto",
+    "sim_ivf_trained",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

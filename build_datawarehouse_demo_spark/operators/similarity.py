@@ -96,17 +96,20 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    top_n: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (broadcast
-    centroids, one narrow pass — this is the 'build the IVF index'
-    step; at 100 TB it's a single map stage)."""
+    """Assign each vector to its ``top_n`` max-cosine centroids
+    (broadcast centroids, one narrow pass — this is the 'build the IVF
+    index' step; at 100 TB it's a single map stage). top_n=1 is index
+    build (each vector lives in ONE inverted list); top_n>1 is the
+    probe-side ``nprobe`` routing."""
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
     cent = centroids.select(F.col(centroid_id_col), _as_double(vec_col).alias("__c"))
     scored = c.join(F.broadcast(cent)).withColumn("sim", cosine(F.col("__v"), F.col("__c")))
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= top_n)
         .select(id_col, centroid_id_col, F.col("__v").alias("__v"))
     )
 
@@ -119,13 +122,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: probes are routed to their nearest centroid and only
-    scored against that cluster's inverted list."""
+    """IVF search: probes are routed to their ``nprobe`` nearest
+    centroids and only scored against those clusters' inverted lists.
+    nprobe trades cost (fraction of corpus scanned ~ nprobe/nlist) for
+    recall; each corpus vector lives in exactly one list, so the
+    per-probe candidate sets are disjoint — no dedup needed."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    probe_assigned = ivf_assign(probes, centroids, probe_id_col, vec_col).select(
-        probe_id_col, "centroid_id", F.col("__v").alias("__pv")
-    )
+    probe_assigned = ivf_assign(
+        probes, centroids, probe_id_col, vec_col, top_n=nprobe
+    ).select(probe_id_col, "centroid_id", F.col("__v").alias("__pv"))
     scored = (
         assigned.join(probe_assigned, "centroid_id")
         .filter(F.col(id_col) != F.col(probe_id_col))
@@ -238,6 +245,18 @@ def rp_signature_staged(
     return staged.withColumn(out_col, sig.cast("int")).drop("__rp_projs")
 
 
+def ann_auto_planes(n: int) -> int:
+    """Corpus-sized signature width for ann_rp_lsh_topk:
+    ceil(log2(n / 64)) clamped to [8, 24] keeps expected bucket depth
+    ~64 so per-probe verify cost stays ~constant as n grows (a fixed
+    plane count is the same scale trap lsh_auto_params fixes for the
+    dedup lane: per-probe cost grows n / 2^planes). Single source for
+    the impl, the registry oracle pin, and the scaling-law pytest."""
+    import math
+
+    return max(8, min(24, math.ceil(math.log2(max(n, 2) / 64))))
+
+
 def ann_rp_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -275,9 +294,7 @@ def ann_rp_lsh_topk(
     compensation for the narrower buckets.
     """
     if n_planes is None:
-        import math
-
-        n_planes = max(8, min(24, math.ceil(math.log2(max(corpus.count(), 2) / 64))))
+        n_planes = ann_auto_planes(corpus.count())
     planes = rp_planes(n_planes, dim)
     c = rp_signature_staged(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")), "__cv", planes
@@ -601,13 +618,19 @@ def kmeans_train(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """n_iter Lloyd iterations (driver-side loop over lazy steps; each
     step's centroids are localCheckpoint'ed so lineage stays O(1) —
-    the same iterative-plan discipline as dedup.connected_components)."""
+    the same iterative-plan discipline as dedup.connected_components).
+
+    ``round_to`` rounds each iteration's mean coordinates (pass 6 for
+    cross-engine determinism: both engines then feed IDENTICAL
+    centroids into the next iteration, so an oracle can replicate the
+    whole training run, not just one step)."""
     cents = centroids
     for _ in range(n_iter):
         cents = kmeans_lloyd_step(
-            corpus, cents, id_col=id_col, vec_col=vec_col, round_to=None
+            corpus, cents, id_col=id_col, vec_col=vec_col, round_to=round_to
         ).localCheckpoint()
     return cents

@@ -116,6 +116,7 @@ def _load_all() -> None:
         register_round6_quality_ri,
         register_round6_streaming,
     )
+    from build_datawarehouse_demo_spark.registry_round7 import register_round7_ann  # noqa
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -130,6 +131,7 @@ def _load_all() -> None:
     register_round6_quality()
     register_round6_quality_ri()
     register_round6_streaming()
+    register_round7_ann()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}
