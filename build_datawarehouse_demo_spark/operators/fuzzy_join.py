@@ -73,6 +73,8 @@ def levenshtein_band_join(
     q: int = 2,
     ordered_pairs: bool = True,
     method: str = "auto",
+    candidate_cap: int | None = 100_000_000,
+    count_filter: bool | str = "auto",
 ) -> DataFrame:
     """All (left_val, right_val, dist) pairs of DISTINCT string values
     with Levenshtein(edit) distance <= max_distance, without the
@@ -118,7 +120,15 @@ def levenshtein_band_join(
     - verification is exact ``F.levenshtein`` on candidates; the
       length filter applies to ALL candidate pairs.
 
-    Lossless by the two bounds above; results equal the quadratic
+    ``candidate_cap`` (qgram path only) bounds the prefix join's
+    enumerated volume with an exact pre-flight estimate and fails
+    loudly past it — the hot-gram cost model is documented at the gate
+    in ``_candidates_qgram``. The Ed-Join COUNT FILTER
+    (|G(a) ∩ G(b)| >= max(|G(a)|,|G(b)|) - k*q) prunes enumerated
+    candidates before the exact verify.
+
+    Lossless by the two bounds above (the count filter is implied by
+    ed <= k, never excludes a true pair); results equal the quadratic
     truth (property-tested against it in tests/test_properties.py).
     Scale posture: distinct-value dedup first, then equi-joins and
     hash aggs only; the gram-frequency table is a broadcast; output
@@ -135,38 +145,68 @@ def levenshtein_band_join(
     lv = left.select(F.col(left_col).alias("lval")).where(F.col("lval").isNotNull()).distinct()
     rv = right.select(F.col(right_col).alias("rval")).where(F.col("rval").isNotNull()).distinct()
 
+    p99: int | None = None
+    if method == "auto" or count_filter == "auto":
+        # p99 value length: one cheap agg over data the join scans
+        # anyway; drives both the auto method choice and the auto
+        # count-filter decision
+        vals = lv if self_join else lv.unionAll(rv.select(F.col("rval").alias("lval")))
+        p99 = vals.agg(F.percentile_approx(F.length("lval"), 0.99)).first()[0] or 0
     if method == "auto":
         # the deletion path emits O(L^k) variants per DISTINCT value, so
         # "k <= 2" alone is not a safe gate: long strings (addresses,
-        # descriptions) explode candidate generation. Measure the p99
-        # length of the distinct values (one cheap agg over data the
-        # join scans anyway) and require it under a per-k cutoff —
-        # ~64 variants/value worst case — else fall back to q-grams.
-        if k <= 2:
-            vals = lv if self_join else lv.unionAll(rv.select(F.col("rval").alias("lval")))
-            p99 = (
-                vals.agg(F.percentile_approx(F.length("lval"), 0.99)).first()[0]
-                or 0
-            )
-            method = "deletion" if p99 <= (64 if k == 1 else 32) else "qgram"
+        # descriptions) explode candidate generation. Require the p99
+        # length under a per-k cutoff — ~64 variants/value worst case —
+        # else fall back to q-grams.
+        if k <= 2 and p99 <= (64 if k == 1 else 32):
+            method = "deletion"
         else:
             method = "qgram"
+    if count_filter == "auto":
+        # the count filter trades two candidate-volume equi-joins for
+        # skipped levenshtein verifies: levenshtein is O(L^2) per pair,
+        # the set-intersect O(L) — the trade only pays on LONG strings
+        # (measured: on 18-char customer names it more than doubled the
+        # qgram path's cost; on description-length strings it wins)
+        count_filter = p99 >= 64
 
     if method == "deletion":
         cand = _candidates_deletion(lv, rv, k, self_join=self_join)
     else:
-        cand = _candidates_qgram(lv, rv, k, q, p, short_len)
+        cand = _candidates_qgram(lv, rv, k, q, p, short_len, candidate_cap)
 
     pair_filter = (
         F.col("lval") < F.col("rval")  # self-join: each unordered pair once
         if ordered_pairs
         else F.col("lval") != F.col("rval")
     )
+    cand = cand.where(
+        pair_filter & (F.abs(F.length("lval") - F.length("rval")) <= k)
+    ).distinct()
+    if method == "qgram" and count_filter:
+        # Ed-Join COUNT FILTER, applied pre-verify: one edit touches at
+        # most q distinct gram strings, so ed(a,b) <= k forces
+        # |G(a) ∩ G(b)| >= max(|G(a)|, |G(b)|) - k*q. Gram sets are
+        # per-DISTINCT-value equi-joins (AQE broadcasts them when the
+        # distinct side is small), and the set-intersect is O(g) per
+        # pair vs levenshtein's O(L^2) — the filter pays for itself
+        # exactly on the long strings the auto gate routes here.
+        # (Short-bucket members can carry empty gram arrays;
+        # max(0 - k*q, ...) is never > 0, so they pass untouched.)
+        lsets = lv.select("lval", _qgrams(F.col("lval"), q).alias("__lg"))
+        rsets = rv.select("rval", _qgrams(F.col("rval"), q).alias("__rg"))
+        cand = (
+            cand.join(lsets, "lval")
+            .join(rsets, "rval")
+            .where(
+                F.size(F.array_intersect("__lg", "__rg"))
+                >= F.greatest(F.size("__lg"), F.size("__rg")) - k * q
+            )
+            .drop("__lg", "__rg")
+        )
     dist = F.levenshtein("lval", "rval")
     return (
-        cand.where(pair_filter & (F.abs(F.length("lval") - F.length("rval")) <= k))
-        .distinct()
-        .select("lval", "rval", dist.cast("int").alias("dist"))
+        cand.select("lval", "rval", dist.cast("int").alias("dist"))
         .where(F.col("dist") <= k)
     )
 
@@ -192,7 +232,13 @@ def _candidates_deletion(
 
 
 def _candidates_qgram(
-    lv: DataFrame, rv: DataFrame, k: int, q: int, p: int, short_len: int
+    lv: DataFrame,
+    rv: DataFrame,
+    k: int,
+    q: int,
+    p: int,
+    short_len: int,
+    candidate_cap: int | None = None,
 ) -> DataFrame:
     lg = lv.select("lval", _qgrams(F.col("lval"), q).alias("grams"))
     rg = rv.select("rval", _qgrams(F.col("rval"), q).alias("grams"))
@@ -224,11 +270,39 @@ def _candidates_qgram(
             .select(val, F.explode("prefix").alias("gram"))
         )
 
-    cand_long = (
-        prefixed(lg.where(F.length("lval") > short_len), "lval")
-        .join(prefixed(rg.where(F.length("rval") > short_len), "rval"), "gram")
-        .select("lval", "rval")
-    )
+    pl = prefixed(lg.where(F.length("lval") > short_len), "lval")
+    pr = prefixed(rg.where(F.length("rval") > short_len), "rval")
+    if candidate_cap is not None:
+        # HOT-GRAM GATE (measured cost model, round-7): the prefix join
+        # enumerates Σ_gram |L_gram|·|R_gram| rows BEFORE any filter —
+        # on low-entropy domains (strings sharing a long common
+        # prefix/charset, e.g. 'Customer#000000001') even the rarest
+        # k*q+1 grams are globally hot, and the volume explodes
+        # combinatorially: measured 21M pairs at k=1 and 650M at k=3
+        # from just 15k distinct names (~n^2 * bands). The estimate
+        # below is EXACT (two tiny per-gram count aggs over data the
+        # join scans anyway) and fails loudly instead of silently
+        # running an hours-long join. Remedies in the message; the
+        # deletion path's full-string-derived keys stay selective on
+        # exactly these domains, which is why auto prefers it for k<=2.
+        est = (
+            pl.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("ln"))
+            .join(pr.groupBy("gram").agg(F.count(F.lit(1)).alias("rn")), "gram")
+            .agg(F.sum(F.col("ln") * F.col("rn")).alias("vol"))
+            .first()["vol"]
+        ) or 0
+        if est > candidate_cap:
+            raise ValueError(
+                f"qgram candidate volume {est:,} exceeds candidate_cap "
+                f"{candidate_cap:,}: the k*q+1-prefix grams are hot (low-"
+                "entropy value domain), so the prefix equi-join would "
+                "enumerate ~n^2-scale pairs. Use method='deletion' "
+                "(k <= 2), raise q (longer, rarer grams), pre-block the "
+                "join on another column, or pass candidate_cap=None / a "
+                "higher cap to accept the cost."
+            )
+    cand_long = pl.join(pr, "gram").select("lval", "rval")
     # short bucket: every pair where EITHER side lacks the gram
     # guarantee — both members are then <= short_len + k chars
     sb_l = lv.where(F.length("lval") <= short_len + k)
