@@ -116,7 +116,10 @@ def _load_all() -> None:
         register_round6_quality_ri,
         register_round6_streaming,
     )
-    from build_datawarehouse_demo_spark.registry_round7 import register_round7_ann  # noqa
+    from build_datawarehouse_demo_spark.registry_round7 import (  # noqa
+        register_round7_ann,
+        register_round7_star,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -132,6 +135,7 @@ def _load_all() -> None:
     register_round6_quality_ri()
     register_round6_streaming()
     register_round7_ann()
+    register_round7_star()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -223,3 +223,433 @@ def register_round7_ann() -> None:
             F.col("vec_id").alias("probe_id"), "embedding"
         )
         return ivf_topk(emb, cents, probes, k=5, nprobe=_NPROBE)
+
+
+def register_round7_star() -> None:
+    # ------------------------------------------------------------------
+    # the FULL warehouse build as a driver-visible oracle entry
+    # (VERDICT r6 item 7): plans/star_schema.py — the reference's
+    # actual deliverable (EP2, /root/reference/transformation.py:602-697)
+    # — was pytest-only; here a Yelp-shaped fixture is derived
+    # DETERMINISTICALLY from the driver's TPC-H-ish tables, the whole
+    # ~22-table star schema builds as one lazy Catalyst DAG, and the
+    # result surfaces as (table_name, n_rows, integer checksum) rows
+    # the DuckDB oracle restates end to end (explodes, map unnests,
+    # JSON highlights, hour parsing with %24 wrap, keep-null vs
+    # drop-miss date resolution, lexicographic surrogate keys, the
+    # scalable contiguous checkin id — whose sum is n(n+1)/2 by the
+    # contiguity contract, which the checksum therefore pins).
+    # Every checksum term is integer-valued so sums are exact in both
+    # engines regardless of float addition order.
+    @register("pipeline_star_schema_build", oracle=_STAR_ORACLE)
+    def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from build_datawarehouse_demo_spark.plans.star_schema import build_warehouse
+
+        raw = _yelp_fixture_from_driver_tables(spark, sf_dir)
+        wh = build_warehouse(spark, raw)
+        return _summarize_warehouse(wh)
+
+
+def _yelp_fixture_from_driver_tables(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Deterministic, SQL-mirrorable Yelp-shaped raw inputs derived
+    from the driver's tables — every value is an arithmetic/string
+    function of the source keys so the DuckDB oracle can restate the
+    derivation exactly. Planted malformations exercise the build's
+    guard paths: NULL/'' categories, NULL attribute/hour maps, a
+    'garbage' hour range, 'not json' highlights, out-of-spine dates,
+    'T' trace precipitation."""
+    part = _t(spark, sf_dir, "part", rebalance=False)
+    cust = _t(spark, sf_dir, "customer", rebalance=False)
+    orders = _t(spark, sf_dir, "orders", rebalance=False)
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
+
+    pk = F.col("p_partkey")
+    business = part.select(
+        F.concat(F.lit("b"), pk).alias("business_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_type").alias("address"),
+        F.col("p_brand").alias("city"),
+        F.concat(F.lit("S"), pk % 5).alias("state"),
+        F.col("p_size").cast("string").alias("postal_code"),
+        (pk % 90).cast("double").alias("latitude"),
+        (pk % 180).cast("double").alias("longitude"),
+        ((pk % 5) + 1).cast("double").alias("stars"),
+        F.col("p_size").cast("int").alias("review_count"),
+        (pk % 2).cast("int").alias("is_open"),
+        F.when(pk % 10 == 0, F.lit(None).cast("string"))
+        .when(pk % 10 == 1, F.lit(""))
+        .otherwise(F.concat("p_type", F.lit(", "), "p_brand"))
+        .alias("categories"),
+        F.when(
+            pk % 7 != 0,
+            F.create_map(
+                F.lit("Brand"), F.col("p_brand"),
+                F.lit("Size"), F.col("p_size").cast("string"),
+            ),
+        ).alias("attributes"),
+        F.when(
+            pk % 5 != 0,
+            F.create_map(
+                F.lit("Monday"), F.lit("9:0-17:0"),
+                F.lit("Friday"),
+                F.concat((pk % 14).cast("string"), F.lit(":0-"), (pk % 14 + 12).cast("string"), F.lit(":0")),
+                F.lit("Sunday"), F.lit("garbage"),
+            ),
+        ).alias("hours"),
+    )
+
+    ck = F.col("c_custkey")
+    user = cust.select(
+        F.concat(F.lit("u"), ck).alias("user_id"),
+        F.col("c_name").alias("name"),
+        (ck % 100).cast("int").alias("review_count"),
+        F.date_add(F.lit("2010-01-01").cast("date"), (ck % 2000).cast("int"))
+        .cast("string")
+        .alias("yelping_since"),
+        (ck % 7).cast("int").alias("useful"),
+        (ck % 5).cast("int").alias("funny"),
+        (ck % 3).cast("int").alias("cool"),
+        (ck % 11).cast("int").alias("fans"),
+        (((ck % 40) + 10) / F.lit(10.0)).alias("average_stars"),
+        F.when(ck % 4 == 0, F.lit(""))
+        .when(ck % 4 == 1, F.lit("2015"))
+        .when(ck % 4 == 2, F.lit("2015,2016"))
+        .otherwise(F.lit("2016,2017,2018"))
+        .alias("elite"),
+        F.when(ck % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("u"), ck % 50, F.lit(",u"), ck % 97)
+        ).alias("friends"),
+    )
+
+    ok = F.col("o_orderkey")
+    review = orders.select(
+        F.concat(F.lit("r"), ok).alias("review_id"),
+        F.concat(F.lit("b"), ok % 2000).alias("business_id"),
+        F.concat(F.lit("u"), F.col("o_custkey")).alias("user_id"),
+        ((ok % 5) + 1).cast("double").alias("stars"),
+        (ok % 4).cast("int").alias("useful"),
+        (ok % 3).cast("int").alias("funny"),
+        (ok % 2).cast("int").alias("cool"),
+        F.col("o_orderpriority").alias("text"),
+        F.when(ok % 97 == 0, F.lit("2031-01-01 00:00:00"))  # past spine end -> null id
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("date"),
+    )
+
+    checkin = (
+        orders.select(
+            F.concat(F.lit("b"), F.col("o_custkey") % 300).alias("business_id"),
+            F.when(ok % 89 == 0, F.lit("garbage")).otherwise(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            ).alias("elem"),
+        )
+        .groupBy("business_id")
+        .agg(F.concat_ws(", ", F.sort_array(F.collect_list("elem"))).alias("date"))
+    )
+
+    tip = li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 4 == 0)).select(
+        F.concat("l_returnflag", "l_linestatus").alias("text"),
+        F.col("l_quantity").cast("int").alias("compliment_count"),
+        F.concat(F.lit("b"), F.col("l_partkey") % 2000).alias("business_id"),
+        F.concat(F.lit("u"), F.col("l_suppkey") % 1500).alias("user_id"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("date"),
+    )
+
+    covid = part.where(pk % 4 == 0).select(
+        F.concat(F.lit("b"), pk).alias("business_id"),
+        F.when(pk % 8 == 0, F.lit("TRUE")).otherwise(F.lit("FALSE")).alias("Grubhub enabled"),
+        F.when(pk % 3 == 0, F.lit("TRUE")).otherwise(F.lit("FALSE")).alias("Request a Quote Enabled"),
+        F.when(pk % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("open"), (pk % 5).cast("string"))
+        ).alias("Covid Banner"),
+        F.lit("").alias("Temporary Closed Until"),
+        F.when(pk % 6 == 0, F.lit("TRUE")).otherwise(F.lit("FALSE")).alias("Virtual Services Offered"),
+        F.when(
+            pk % 3 == 0,
+            F.concat(
+                F.lit('[{"identifier":"h'), (pk % 7).cast("string"),
+                F.lit('","params":"p","type":"t1"},{"identifier":"h'),
+                (pk % 5).cast("string"), F.lit('","params":"q","type":"t2"}]'),
+            ),
+        ).when(pk % 3 == 1, F.lit("not json")).alias("highlights"),
+    )
+
+    days = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    dd, dm = F.dayofmonth("d"), F.month("d")
+    temperature = days.select(
+        (F.year("d") * 10000 + dm * 100 + dd).cast("int").alias("date"),
+        dd.cast("double").alias("min"),
+        (dd + 20).cast("double").alias("max"),
+        dm.cast("double").alias("normal_min"),
+        (dm + 15).cast("double").alias("normal_max"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(19000101, 1.0, 2.0, 1.0, 2.0)],  # pre-spine -> null datetime_id
+            "date int, min double, max double, normal_min double, normal_max double",
+        )
+    )
+    precipitation = days.where(dm == 1).select(
+        (F.year("d") * 10000 + dm * 100 + dd).cast("int").alias("date"),
+        F.when(dd % 10 == 0, F.lit("T"))  # NOAA trace marker -> try_cast null
+        .otherwise(dd.cast("string"))
+        .alias("precipitation"),
+        (dd * 2).cast("double").alias("precipitation_normal"),
+    )
+
+    return {
+        "business": business,
+        "user": user,
+        "review": review,
+        "checkin": checkin,
+        "tip": tip,
+        "covid_features": covid,
+        "temperature": temperature,
+        "precipitation": precipitation,
+    }
+
+
+def _summarize_warehouse(wh: dict[str, DataFrame]) -> DataFrame:
+    """(table_name, n_rows, checksum) — one exact-integer checksum per
+    table, unioned and ordered. Checksum terms are all integral so the
+    double-free BIGINT sums are bit-exact in any engine/order."""
+    L = F.length
+    big = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    key = lambda c: F.substring(F.col(c), 2, 12).cast("bigint")  # strip 'b'/'u'/'r'
+
+    def row(name: str, expr, extra=None):
+        df = wh[name]
+        n = F.count(F.lit(1))
+        chk = F.coalesce(F.sum(expr.cast("bigint")), F.lit(0)).cast("bigint")
+        if extra == "contiguous_id_sum":
+            # checkin_id is contiguous 1..n by surrogate_key_scalable's
+            # contract -> its sum is n(n+1)/2 (exact in double far
+            # beyond this table's size; the oracle states n*(n+1)//2)
+            chk = (chk + (n * (n + 1) / 2)).cast("bigint")
+        return df.agg(n.alias("n_rows"), chk.alias("checksum")).select(
+            F.lit(name).alias("table_name"), "n_rows", "checksum"
+        )
+
+    dow = L("day_of_week")
+    parts = [
+        row("dim_datetime", big("datetime_id") + big("date_id") + big("day_of_month")
+            + big("month") + big("year") + big("quarter") + big("hour_id") + dow),
+        row("dim_date", big("date_id") + big("year") + big("month") + big("day")
+            + big("quarter") + dow),
+        row("dim_hour", big("hour_id") + L("hour_of_day")),
+        row("dim_business", key("business_id") + big("review_count") + big("is_open")
+            + F.col("stars").cast("bigint") + L("name") + L("city") + L("postal_code")),
+        row("dim_category", big("category_id") * L("category_name")),
+        row("fact_business_categories", big("category_id") * (F.lit(1) + key("business_id"))),
+        row("dim_attribute", big("attribute_id") * (L("attribute_name") + L("attribute_value"))),
+        row("fact_business_attributes", big("attribute_id") * (F.lit(1) + key("business_id"))),
+        row("fact_business_hours", key("business_id") + big("open_hour_id")
+            + big("close_hour_id") + dow + L("open_time") + L("close_time")),
+        row("dim_user", key("user_id") + big("review_count") + big("useful") + big("funny")
+            + big("cool") + big("fans") + F.round(F.col("average_stars") * 10, 0).cast("bigint")
+            + L("name") + F.year("yelping_since").cast("bigint")),
+        row("dim_elite", big("elite_id") * F.col("elite_year").cast("bigint")),
+        row("fact_user_elite", big("elite_id") * (F.lit(1) + key("user_id"))),
+        row("dim_friend", big("friend_id") * (F.lit(1) + key("friend_name"))),
+        row("fact_user_friend", big("friend_id") * (F.lit(1) + key("user_id"))),
+        row("fact_reviews", key("review_id") + F.col("stars").cast("bigint") + big("useful")
+            + big("funny") + big("cool") + L("text") + key("user_id") + key("business_id")
+            + F.coalesce(big("datetime_id"), F.lit(-1))),
+        row("fact_checkins", key("business_id") + big("datetime_id"),
+            extra="contiguous_id_sum"),
+        row("fact_tips", F.coalesce(big("datetime_id"), F.lit(-1)) + big("compliment_count")
+            + L("text") + key("business_id") + key("user_id")),
+        row("fact_covid_features", key("business_id") + L("grubhub_enabled")
+            + L("request_a_quote_enabled") + L("covid_banner")
+            + L("temporary_closed_until") + L("virtual_services_offered")),
+        row("dim_highlights", big("highlight_id") * (L("identifier") + L("params") + L("type"))),
+        row("fact_business_highlights", big("highlight_id") * (F.lit(1) + key("business_id"))),
+        row("dim_temperature", F.coalesce(big("datetime_id"), F.lit(-1))
+            + F.col("min_temperature").cast("bigint") + F.col("max_temperature").cast("bigint")
+            + F.col("normal_min_temperature").cast("bigint")
+            + F.col("normal_max_temperature").cast("bigint")),
+        row("dim_precipitation", F.coalesce(big("datetime_id"), F.lit(-1))
+            + F.coalesce(F.col("precipitation").cast("bigint"), F.lit(-7))
+            + F.col("normal_precipitation").cast("bigint")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+# The whole fixture derivation + star-schema build restated in DuckDB
+# SQL, one summary row per warehouse table. Each CTE mirrors a build
+# step (file:line refs point at the Spark implementation being
+# replicated). dtid(x) = datediff from the spine start is
+# resolve_datetime_id's join outcome for in-spine dates.
+_STAR_ORACLE = """
+WITH
+spine AS (
+  SELECT d,
+         CAST(datediff('day', DATE '1948-09-06', CAST(d AS DATE)) AS BIGINT) AS dtid,
+         CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_id,
+         CAST(dayofmonth(d) AS BIGINT) AS day, CAST(month(d) AS BIGINT) AS month,
+         CAST(year(d) AS BIGINT) AS year, CAST(quarter(d) AS BIGINT) AS quarter,
+         length(dayname(d)) AS dowlen
+  FROM generate_series(DATE '1948-09-06', DATE '2025-12-31', INTERVAL 1 DAY) AS t(d)
+),
+pp AS (SELECT p_partkey AS p, p_name, p_brand, p_type, p_size FROM part),
+cc AS (SELECT c_custkey AS c, c_name FROM customer),
+oo AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck, o_orderpriority AS prio,
+         CAST(datediff('day', DATE '1948-09-06', CAST(o_orderdate AS DATE)) AS BIGINT) AS dtid,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders
+),
+cats AS (
+  SELECT c AS name FROM (
+    SELECT DISTINCT p_type AS c FROM pp WHERE p % 10 NOT IN (0, 1)
+    UNION SELECT DISTINCT p_brand FROM pp WHERE p % 10 NOT IN (0, 1)
+  )
+),
+cat_ids AS (SELECT name, row_number() OVER (ORDER BY name) AS id FROM cats),
+cat_rows AS (
+  SELECT p, p_type AS name FROM pp WHERE p % 10 NOT IN (0, 1)
+  UNION ALL SELECT p, p_brand FROM pp WHERE p % 10 NOT IN (0, 1)
+),
+attr_rows AS (
+  SELECT p, 'Brand' AS an, p_brand AS av FROM pp WHERE p % 7 <> 0
+  UNION ALL SELECT p, 'Size', CAST(p_size AS VARCHAR) FROM pp WHERE p % 7 <> 0
+),
+attr_ids AS (
+  SELECT an, av, row_number() OVER (ORDER BY an, av) AS id
+  FROM (SELECT DISTINCT an, av FROM attr_rows)
+),
+hours_rows AS (  -- Monday fixed 9-17; Friday p%14 -> +12 with %24 wrap; Sunday 'garbage' dropped
+  SELECT p, 9 AS oh, 17 AS ch, 6 AS dlen, 3 AS otlen, 4 AS ctlen FROM pp WHERE p % 5 <> 0
+  UNION ALL
+  SELECT p, p % 14, (p % 14 + 12) % 24, 6,
+         length(CAST(p % 14 AS VARCHAR)) + 2, length(CAST(p % 14 + 12 AS VARCHAR)) + 2
+  FROM pp WHERE p % 5 <> 0
+),
+elite_rows AS (
+  SELECT c, '2015' AS yr FROM cc WHERE c % 4 = 1
+  UNION ALL SELECT c, y FROM cc, unnest(['2015', '2016']) AS u(y) WHERE c % 4 = 2
+  UNION ALL SELECT c, y FROM cc, unnest(['2016', '2017', '2018']) AS u(y) WHERE c % 4 = 3
+),
+elite_ids AS (
+  SELECT yr, row_number() OVER (ORDER BY yr) AS id
+  FROM (SELECT DISTINCT yr FROM elite_rows)
+),
+friend_rows AS (
+  SELECT c, 'u' || CAST(c % 50 AS VARCHAR) AS fn FROM cc WHERE c % 3 <> 0
+  UNION ALL SELECT c, 'u' || CAST(c % 97 AS VARCHAR) FROM cc WHERE c % 3 <> 0
+),
+friend_ids AS (
+  SELECT fn, row_number() OVER (ORDER BY fn) AS id
+  FROM (SELECT DISTINCT fn FROM friend_rows)
+),
+hl_rows AS (
+  SELECT p, 'h' || CAST(p % 7 AS VARCHAR) AS ident, 'p' AS par, 't1' AS typ
+  FROM pp WHERE p % 4 = 0 AND p % 3 = 0
+  UNION ALL
+  SELECT p, 'h' || CAST(p % 5 AS VARCHAR), 'q', 't2'
+  FROM pp WHERE p % 4 = 0 AND p % 3 = 0
+),
+hl_ids AS (
+  SELECT ident, par, typ, row_number() OVER (ORDER BY ident, par, typ) AS id
+  FROM (SELECT DISTINCT ident, par, typ FROM hl_rows)
+),
+tdays AS (
+  SELECT CAST(dayofmonth(od) AS BIGINT) AS day, CAST(month(od) AS BIGINT) AS mon,
+         CAST(datediff('day', DATE '1948-09-06', od) AS BIGINT) AS dtid
+  FROM (SELECT DISTINCT od FROM oo)
+),
+tips AS (
+  SELECT CAST(datediff('day', DATE '1948-09-06', CAST(l_shipdate AS DATE)) AS BIGINT) AS dtid,
+         CAST(l_quantity AS BIGINT) AS comp, l_partkey % 2000 AS bk, l_suppkey % 1500 AS uk
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0
+)
+SELECT * FROM (
+  SELECT 'dim_datetime' AS table_name, count(*) AS n_rows,
+         CAST(sum(dtid + date_id + day + month + year + quarter + 0 + dowlen) AS BIGINT) AS checksum
+  FROM spine
+  UNION ALL
+  SELECT 'dim_date', count(*),
+         CAST(sum(date_id + year + month + day + quarter + dowlen) AS BIGINT)
+  FROM spine
+  UNION ALL
+  SELECT 'dim_hour', 24, CAST(sum(r + 2) AS BIGINT) FROM range(24) AS t(r)
+  UNION ALL
+  SELECT 'dim_business', count(*),
+         CAST(sum(p + p_size + p % 2 + (p % 5 + 1) + length(p_name) + length(p_brand)
+                  + length(CAST(p_size AS VARCHAR))) AS BIGINT)
+  FROM pp
+  UNION ALL
+  SELECT 'dim_category', count(*), CAST(sum(id * length(name)) AS BIGINT) FROM cat_ids
+  UNION ALL
+  SELECT 'fact_business_categories', count(*), CAST(sum(i.id * (1 + r.p)) AS BIGINT)
+  FROM cat_rows r JOIN cat_ids i ON i.name = r.name
+  UNION ALL
+  SELECT 'dim_attribute', count(*),
+         CAST(sum(id * (length(an) + length(av))) AS BIGINT) FROM attr_ids
+  UNION ALL
+  SELECT 'fact_business_attributes', count(*), CAST(sum(i.id * (1 + r.p)) AS BIGINT)
+  FROM attr_rows r JOIN attr_ids i ON i.an = r.an AND i.av = r.av
+  UNION ALL
+  SELECT 'fact_business_hours', count(*),
+         CAST(sum(p + oh + ch + dlen + otlen + ctlen) AS BIGINT) FROM hours_rows
+  UNION ALL
+  SELECT 'dim_user', count(*),
+         CAST(sum(c + c % 100 + c % 7 + c % 5 + c % 3 + c % 11
+                  + round(((c % 40 + 10) / 10.0) * 10)
+                  + length(c_name)
+                  + year(DATE '2010-01-01' + CAST(c % 2000 AS INTEGER))) AS BIGINT)
+  FROM cc
+  UNION ALL
+  SELECT 'dim_elite', count(*), CAST(sum(id * CAST(yr AS BIGINT)) AS BIGINT) FROM elite_ids
+  UNION ALL
+  SELECT 'fact_user_elite', count(*), CAST(sum(i.id * (1 + r.c)) AS BIGINT)
+  FROM elite_rows r JOIN elite_ids i ON i.yr = r.yr
+  UNION ALL
+  SELECT 'dim_friend', count(*),
+         CAST(sum(id * (1 + CAST(substr(fn, 2) AS BIGINT))) AS BIGINT) FROM friend_ids
+  UNION ALL
+  SELECT 'fact_user_friend', count(*), CAST(sum(i.id * (1 + r.c)) AS BIGINT)
+  FROM friend_rows r JOIN friend_ids i ON i.fn = r.fn
+  UNION ALL
+  SELECT 'fact_reviews', count(*),
+         CAST(sum(ok + (ok % 5 + 1) + ok % 4 + ok % 3 + ok % 2 + length(prio)
+                  + ck + ok % 2000
+                  + CASE WHEN ok % 97 = 0 THEN -1 ELSE dtid END) AS BIGINT)
+  FROM oo
+  UNION ALL
+  SELECT 'fact_checkins', count(*),
+         CAST(sum(ck % 300 + dtid) + count(*) * (count(*) + 1) // 2 AS BIGINT)
+  FROM oo WHERE ok % 89 <> 0
+  UNION ALL
+  SELECT 'fact_tips', count(*),
+         CAST(sum(dtid + comp + 2 + bk + uk) AS BIGINT) FROM tips
+  UNION ALL
+  SELECT 'fact_covid_features', count(*),
+         CAST(sum(p
+                  + CASE WHEN p % 8 = 0 THEN 4 ELSE 5 END
+                  + CASE WHEN p % 3 = 0 THEN 4 ELSE 5 END
+                  + CASE WHEN p % 5 = 0 THEN 0 ELSE 5 END
+                  + 0
+                  + CASE WHEN p % 6 = 0 THEN 4 ELSE 5 END) AS BIGINT)
+  FROM pp WHERE p % 4 = 0
+  UNION ALL
+  SELECT 'dim_highlights', count(*),
+         CAST(sum(id * (length(ident) + length(par) + length(typ))) AS BIGINT) FROM hl_ids
+  UNION ALL
+  SELECT 'fact_business_highlights', count(*), CAST(sum(i.id * (1 + r.p)) AS BIGINT)
+  FROM hl_rows r JOIN hl_ids i ON i.ident = r.ident AND i.par = r.par AND i.typ = r.typ
+  UNION ALL
+  SELECT 'dim_temperature', count(*) + 1,
+         CAST(sum(dtid + day + (day + 20) + mon + (mon + 15)) + (-1 + 1 + 2 + 1 + 2) AS BIGINT)
+  FROM tdays
+  UNION ALL
+  SELECT 'dim_precipitation', count(*),
+         CAST(sum(dtid + CASE WHEN day % 10 = 0 THEN -7 ELSE day END + day * 2) AS BIGINT)
+  FROM tdays WHERE mon = 1
+)
+ORDER BY table_name
+"""
