@@ -237,3 +237,77 @@ def _pagerank_iterate(
         if checkpoint_ranks:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, a: str = "a", b: str = "b", per_node: bool = True
+) -> DataFrame:
+    """Exact triangle counting via the degree-ordered node-iterator
+    (the MapReduce formulation of Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Input: undirected edge list (any orientation, duplicates/self-loops
+    tolerated — canonicalized and deduplicated here). Output: per-node
+    triangle participation counts (``per_node=True``) or the single
+    global count.
+
+    The scale insight: enumerating wedges from RAW adjacency is
+    Σ deg(v)² — a single celebrity node makes one reducer quadratic.
+    Orienting every edge from its lower-(degree, id) endpoint to the
+    higher one turns the graph into a DAG where every vertex has
+    out-degree O(sqrt(|E|)) (arboricity bound), so wedge enumeration
+    is Σ outdeg(v)² ≤ |E|^1.5 TOTAL and no reducer is hot:
+
+    1. canonical distinct edges (lo < hi), one shuffle;
+    2. degrees: one hash agg over both endpoints;
+    3. orientation by (degree, id) — a total order, so each triangle
+       becomes exactly ONE wedge + closing edge: counted once, no /3;
+    4. wedges = self-equi-join of the oriented list on its source,
+       closure = one more equi-join against oriented edges.
+
+    Every step is an equi-join or hash agg; vectors/payloads never
+    move; the only data in flight are (int, int) pairs.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .dropDuplicates(["lo", "hi"])
+    )
+    deg = (
+        e.select(F.col("lo").alias("v"))
+        .unionAll(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dl = deg.select(F.col("v").alias("lo"), F.col("d").alias("d_lo"))
+    dh = deg.select(F.col("v").alias("hi"), F.col("d").alias("d_hi"))
+    # orient lower-(degree, id) -> higher; (d, v) is a total order
+    lo_first = (F.col("d_lo") < F.col("d_hi")) | (
+        (F.col("d_lo") == F.col("d_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        e.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").where(F.col("x") < F.col("y"))
+    # the wedge emits (x, y) with x < y, and the canonical edge list is
+    # already (lo < hi) — so the closing-edge check is one equi-join
+    closing = e.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    if not per_node:
+        return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    corners = (
+        tri.select(F.col("src").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("v")))
+    )
+    return corners.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

@@ -653,3 +653,71 @@ SELECT * FROM (
 )
 ORDER BY table_name
 """
+
+
+def register_round7_graph() -> None:
+    # ------------------------------------------------------------------
+    # exact triangle counting — the third graph primitive next to
+    # PageRank and connected components; the degree-ordered
+    # node-iterator (Suri & Vassilvitskii, WWW'11) keeps every reducer
+    # cold: wedges are enumerated only from each vertex's
+    # lower-(degree,id) side, bounding total wedge volume by |E|^1.5
+    # regardless of celebrity nodes
+    # ------------------------------------------------------------------
+    @register(
+        "graph_triangle_count",
+        oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.p AS lo, b.p AS hi
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        ),
+        deg AS (
+          SELECT v, count(*) AS d
+          FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) GROUP BY v
+        ),
+        o AS (
+          SELECT CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND e.lo < e.hi)
+                      THEN e.lo ELSE e.hi END AS src,
+                 CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND e.lo < e.hi)
+                      THEN e.hi ELSE e.lo END AS dst
+          FROM e JOIN deg dl ON dl.v = e.lo JOIN deg dh ON dh.v = e.hi
+        ),
+        w AS (
+          SELECT o1.src, o1.dst AS x, o2.dst AS y
+          FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+        ),
+        tri AS (
+          SELECT w.src, w.x, w.y FROM w
+          WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.x AND e.hi = w.y)
+        ),
+        corners AS (
+          SELECT src AS v FROM tri
+          UNION ALL SELECT x FROM tri
+          UNION ALL SELECT y FROM tri
+        )
+        SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY v
+        """,
+    )
+    def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-part triangle participation in the co-purchase graph
+        (parts sharing an order are adjacent — the assoc_brand_pairs
+        basket shape promoted to a graph). Scale shape: basket pairing
+        is one shuffle on the order key with C(basket,2) fanout;
+        triangle counting is hash aggs + equi-joins over (int,int)
+        pairs only, wedge volume bounded |E|^1.5 by the degree
+        orientation (operators/graph.py:triangle_count)."""
+        from build_datawarehouse_demo_spark.operators.graph import triangle_count
+
+        li = _t(spark, sf_dir, "lineitem", rebalance=False).select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).dropDuplicates()
+        a = li.select(F.col("o"), F.col("p").alias("pa"))
+        b = li.select(F.col("o"), F.col("p").alias("pb"))
+        edges = (
+            a.join(b, "o")
+            .where(F.col("pa") < F.col("pb"))
+            .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        )
+        return triangle_count(edges).select("v", "n_triangles")

@@ -159,3 +159,37 @@ def test_pagerank_bucketed_iteration_join_is_exchange_free_on_edges(spark):
         assert any("Exchange" in n for n in rank_sides[0]), rank_sides[0]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pr_share_plan")
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered node-iterator vs itertools truth on a random
+    graph + a celebrity hub (the hot-degree case the orientation
+    exists for) + noise: per-node counts and total both match."""
+    import itertools
+    import random
+
+    from build_datawarehouse_demo_spark.operators.graph import triangle_count
+
+    rng = random.Random(5)
+    n = 40
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15}
+    edges |= {(0, b) for b in range(1, n, 2)}  # hub
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b), adj[b].add(a)
+    truth = {}
+    total = 0
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            total += 1
+            for v in (a, b, c):
+                truth[v] = truth.get(v, 0) + 1
+
+    # feed duplicates, reversed orientations, and self-loops: the op
+    # canonicalizes
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges] + [(3, 3)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {r.v: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == truth
+    got_total = triangle_count(df, per_node=False).collect()[0].n_triangles
+    assert got_total == total > 0
