@@ -128,3 +128,56 @@ def train_val_test_split(
         .when(b < test_hi, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def weighted_reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic WEIGHTED fixed-size sample: min(k, |group|) rows
+    per group with inclusion probability proportional to weight — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Proc. Letters 2006) with the
+    random draw replaced by the engine-portable id hash.
+
+    A-ES ranks rows by u^(1/w) for u ~ U(0,1]; equivalently (and
+    numerically safer) by ln(u)/w descending. u here is
+    (hash32(id)+1) / 2^32 ∈ (0, 1] — a pure function of the data, so
+    the sample is re-runnable, engine-portable, and oracle-checkable
+    (same rationale as reservoir_sample_per_group; a true RNG would
+    make the op untestable). This is the quality-weighted corpus
+    sampling step of a training-data pipeline: w = a quality score,
+    and high-quality documents are proportionally more likely to make
+    the cut while low-quality ones still have mass.
+
+    Rows with NULL id, NULL weight, or weight <= 0 are dropped (zero
+    weight = zero inclusion probability; no stable identity = no
+    stable membership). Scale shape: one narrow pass for the key, one
+    shuffle on group_col for the rank window — identical to the
+    uniform reservoir.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    h = hash32(
+        F.concat(F.lit("wreservoir:"), F.col(id_col).cast("string")), seed=seed
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(
+            F.col(id_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col).cast("double") > 0)
+        )
+        .withColumn("__wr_rank", F.row_number().over(w))
+        .where(F.col("__wr_rank") <= k)
+        .drop("__wr_rank")
+    )

@@ -119,6 +119,7 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round7 import (  # noqa
         register_round7_ann,
         register_round7_graph,
+        register_round7_sampling,
         register_round7_star,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -137,6 +138,7 @@ def _load_all() -> None:
     register_round6_streaming()
     register_round7_ann()
     register_round7_graph()
+    register_round7_sampling()
     register_round7_star()
 
     rank = _rotation_rank()

@@ -721,3 +721,49 @@ def register_round7_graph() -> None:
             .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
         )
         return triangle_count(edges).select("v", "n_triangles")
+
+
+def register_round7_sampling() -> None:
+    # ------------------------------------------------------------------
+    # quality-weighted sampling — the weighted twin of
+    # sample_reservoir_per_group; w = n_chars stands in for a quality
+    # score (the shape a data-mixing pipeline runs: sample per source
+    # with probability ∝ quality)
+    # ------------------------------------------------------------------
+    @register(
+        "sample_weighted_reservoir",
+        oracle="""
+        WITH h AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(('0x' || substr(md5('0:wreservoir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM documents
+          WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        ),
+        r AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln((hv + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC,
+                            doc_id
+                 ) AS rn
+          FROM h
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn <= 10
+        """,
+    )
+    def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exactly min(10, |group|) docs per language, inclusion
+        probability ∝ n_chars (Efraimidis–Spirakis A-ES keyed on the
+        engine-portable id hash — operators/sampling.py)."""
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            weighted_reservoir_per_group,
+        )
+
+        docs = _t(spark, sf_dir, "documents", rebalance=False).select(
+            "doc_id", "lang", "n_chars"
+        )
+        return weighted_reservoir_per_group(
+            docs, group_col="lang", id_col="doc_id", weight_col="n_chars", k=10
+        )

@@ -106,3 +106,41 @@ def test_reservoir_sample_per_group_exact_k_and_deterministic(spark):
     assert {r["id"] for r in s3.collect()} != {r["id"] for r in rows}
     with pytest.raises(ValueError):
         reservoir_sample_per_group(df, "g", "id", k=0)
+
+
+def test_weighted_reservoir_exact_k_and_weight_bias(spark):
+    """A-ES with hash-derived uniforms: exactly min(k,|group|) rows,
+    deterministic across runs, NULL/zero weights dropped, and the
+    inclusion rate of heavy items dominates light ones (weight 50x ->
+    heavy items should fill most of the sample)."""
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        weighted_reservoir_per_group,
+    )
+
+    rows = [(i, "g", 50.0 if i < 40 else 1.0) for i in range(400)]
+    rows += [(1000, "g", None), (1001, "g", 0.0), (None, "g", 9.0)]
+    rows += [(2000 + i, "tiny", 1.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+
+    got = weighted_reservoir_per_group(df, "grp", "id", "w", k=20).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append(r.id)
+    assert len(by_grp["g"]) == 20
+    assert sorted(by_grp["tiny"]) == [2000, 2001, 2002]  # |group| < k
+    assert 1000 not in by_grp["g"] and 1001 not in by_grp["g"]
+    # 40 heavy (w=50) vs 360 light (w=1): heavy carry ~85% of total
+    # mass; the hash is fixed so this is a deterministic assertion,
+    # not a flaky statistical one
+    n_heavy = sum(1 for i in by_grp["g"] if i < 40)
+    assert n_heavy >= 12, by_grp["g"]
+    # deterministic: second run identical
+    again = weighted_reservoir_per_group(df, "grp", "id", "w", k=20).collect()
+    assert {(r.grp, r.id) for r in again} == {(r.grp, r.id) for r in got}
+    # seed changes the draw
+    other = weighted_reservoir_per_group(df, "grp", "id", "w", k=20, seed=7).collect()
+    assert {(r.grp, r.id) for r in other} != {(r.grp, r.id) for r in got}
+    with pytest.raises(ValueError):
+        weighted_reservoir_per_group(df, "grp", "id", "w", k=0)

@@ -1,0 +1,82 @@
+"""Regression gate on the COMMITTED scale curve (VERDICT round 7,
+item 1): the round-6 quadratic (fixed-signature embedding LSH,
+exponent 2.09 at sf1→sf4) was caught by measurement but its fix lived
+only in prose — a future round could reintroduce a super-linear query
+and no committed artifact would show it. This gate reads the NEWEST
+committed ``BENCH_SCALE_r*_sf1_sf4.json`` and fails if any query's
+measured scaling exponent exceeds the linear-with-noise ceiling.
+
+The gate intentionally targets the newest round's file only: older
+files are honest historical records (r06 contains the pre-fix
+quadratic and its saturation-polluted neighbors) and must stay
+unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: ceiling on log(t_big/t_small)/log(data_ratio). 1.0 = perfectly
+#: linear; the margin absorbs box noise on sub-second queries without
+#: letting a genuine quadratic (exponent ~2) through.
+MAX_EXPONENT = 1.1
+
+
+def _newest_scale_file() -> str | None:
+    files = glob.glob(os.path.join(ROOT, "BENCH_SCALE_r*_sf1_sf4.json"))
+    if not files:
+        return None
+
+    def round_no(p: str) -> int:
+        m = re.search(r"_r(\d+)_", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    return max(files, key=round_no)
+
+
+def test_committed_scale_curve_has_no_superlinear_query():
+    path = _newest_scale_file()
+    if path is None:
+        pytest.skip("no committed sf1->sf4 scale artifact yet")
+    if re.search(r"_r0?6_", os.path.basename(path)):
+        pytest.fail(
+            "newest committed scale artifact is still round 6's (contains "
+            "the known pre-fix quadratic + saturation-polluted neighbors); "
+            "commit the post-fix curve as BENCH_SCALE_r7+_sf1_sf4.json"
+        )
+    with open(path) as f:
+        data = json.load(f)
+    assert data["data_ratio"] >= 2, "scale curve needs a real data ratio"
+    offenders = {
+        name: q["exponent"]
+        for name, q in data["queries"].items()
+        if q["exponent"] > MAX_EXPONENT
+    }
+    assert not offenders, (
+        f"{os.path.basename(path)} records super-linear scaling "
+        f"(exponent > {MAX_EXPONENT}) for: {offenders} — a scale-killer "
+        "landed (fixed-parameter sketch? candidate blowup? plan that "
+        "stopped fitting). Fix the operator or isolate/justify the entry "
+        "before committing the curve."
+    )
+
+
+def test_scale_curve_covers_the_auto_lsh_lane():
+    """The exact gap that let round 6's quadratic hide: the scale-safe
+    lane existed but was never in the measured set. The committed
+    curve must include the auto-scaled embedding LSH entry."""
+    path = _newest_scale_file()
+    if path is None:
+        pytest.skip("no committed sf1->sf4 scale artifact yet")
+    if re.search(r"_r0?6_", os.path.basename(path)):
+        pytest.skip("round-6 artifact predates the auto entry")
+    with open(path) as f:
+        data = json.load(f)
+    assert "dedup_embedding_cosine_auto" in data["queries"]
