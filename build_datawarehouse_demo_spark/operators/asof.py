@@ -189,3 +189,61 @@ def range_join_bucketed(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """UNKEYED interval-overlap join (half-open: [l_lo, l_hi) meets
+    [r_lo, r_hi) iff l_lo < r_hi AND r_lo < l_hi) as an equi-join —
+    the two-sided generalization of range_join_bucketed.
+
+    Both sides explode onto the fixed grid; the residual overlap
+    predicate runs only within matching cells. The classic duplicate
+    problem (a pair overlapping across many shared cells matches once
+    per cell) is solved WITHOUT a dedup exchange: every overlapping
+    pair is claimed exactly by the cell containing its overlap START
+    (greatest(l_lo, r_lo) — which lies in both explode ranges by
+    construction), so one cheap equality filter replaces a
+    dropDuplicates over the candidate volume.
+
+    Cost scales with Σ interval-widths / bucket_width per side plus
+    true-result size, never the row product; pick bucket_width near
+    the median interval length. Empty/inverted intervals (hi <= lo)
+    are dropped — they overlap nothing under half-open semantics, and
+    a descending sequence() would silently explode to wrong cells.
+
+    Column names must be disjoint between the two inputs (alias
+    before calling); all columns of both sides are returned.
+    """
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+
+    def cells(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.where(F.col(hi) > F.col(lo)).withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket_width).cast("long"),
+                    F.floor(F.col(hi) / bucket_width).cast("long"),
+                )
+            ),
+        )
+
+    start = F.greatest(F.col(l_lo), F.col(r_lo))
+    return (
+        cells(left, l_lo, l_hi)
+        .join(cells(right, r_lo, r_hi), "__cell")
+        .where(
+            (F.col(l_lo) < F.col(r_hi))
+            & (F.col(r_lo) < F.col(l_hi))
+            & (F.col("__cell") == F.floor(start / bucket_width).cast("long"))
+        )
+        .drop("__cell")
+    )

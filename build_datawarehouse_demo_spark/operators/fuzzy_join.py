@@ -273,6 +273,13 @@ def _candidates_qgram(
     pl = prefixed(lg.where(F.length("lval") > short_len), "lval")
     pr = prefixed(rg.where(F.length("rval") > short_len), "rval")
     if candidate_cap is not None:
+        # materialize the prefix derivation once: the volume estimate
+        # below and the candidate join both read it, and the rare-first
+        # prefix computation (freq join + per-value sort/slice) is the
+        # expensive half of candidate generation. n_values * (k*q+1)
+        # rows — small
+        pl = pl.localCheckpoint(eager=True)
+        pr = pr.localCheckpoint(eager=True)
         # HOT-GRAM GATE (measured cost model, round-7): the prefix join
         # enumerates Σ_gram |L_gram|·|R_gram| rows BEFORE any filter —
         # on low-entropy domains (strings sharing a long common

@@ -119,8 +119,10 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round7 import (  # noqa
         register_round7_ann,
         register_round7_graph,
+        register_round7_interval,
         register_round7_sampling,
         register_round7_star,
+        register_round7_streaming,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
@@ -138,8 +140,10 @@ def _load_all() -> None:
     register_round6_streaming()
     register_round7_ann()
     register_round7_graph()
+    register_round7_interval()
     register_round7_sampling()
     register_round7_star()
+    register_round7_streaming()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -767,3 +767,113 @@ def register_round7_sampling() -> None:
         return weighted_reservoir_per_group(
             docs, group_col="lang", id_col="doc_id", weight_col="n_chars", k=10
         )
+
+
+def register_round7_streaming() -> None:
+    # ------------------------------------------------------------------
+    # native session windows — the dynamic-window primitive next to the
+    # tumbling/sliding entries; gaps-and-islands as ONE aggregation
+    # ------------------------------------------------------------------
+    @register(
+        "streaming_session_window",
+        oracle="""
+        WITH o AS (
+          SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(sum(v) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
+        """,
+    )
+    def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch execution of the streaming session-window transform
+        (streaming/windows.py:session_event_stats — the SAME function
+        runs under readStream with a watermark, asserted stream ≡
+        batch in tests/test_streaming.py). The oracle states the
+        gaps-and-islands form: a session breaks only where the gap to
+        the previous event is STRICTLY greater than 30 min — Spark
+        merges adjacent windows too (an exact-gap successor at the
+        previous window's end joins the session; pinned empirically
+        by the pytest)."""
+        from build_datawarehouse_demo_spark.streaming.windows import (
+            session_event_stats,
+        )
+
+        return session_event_stats(_t(spark, sf_dir, "events"))
+
+
+def register_round7_interval() -> None:
+    # ------------------------------------------------------------------
+    # UNKEYED interval-overlap join — the inequality-join shape that is
+    # a nested-loop O(n*m) unless gridded; completes the temporal-join
+    # family next to asof (point->latest) and range (point-in-interval)
+    # ------------------------------------------------------------------
+    @register(
+        "join_interval_overlap",
+        oracle="""
+        WITH v AS (
+          SELECT event_id AS l_id, epoch_us(ts) AS l_lo,
+                 epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS l_hi
+          FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+          SELECT event_id AS r_id, epoch_us(ts) AS r_lo,
+                 epoch_us(ts) + CAST(floor(value * 30000000) AS BIGINT) AS r_hi
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT l_id, r_id,
+               CAST(least(l_hi, r_hi) - greatest(l_lo, r_lo) AS BIGINT) AS overlap_us
+        FROM v JOIN c ON l_lo < r_hi AND r_lo < l_hi
+        """,
+    )
+    def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """view-session × click-session overlap pairs (sessions =
+        [ts, ts + value-scaled length)). The oracle is the quadratic
+        inequality join (DuckDB's IEJoin executes it); the Spark plan
+        is the gridded equi-join of
+        operators/asof.py:interval_overlap_join — each overlapping
+        pair claimed exactly once by its overlap-start cell, so no
+        dedup exchange. A hash match proves the grid decomposition
+        lossless and duplicate-free."""
+        from build_datawarehouse_demo_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        # ts arrives TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. A tz
+        # offset shifts BOTH sides' endpoints uniformly, and the output
+        # carries only ids + durations — tz-invariant by construction.
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        views = ev.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("l_id"),
+            us.alias("l_lo"),
+            (us + F.floor(F.col("value") * 60_000_000).cast("long")).alias("l_hi"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("r_id"),
+            us.alias("r_lo"),
+            (us + F.floor(F.col("value") * 30_000_000).cast("long")).alias("r_hi"),
+        )
+        pairs = interval_overlap_join(
+            views, clicks, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=7.2e9
+        )
+        return pairs.select(
+            "l_id",
+            "r_id",
+            (F.least("l_hi", "r_hi") - F.greatest("l_lo", "r_lo"))
+            .cast("bigint")
+            .alias("overlap_us"),
+        )

@@ -195,3 +195,47 @@ def test_asof_direction_validated(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df.selectExpr("k", "t AS bt"), key="k", probe_time="t",
                   build_time="bt", build_cols=(), direction="nearest")
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Gridded overlap join vs the quadratic truth: random intervals
+    spanning multiple cells, exact grid-line boundaries, touching
+    (half-open: NO match), nested, and inverted (dropped) intervals —
+    every pair exactly once (the overlap-start cell claim replaces a
+    dedup)."""
+    import random
+
+    from build_datawarehouse_demo_spark.operators.asof import interval_overlap_join
+
+    rng = random.Random(11)
+    lrows = [(i, rng.randint(0, 1000), rng.randint(1, 300)) for i in range(60)]
+    rrows = [(i, rng.randint(0, 1000), rng.randint(1, 300)) for i in range(60)]
+    # planted edges: touching at a grid line (100), nested, inverted
+    lrows += [(100, 0, 100), (101, 200, 500), (102, 50, 10)]
+    rrows += [(200, 100, 50), (201, 250, 20), (202, 400, 0)]
+    left = spark.createDataFrame(
+        [(i, lo, lo + w) for i, lo, w in lrows], "l_id long, l_lo long, l_hi long"
+    )
+    right = spark.createDataFrame(
+        [(i, lo, lo + w) for i, lo, w in rrows], "r_id long, r_lo long, r_hi long"
+    )
+    truth = {
+        (li, ri)
+        for li, llo, lw in lrows
+        for ri, rlo, rw in rrows
+        if lw > 0 and rw > 0 and llo < rlo + rw and rlo < llo + lw
+    }
+    got = [
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=100
+        ).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == truth
+    assert (100, 200) not in set(got)  # touching at 100: half-open, no overlap
+    assert (101, 201) in set(got)  # nested
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_overlap_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", 0)

