@@ -34,6 +34,7 @@ def asof_join(
     inclusive: bool = True,
     build_order: tuple[str, ...] = (),
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join: probe rows annotated with the latest build row
     whose time is <= (or < when inclusive=False) the probe time —
@@ -51,6 +52,13 @@ def asof_join(
     this replaces a pre-aggregation groupBy, saving its shuffle: the
     whole operator then moves data exactly once, on the window's
     hashpartitioning(key).
+
+    ``tolerance`` (pandas merge_asof parity): a Column bounding how
+    far back (forward) the match may reach — `F.expr("INTERVAL '1'
+    HOUR")` for timestamps, `F.lit(5)` for numerics. A carried build
+    row farther than that from the probe time nulls out (build_cols
+    AND asof_time), exactly as if no build row existed. Applied as a
+    per-row predicate on the carried payload — no extra exchange.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -137,15 +145,22 @@ def asof_join(
         *probe_payload,
         carry("__bpay", ignorenulls=True).over(w).alias("__bpay"),
     )
-    return (
-        carried.filter(F.col("__side") == 1)
-        .select(
-            F.col(key),
-            F.col("__t").alias(probe_time),
-            *probe_payload,
-            *[F.col(f"__bpay.{c}").alias(c) for c in build_cols],
-            F.col("__bpay.__bt").alias("asof_time"),
+    matched = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_tol = (
+            F.col("__bpay.__bt") + tolerance >= F.col("__t")
+            if direction == "backward"
+            else F.col("__bpay.__bt") <= F.col("__t") + tolerance
         )
+        matched = matched.withColumn(
+            "__bpay", F.when(in_tol, F.col("__bpay"))
+        )
+    return matched.select(
+        F.col(key),
+        F.col("__t").alias(probe_time),
+        *probe_payload,
+        *[F.col(f"__bpay.{c}").alias(c) for c in build_cols],
+        F.col("__bpay.__bt").alias("asof_time"),
     )
 
 

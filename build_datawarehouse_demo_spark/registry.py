@@ -118,6 +118,7 @@ def _load_all() -> None:
     )
     from build_datawarehouse_demo_spark.registry_round7 import (  # noqa
         register_round7_ann,
+        register_round7_asof,
         register_round7_graph,
         register_round7_interval,
         register_round7_sampling,
@@ -139,6 +140,7 @@ def _load_all() -> None:
     register_round6_quality_ri()
     register_round6_streaming()
     register_round7_ann()
+    register_round7_asof()
     register_round7_graph()
     register_round7_interval()
     register_round7_sampling()

@@ -877,3 +877,58 @@ def register_round7_interval() -> None:
             .cast("bigint")
             .alias("overlap_us"),
         )
+
+
+def register_round7_asof() -> None:
+    # ------------------------------------------------------------------
+    # tolerance-bounded as-of join — pandas merge_asof's `tolerance`
+    # in the one-shuffle union+carry formulation: matches farther than
+    # the bound null out as if absent
+    # ------------------------------------------------------------------
+    @register(
+        "join_asof_tolerance",
+        oracle="""
+        WITH b AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate
+        ),
+        a AS (
+          SELECT e.event_id, e.user_id, e.ts, b.o_orderkey, b.o_orderdate
+          FROM events e
+          ASOF LEFT JOIN b ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate
+        )
+        SELECT event_id, user_id,
+               CASE WHEN o_orderdate + INTERVAL 30 DAY >= ts
+                    THEN o_orderkey END AS last_orderkey,
+               CASE WHEN o_orderdate + INTERVAL 30 DAY >= ts
+                    THEN o_orderdate END AS asof_time
+        FROM a
+        """,
+    )
+    def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """join_asof with a 30-day lookback bound: an order more than
+        30 days before the event is no match (stale quotes / expired
+        sessions semantics). Same one-exchange plan — the bound is a
+        per-row predicate on the carried payload (operators/asof.py),
+        checked against DuckDB's native ASOF JOIN + CASE."""
+        from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+        events = _t(spark, sf_dir, "events", rebalance=False).select(
+            "event_id", F.col("user_id"), "ts"
+        )
+        orders = _t(spark, sf_dir, "orders", rebalance=False).select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("o_orderkey").alias("last_orderkey"),
+        )
+        out = asof_join(
+            events,
+            orders,
+            key="user_id",
+            probe_time="ts",
+            build_time="o_orderdate",
+            build_cols=("last_orderkey",),
+            build_order=("last_orderkey",),
+            tolerance=F.expr("INTERVAL '30' DAY"),
+        )
+        return out.select("event_id", "user_id", "last_orderkey", "asof_time")

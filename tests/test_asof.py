@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from build_datawarehouse_demo_spark.operators.asof import asof_join, range_join_bucketed
 
 
@@ -239,3 +241,52 @@ def test_interval_overlap_join_matches_bruteforce(spark):
 
     with pytest.raises(ValueError):
         interval_overlap_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", 0)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """merge_asof-style tolerance: a carried build row farther than
+    the bound nulls out exactly like a missing match; near matches
+    unaffected; forward direction mirrors."""
+    from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [("k", 100), ("k", 205), ("k", 300)], "k string, pt long"
+    )
+    build = spark.createDataFrame(
+        [("k", 90, "a"), ("k", 200, "b")], "k string, bt long, val string"
+    )
+    got = {
+        r.pt: (r.val, r.asof_time)
+        for r in asof_join(
+            probe, build, "k", "pt", "bt", ("val",), tolerance=F.lit(20)
+        ).collect()
+    }
+    assert got == {
+        100: ("a", 90),     # 10 back: within 20
+        205: ("b", 200),    # 5 back: within
+        300: (None, None),  # 100 back: nulled
+    }
+    fwd = {
+        r.pt: (r.val, r.asof_time)
+        for r in asof_join(
+            probe,
+            build,
+            "k",
+            "pt",
+            "bt",
+            ("val",),
+            direction="forward",
+            tolerance=F.lit(20),
+        ).collect()
+    }
+    assert fwd == {
+        100: (None, None),  # next build at 200 is 100 ahead: nulled
+        205: (None, None),  # no build at/after 205
+        300: (None, None),
+    }
+    # without tolerance the stale match comes back
+    loose = {
+        r.pt: r.val
+        for r in asof_join(probe, build, "k", "pt", "bt", ("val",)).collect()
+    }
+    assert loose[300] == "b"
