@@ -275,6 +275,13 @@ def triangle_count(
         )
         .where(F.col("lo") != F.col("hi"))
         .dropDuplicates(["lo", "hi"])
+        # the canonical edge list is read FOUR+ times (degrees twice,
+        # orientation join, closing side); without materializing it the
+        # whole upstream derivation (often itself a join) re-executes
+        # per reference — measured 166 Exchanges in the composite plan
+        # vs single digits with the checkpoint (same discipline as
+        # pagerank's edge checkpoint)
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("lo").alias("v"))
@@ -295,6 +302,8 @@ def triangle_count(
             F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
             F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
         )
+        # read twice by the wedge self-join — same reuse argument
+        .localCheckpoint()
     )
     w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
     w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
@@ -305,9 +314,7 @@ def triangle_count(
     tri = wedges.join(closing, ["x", "y"], "left_semi")
     if not per_node:
         return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    corners = (
-        tri.select(F.col("src").alias("v"))
-        .unionAll(tri.select(F.col("x").alias("v")))
-        .unionAll(tri.select(F.col("y").alias("v")))
-    )
+    # one explode, not a 3-way self-union: the union form re-executes
+    # the whole triangle subtree per branch (3x the joins in the plan)
+    corners = tri.select(F.explode(F.array("src", "x", "y")).alias("v"))
     return corners.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

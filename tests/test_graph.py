@@ -193,3 +193,18 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got == truth
     got_total = triangle_count(df, per_node=False).collect()[0].n_triangles
     assert got_total == total > 0
+
+
+def test_triangle_count_plan_has_no_nested_loop_join(spark):
+    """The wedge/closing joins must stay hash/sort-merge equi-joins —
+    a cartesian or BNLJ here means the degree orientation decomposed
+    wrong (the round-1-verdict class of scale-killer)."""
+    from build_datawarehouse_demo_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(a + 1, 12) if (a + b) % 3],
+        "a long, b long",
+    )
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

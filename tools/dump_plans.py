@@ -43,6 +43,12 @@ AUDITED = {
     "ml_feature_hashing": "HashingTF shape — explode + md5 bucket + partial/final hash agg around one Exchange on (doc_id, bucket)",
     "join_fuzzy_jaccard_prefix": "prefix-filtered set-similarity join — candidates from an EQUI-join on prefix tokens (freq table broadcast); must contain NO cartesian/nested-loop join anywhere",
     "join_asof_forward": "forward as-of — same union+carry window shape as backward: ONE Exchange on the key, first() down an unbounded-following frame",
+    "sim_ann_rp_lsh_auto": "auto-sized ANN — ONE staged projection pass per side, bucket equi-join on the signature (probe side broadcast after its ×(planes+1) multiprobe fanout), exact-cosine rerank; NO cross/nested-loop join",
+    "sim_ivf_trained": "trained IVF — the assign phases are broadcast-centroid cross-scores (BNLJ BY DESIGN: every vector scores the broadcast nlist centroids — the flat-quantizer pattern, same family as sim_cosine_topk's documented BNLJ baseline); the search join on the list id is an equi-join",
+    "graph_triangle_count": "degree-ordered triangles — hash aggs + equi-joins over (int,int) pairs only, edge list + oriented list checkpointed once (they are read 4x/2x; uncheckpointed the basket-pair derivation re-executed per reference: 166 Exchanges); never nested-loop",
+    "join_interval_overlap": "gridded overlap join — both sides explode to grid cells, ONE equi-join on the cell id, residual overlap + overlap-start-cell claim as filters; NO cross/nested-loop join",
+    "streaming_session_window": "session windows — partial/final SessionWindow aggregation around one Exchange on (user_id); no join, no global window",
+    "pipeline_star_schema_build": "full warehouse build — one composite DAG; dims broadcast into every date resolution, surrogate windows only above deduped dim-scale inputs",
 }
 
 
