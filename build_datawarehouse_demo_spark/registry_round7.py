@@ -932,3 +932,80 @@ def register_round7_asof() -> None:
             tolerance=F.expr("INTERVAL '30' DAY"),
         )
         return out.select("event_id", "user_id", "last_orderkey", "asof_time")
+
+
+def register_round7_url() -> None:
+    # ------------------------------------------------------------------
+    # URL canonicalization dedup — the normalization every web-corpus
+    # pipeline runs before exact URL dedup (case, default ports,
+    # trailing slashes, tracking params, param order, fragments).
+    # URLs are synthesized deterministically from documents so both
+    # engines derive identical raw inputs.
+    # ------------------------------------------------------------------
+    _RAW_URL_SQL = """
+          'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+          || '.Example.COM'
+          || CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END
+          || '/Docs/' || CAST(doc_id % 50 AS STRING)
+          || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+          || CASE doc_id % 5 WHEN 0 THEN '?utm_source=tw&b=2&a=1'
+                             WHEN 1 THEN '?a=1&b=2' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END
+    """
+
+    @register(
+        "dedup_url_canonical",
+        oracle=f"""
+        WITH raw AS (
+          SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+        ),
+        canon AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) || '://'
+            || lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^([^:]*)', 1))
+            || CASE WHEN coalesce(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1), '') IN ('', '443') THEN ''
+                    ELSE ':' || coalesce(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1), '') END
+            || regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+            || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS curl
+          FROM (
+            SELECT doc_id, url,
+                   coalesce(array_to_string(list_sort(list_filter(
+                     string_split(coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),
+                     x -> x <> '' AND NOT starts_with(x, 'utm_')
+                          AND NOT starts_with(x, 'fbclid=')
+                          AND NOT starts_with(x, 'gclid=')
+                          AND NOT starts_with(x, 'msclkid='))), '&'), '') AS qs
+            FROM raw
+          ) q JOIN raw USING (doc_id, url)
+        )
+        SELECT curl AS canonical_url,
+               count(*) AS n_docs,
+               count(DISTINCT url) AS n_variants,
+               CAST(min(doc_id) AS BIGINT) AS first_doc_id
+        FROM canon GROUP BY curl
+        """,
+    )
+    def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Canonicalize-then-dedup over deterministic raw URLs: mixed
+        scheme/host case, default port 443 vs explicit 8080, trailing
+        slashes, utm tracking params with shuffled order, fragments —
+        grouped by the canonical form
+        (functions/strings.py:canonicalize_url) with variant counts.
+        The oracle replicates every normalization step with the same
+        regexes + list ops. Scale shape: narrow scalar expressions +
+        one hash agg on the canonical key."""
+        from build_datawarehouse_demo_spark.functions.strings import (
+            canonicalize_url,
+        )
+
+        docs = _t(spark, sf_dir, "documents", rebalance=False)
+        raw = docs.select("doc_id", F.expr(_RAW_URL_SQL.strip()).alias("url"))
+        return (
+            raw.withColumn("canonical_url", canonicalize_url(F.col("url")))
+            .groupBy("canonical_url")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("url").alias("n_variants"),
+                F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            )
+        )

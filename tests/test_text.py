@@ -330,3 +330,23 @@ def test_constraint_violations_hostile_column_names(spark):
         for r in constraint_violations(df, not_null=["it's `odd`"]).collect()
     }
     assert got == {"not_null:it's `odd`": 1}
+
+
+def test_canonicalize_url_cases(spark):
+    """Explicit normalization table: case, default vs explicit port,
+    trailing slashes, tracking-param strip, param sort, fragment."""
+    from build_datawarehouse_demo_spark.functions.strings import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+         "https://www.example.com/A/b?a=1&b=2"),
+        ("http://Host.com:80/", "http://host.com"),
+        ("http://Host.com:8080/x", "http://host.com:8080/x"),
+        ("https://h.io/p?gclid=1&utm_campaign=c&fbclid=2&msclkid=3",
+         "https://h.io/p"),
+        ("https://h.io/p?z=1&y=2&z=0", "https://h.io/p?y=2&z=0&z=1"),
+        ("ftp://F.io/file.txt", "ftp://f.io/file.txt"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
