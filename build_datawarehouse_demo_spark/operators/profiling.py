@@ -182,3 +182,46 @@ def constraint_violations(
     return wide.select(F.explode(kvs).alias("kv")).select(
         "kv.constraint", "kv.n_violations"
     )
+
+
+def histogram_equidepth(df: DataFrame, col: str, buckets: int = 8) -> DataFrame:
+    """Equi-DEPTH histogram: bucket boundaries at the exact
+    interpolated quantiles, counts per bucket — the histogram an
+    optimizer or data profiler actually wants on skewed columns
+    (fixed-width bins put 99% of a long-tail column in bin 0;
+    histogram_fixed covers that shape).
+
+    Plan shape: ONE aggregation computes all cutpoints
+    (`F.percentile` with a fraction array), the 1-row result
+    broadcast-cross-joins back, and bucket assignment is a pure array
+    expression (count of cutpoints below the value) feeding a hash
+    agg on the bucket id — no collect, no per-bucket jobs, two
+    passes total.
+
+    Cross-engine determinism: ties with a cutpoint only matter when
+    the cutpoint IS a data value (interpolation fraction 0), where
+    both engines produce the exact stored double; strictly
+    interpolated cutpoints have no data value between their
+    neighbors, so `value > cutpoint` is ulp-robust.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    cuts = df.agg(F.percentile(F.col(col), fracs).alias("__cuts"))
+    return (
+        df.where(F.col(col).isNotNull())
+        .join(F.broadcast(cuts))
+        .select(
+            F.size(F.filter(F.col("__cuts"), lambda c: F.col(col) > c)).alias(
+                "bucket_id"
+            ),
+            F.col(col),
+            "__cuts",
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(col), 6).alias("lo_value"),
+            F.round(F.max(col), 6).alias("hi_value"),
+        )
+    )

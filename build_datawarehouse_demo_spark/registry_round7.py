@@ -1009,3 +1009,85 @@ def register_round7_url() -> None:
                 F.min("doc_id").cast("bigint").alias("first_doc_id"),
             )
         )
+
+
+def register_round7_profiling() -> None:
+    # ------------------------------------------------------------------
+    # equi-depth histogram — the skew-proof profile twin of
+    # agg_histogram_fixed: boundaries at exact interpolated quantiles,
+    # ~n/8 rows per bucket whatever the distribution
+    # ------------------------------------------------------------------
+    @register(
+        "agg_histogram_equidepth",
+        oracle="""
+        WITH cuts AS (
+          SELECT quantile_cont(o_totalprice,
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs
+          FROM orders
+        )
+        SELECT len(list_filter(c.cs, x -> o.o_totalprice > x)) AS bucket_id,
+               count(*) AS n_rows,
+               round(min(o_totalprice), 6) AS lo_value,
+               round(max(o_totalprice), 6) AS hi_value
+        FROM orders o, cuts c
+        WHERE o.o_totalprice IS NOT NULL
+        GROUP BY 1
+        """,
+    )
+    def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """8-bucket equi-depth histogram of order totals
+        (operators/profiling.py:histogram_equidepth): one agg for all
+        cutpoints, broadcast back, array-expression bucket assignment,
+        hash agg — two passes, no collect. Oracle = DuckDB
+        quantile_cont (same linear interpolation as F.percentile) +
+        the same count-of-cuts-below assignment."""
+        from build_datawarehouse_demo_spark.operators.profiling import (
+            histogram_equidepth,
+        )
+
+        return histogram_equidepth(
+            _t(spark, sf_dir, "orders", rebalance=False), "o_totalprice", buckets=8
+        )
+
+    # ------------------------------------------------------------------
+    # schema-evolution read — mergeSchema across parquet batches with
+    # different columns: the ingest reality of any long-lived table
+    # ------------------------------------------------------------------
+    @register(
+        "src_parquet_schema_merge",
+        oracle="""
+        SELECT p_partkey, p_name,
+               CAST(NULL AS DOUBLE) AS p_retailprice,
+               CAST(NULL AS INTEGER) AS p_size
+        FROM part
+        UNION ALL
+        SELECT p_partkey, NULL, p_retailprice, p_size FROM part
+        """,
+    )
+    def q_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two parquet batches with DIFFERENT schemas land in one
+        directory (v1: key+name; v2: key+price+size — the add-a-column
+        evolution every ingest pipeline hits); a mergeSchema read
+        unifies them, nulling each batch's missing columns. Scale
+        note: mergeSchema pays a footer read per file at planning —
+        fine per-directory, use explicit schemas at million-file
+        scale."""
+        import os
+        import shutil
+
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+
+        base = os.path.join(_bucketed_scratch_dir(), "schema_merge")
+        shutil.rmtree(base, ignore_errors=True)
+        part = _t(spark, sf_dir, "part", rebalance=False)
+        part.select("p_partkey", "p_name").write.mode("overwrite").parquet(base)
+        part.select("p_partkey", "p_retailprice", "p_size").write.mode(
+            "append"
+        ).parquet(base)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(base)
+            .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        )

@@ -350,3 +350,28 @@ def test_canonicalize_url_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_histogram_equidepth_balances_skewed_data(spark):
+    """Equi-depth on a long-tail column: every bucket holds ~n/B rows
+    (fixed-width would put ~all rows in bin 0); bounds are ordered and
+    cover the data; nulls excluded; buckets<2 rejected."""
+    import pytest as _pytest
+
+    from build_datawarehouse_demo_spark.operators.profiling import (
+        histogram_equidepth,
+    )
+
+    rows = [(float(i) ** 4,) for i in range(1, 401)] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = sorted(
+        histogram_equidepth(df, "v", buckets=4).collect(),
+        key=lambda r: r.bucket_id,
+    )
+    assert [r.bucket_id for r in got] == [0, 1, 2, 3]
+    assert all(95 <= r.n_rows <= 105 for r in got), got
+    assert sum(r.n_rows for r in got) == 400  # null excluded
+    for a, b in zip(got, got[1:]):
+        assert a.hi_value <= b.lo_value
+    with _pytest.raises(ValueError):
+        histogram_equidepth(df, "v", buckets=1)
