@@ -124,7 +124,6 @@ def _load_all() -> None:
         register_round7_profiling,
         register_round7_sampling,
         register_round7_star,
-        register_round7_streaming,
         register_round7_url,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -148,7 +147,6 @@ def _load_all() -> None:
     register_round7_profiling()
     register_round7_sampling()
     register_round7_star()
-    register_round7_streaming()
     register_round7_url()
 
     rank = _rotation_rank()

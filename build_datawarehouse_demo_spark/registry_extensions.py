@@ -1723,9 +1723,10 @@ def register_extensions() -> None:
     )
     def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         # native session_window vs the lag/cumsum islands construction.
-        # Boundary note: Spark starts a new session when the gap is
-        # EXACTLY equal; the oracle merges it — unobservable here since
-        # timestamps carry microsecond jitter.
+        # Boundary note (corrected round 7, pinned empirically in
+        # tests/test_streaming.py): Spark MERGES a successor arriving
+        # exactly `gap` after the previous event (adjacent windows
+        # coalesce), matching the oracle's strictly-greater break.
         from build_datawarehouse_demo_spark.streaming.windows import session_event_counts
 
         return session_event_counts(_t(spark, sf_dir, "events"))

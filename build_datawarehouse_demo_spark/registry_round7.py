@@ -769,52 +769,6 @@ def register_round7_sampling() -> None:
         )
 
 
-def register_round7_streaming() -> None:
-    # ------------------------------------------------------------------
-    # native session windows — the dynamic-window primitive next to the
-    # tumbling/sliding entries; gaps-and-islands as ONE aggregation
-    # ------------------------------------------------------------------
-    @register(
-        "streaming_session_window",
-        oracle="""
-        WITH o AS (
-          SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS brk
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        s AS (
-          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS sid
-          FROM o
-        )
-        SELECT user_id,
-               min(ts) AS session_start,
-               max(ts) + INTERVAL 30 MINUTE AS session_end,
-               count(*) AS n_events,
-               CAST(sum(v) AS DOUBLE) AS sum_value
-        FROM s GROUP BY user_id, sid
-        """,
-    )
-    def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Batch execution of the streaming session-window transform
-        (streaming/windows.py:session_event_stats — the SAME function
-        runs under readStream with a watermark, asserted stream ≡
-        batch in tests/test_streaming.py). The oracle states the
-        gaps-and-islands form: a session breaks only where the gap to
-        the previous event is STRICTLY greater than 30 min — Spark
-        merges adjacent windows too (an exact-gap successor at the
-        previous window's end joins the session; pinned empirically
-        by the pytest)."""
-        from build_datawarehouse_demo_spark.streaming.windows import (
-            session_event_stats,
-        )
-
-        return session_event_stats(_t(spark, sf_dir, "events"))
-
-
 def register_round7_interval() -> None:
     # ------------------------------------------------------------------
     # UNKEYED interval-overlap join — the inequality-join shape that is

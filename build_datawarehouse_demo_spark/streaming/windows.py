@@ -131,40 +131,3 @@ def run_stream_to_memory(result: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return q
-
-
-def session_event_stats(
-    events: DataFrame,
-    gap: str = "30 minutes",
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Native SESSION windows per user: consecutive events closer than
-    ``gap`` merge into one session [first_ts, last_ts + gap).
-
-    `F.session_window` is the engine primitive (dynamic-length windows
-    with state merging — what `transformWithState` would hand-roll);
-    works on batch and streaming inputs alike, so the registered batch
-    result doubles as the stream's ground truth. In streaming mode the
-    watermark both bounds state and decides when a session is final
-    (no event can extend it once the watermark passes its end).
-
-    Scale shape: one shuffle on the session key (user_id); state per
-    in-flight session only. The batch plan is the gaps-and-islands
-    computation fused into a single aggregation.
-    """
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    price = F.col("value").cast("decimal(18,2)")
-    return (
-        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(price).cast("double").alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
-    )

@@ -393,12 +393,13 @@ def test_stream_merge_sink_equals_batch_merge(spark):
 
 
 def test_session_window_stream_equals_batch(spark, tmp_path):
-    """session_event_stats under availableNow streaming (complete
+    """session_event_counts under availableNow streaming (complete
     mode) must equal its batch run; also pins the exact-gap semantics
-    the oracle states (Spark merges ADJACENT windows: a successor
-    exactly `gap` after the previous event — i.e. at its window's
-    end — joins the same session)."""
-    from build_datawarehouse_demo_spark.streaming.windows import session_event_stats
+    EMPIRICALLY (Spark merges ADJACENT windows: a successor exactly
+    `gap` after the previous event — i.e. at its window's end — joins
+    the same session; the registered oracle's islands SQL must
+    therefore break only on STRICTLY greater gaps)."""
+    from build_datawarehouse_demo_spark.streaming.windows import session_event_counts
 
     rows = [
         # u1: two events 10 min apart, third EXACTLY 30:00 after the
@@ -413,8 +414,8 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         rows, "event_id long, user_id string, event_type string, ts string, value double"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     batch = {
-        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
-        for r in session_event_stats(ev).collect()
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in session_event_counts(ev).collect()
     }
     # exact-gap pin: event 2's window is [10:10, 10:40); event 3 at
     # 10:40 touches its end and MERGES (measured Spark behavior) ->
@@ -429,7 +430,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     stream = spark.readStream.schema(ev.schema).parquet(path)
     out = []
     q = (
-        session_event_stats(stream)
+        session_event_counts(stream)
         .writeStream.outputMode("complete")
         .foreachBatch(lambda df, _id: out.extend(df.collect()))
         .trigger(availableNow=True)
@@ -437,7 +438,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
         for r in out
     }
     assert got == batch
