@@ -221,13 +221,59 @@ def exact_jaccard(
     )
 
 
+def minhash_auto_params(
+    n: int,
+    threshold: float = 0.8,
+    recall_target: float = 0.93,
+    background_jaccard: float = 0.1,
+    min_rows: int = 2,
+    max_rows: int = 24,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) sized for a corpus of ``n`` documents —
+    the MinHash twin of similarity.lsh_auto_params (the round-6 scale
+    fix, applied to the text lane before it bites).
+
+    Fixed rows-per-band is the same latent scale trap here, just with
+    a gentler constant: a band of r minhashes collides for an
+    UNRELATED pair with probability ~j_bg^r (j_bg = the corpus's
+    background Jaccard), so background candidates grow as
+    bands * n^2 * j_bg^r — quadratic at ANY fixed r (measured on the
+    synthetic corpus: 4x docs -> 6.8x candidates at the 16/4 default;
+    tiny absolute counts at these n, ruinous at 10^9).
+
+    - rows r = ceil(ln n / ln(1/j_bg)) makes n * j_bg^r <= 1:
+      expected background candidates per document stay O(bands) —
+      LINEAR total;
+    - bands b solves the recall constraint 1-(1-t^r)^b >=
+      recall_target at the ``threshold`` operating point.
+
+    ``background_jaccard`` is the corpus knob (default 0.1 — typical
+    for natural-text shingle sets; raise it for low-entropy corpora).
+    Deterministic in (n, constants), so an oracle can replicate the
+    exact banding for any fixed n.
+    """
+    import math
+
+    if not 0 < background_jaccard < 1:
+        raise ValueError(f"background_jaccard must be in (0,1), got {background_jaccard}")
+    r = max(
+        min_rows,
+        min(max_rows, math.ceil(math.log(max(n, 2)) / math.log(1 / background_jaccard))),
+    )
+    tr = threshold**r
+    if tr >= 1.0:
+        return 1, r
+    b = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - tr)))
+    return b, r
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = 16,
+    bands: int | None = 4,
     threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold.
@@ -249,6 +295,13 @@ def minhash_dedup_pairs(
     is narrow). At 100 TB, materialize the shingle arrays to parquet
     once and run signatures + verify against that.
     """
+    if num_hashes is None or bands is None:
+        # auto-size from the corpus count (one count() action): rows
+        # grow log(n) so background candidates stay linear, bands hold
+        # the recall constraint — pass None for the scale-safe mode
+        auto_b, auto_r = minhash_auto_params(df.count(), threshold=threshold)
+        bands = auto_b if bands is None else bands
+        num_hashes = bands * auto_r if num_hashes is None else num_hashes
     sh = shingle_arrays(df, id_col, text_col, k)
     sigs = minhash_signatures_from_arrays(sh, num_hashes, id_col)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)

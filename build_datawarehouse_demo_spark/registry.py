@@ -121,6 +121,7 @@ def _load_all() -> None:
         register_round7_asof,
         register_round7_graph,
         register_round7_interval,
+        register_round7_minhash_auto,
         register_round7_profiling,
         register_round7_sampling,
         register_round7_star,
@@ -144,6 +145,7 @@ def _load_all() -> None:
     register_round7_asof()
     register_round7_graph()
     register_round7_interval()
+    register_round7_minhash_auto()
     register_round7_profiling()
     register_round7_sampling()
     register_round7_star()

@@ -1045,3 +1045,78 @@ def register_round7_profiling() -> None:
             .parquet(base)
             .select("p_partkey", "p_name", "p_retailprice", "p_size")
         )
+
+
+def register_round7_minhash_auto() -> None:
+    # ------------------------------------------------------------------
+    # auto-sized text MinHash LSH — the round-6 embedding-lane fix
+    # applied to the TEXT lane before it bites: fixed rows-per-band
+    # makes background candidates grow bands*n^2*j_bg^r (measured 6.8x
+    # candidates at 4x docs with the fixed 16/4 default); rows grow
+    # log(n) so they stay linear, bands hold recall
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _MB, _MR = minhash_auto_params(_N_DOCS)
+    _MNH = _MB * _MR
+
+    @register(
+        "dedup_minhash_lsh_auto",
+        oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOK} AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM tok, unnest(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3
+        ),
+        mh AS (
+          SELECT doc_id, h,
+                 min({_HASH32.format(expr="h || ':' || shingle")}) AS mhv
+          FROM sh, unnest(generate_series(0, {_MNH - 1})) AS g(h)
+          GROUP BY doc_id, h
+        ),
+        bands AS (
+          SELECT doc_id, h // {_MR} AS band,
+                 string_agg(CAST(mhv AS VARCHAR), '_' ORDER BY h) AS band_key
+          FROM mh GROUP BY doc_id, h // {_MR}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.8
+        """,
+    )
+    def q_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same semantics as dedup_minhash_lsh but (bands, rows) come
+        from minhash_auto_params at the corpus count — rows_per_band
+        grows ln(n)/ln(1/j_bg) so background candidates stay LINEAR,
+        bands re-solve recall >= 0.93 at the 0.8-Jaccard operating
+        point. At the driver fixture's n the parameters resolve to the
+        oracle's pinned (bands, rows)."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            minhash_dedup_pairs,
+        )
+
+        return minhash_dedup_pairs(
+            _t(spark, sf_dir, "documents"), num_hashes=None, bands=None
+        )

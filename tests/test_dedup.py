@@ -169,3 +169,57 @@ def test_connected_components_empty_pairs(spark):
     got = {r.doc_id: (r.component_id, r.is_kept)
            for r in dedup_keep_representatives(docs, connected_components(pairs)).collect()}
     assert got == {5: (5, True), 6: (6, True)}
+
+
+def test_minhash_auto_params_law_and_candidate_growth(spark):
+    """The text-lane twin of the round-6 embedding fix: (1) the
+    parameter law — rows grow with ln(n), the recall constraint holds
+    at every n; (2) measured on a LOW-ENTROPY corpus (high background
+    Jaccard, the adversarial case), fixed 16/4 banding's candidates
+    grow super-linearly at 4x docs while auto-sized banding's stay
+    near-linear."""
+    import random
+
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_auto_params,
+        minhash_signatures_from_arrays,
+        minhash_dedup_pairs,
+        shingle_arrays,
+    )
+
+    # (1) parameter law
+    prev_r = 0
+    for n in (100, 10_000, 1_000_000, 10**9):
+        b, r = minhash_auto_params(n)
+        assert r >= prev_r
+        prev_r = r
+        assert 1 - (1 - 0.8**r) ** b >= 0.93  # recall constraint
+    assert minhash_auto_params(10**9)[1] > minhash_auto_params(500)[1]
+
+    # (2) candidate growth, fixed vs auto, 4x corpus
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(14)]
+
+    def corpus(n):
+        rows = [(i, " ".join(rng.choices(vocab, k=10))) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_cand(df, nh, nb):
+        sh = shingle_arrays(df)
+        return lsh_candidate_pairs(
+            minhash_signatures_from_arrays(sh, nh), nh, nb
+        ).count()
+
+    small, big = corpus(300), corpus(1200)
+    fixed_growth = n_cand(big, 16, 4) / max(n_cand(small, 16, 4), 1)
+    ab, ar = minhash_auto_params(1200, background_jaccard=0.3)
+    sb, sr = minhash_auto_params(300, background_jaccard=0.3)
+    auto_growth = n_cand(big, ab * ar, ab) / max(n_cand(small, sb * sr, sb), 1)
+    # 4x docs: quadratic background -> ~16x; linear -> ~4x
+    assert auto_growth < fixed_growth
+    assert auto_growth < 9, (auto_growth, fixed_growth)
+
+    # auto mode end-to-end still verifies candidates exactly
+    out = minhash_dedup_pairs(small, num_hashes=None, bands=None, threshold=0.9)
+    assert out.columns == ["id_a", "id_b", "jaccard"]
