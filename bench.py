@@ -93,6 +93,9 @@ HEADLINE = [
     # "build is part of the engine" path)
     "sim_ann_rp_lsh_auto",
     "sim_ivf_trained",
+    # auto-sized TEXT MinHash banding (round-7 twin of the embedding
+    # auto lane — rows grow log(n) so background candidates stay linear)
+    "dedup_minhash_lsh_auto",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

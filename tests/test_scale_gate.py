@@ -52,6 +52,10 @@ DESIGNED_CAPS = {
     # designed price of the round-6 fix — the 2.09 it replaced came
     # from quadratic candidate growth, a different (and fatal) curve.
     "dedup_embedding_cosine_auto": (1.35, "O(n log^2 n) signature growth"),
+    # same curve, text lane: minhash_auto_params grows rows ln(n) AND
+    # bands to re-hold recall as t^r shrinks -> O(n log^2 n) signature
+    # work while background candidates stay linear
+    "dedup_minhash_lsh_auto": (1.35, "O(n log^2 n) signature growth"),
 }
 
 
