@@ -321,14 +321,52 @@ def minhash_dedup_pairs(
     )
 
 
+def hash60(col: Column, seed: int = 0) -> Column:
+    """60-bit md5-derived hash (first 15 hex chars) — same engine
+    portability contract as hash32, for signatures wider than 32 bits
+    (DuckDB: CAST(('0x' || substr(md5(s),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def simhash_auto_width(
+    n: int, blocks: int = 4, min_width: int = 8, max_width: int = 15
+) -> int:
+    """Per-block bit width sized for a corpus of ``n`` signatures —
+    the third instance of the fixed-bucket-space scale trap (round 6:
+    embedding sign-LSH; round 7: text MinHash): a block of w bits has
+    only 2^w buckets, so once n >> 2^w * bucket_size every bucket
+    saturates and candidates grow blocks * n^2 / 2^w — quadratic at
+    any fixed width. w = ceil(log2(n / 64)) keeps expected occupancy
+    ~64, making candidates LINEAR in n for uniformly distributed
+    signatures. max_width 15 bounds total bits to blocks*15 <= 60 (the
+    hash60 signature width); beyond n ~ 64 * 2^15 * — per-block two
+    million-ish — raise blocks (and the Hamming radius contract)
+    rather than width."""
+    import math
+
+    return max(min_width, min(max_width, math.ceil(math.log2(max(n, 2) / 64))))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash: per token, hash32 bits vote ±1; sign of each
+    """SimHash: per token, hash bits vote ±1; sign of each
     bit-position sum forms the signature. Expressed as explode(token) ×
-    explode(bit) + one groupBy — all codegen'd expressions."""
+    explode(bit) + one groupBy — all codegen'd expressions.
+
+    bits <= 32 hashes with hash32 (bit-compatible with the original
+    entries); wider signatures (the auto-scaled path) draw their bits
+    from the 60-bit md5 hash — bits above the source hash's width
+    would silently vote constant-(-1) and discriminate nothing, so
+    widths past 60 are rejected."""
+    if bits > 60:
+        raise ValueError(f"bits must be <= 60 (hash60 source width), got {bits}")
     tok = spread(df, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
-    hashed = tok.withColumn("h", hash32(F.col("tok")))
+    hashed = tok.withColumn(
+        "h", hash32(F.col("tok")) if bits <= 32 else hash60(F.col("tok"))
+    )
     bitted = hashed.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),

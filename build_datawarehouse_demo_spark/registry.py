@@ -122,6 +122,7 @@ def _load_all() -> None:
         register_round7_graph,
         register_round7_interval,
         register_round7_minhash_auto,
+        register_round7_simhash_auto,
         register_round7_profiling,
         register_round7_sampling,
         register_round7_star,
@@ -146,6 +147,7 @@ def _load_all() -> None:
     register_round7_graph()
     register_round7_interval()
     register_round7_minhash_auto()
+    register_round7_simhash_auto()
     register_round7_profiling()
     register_round7_sampling()
     register_round7_star()

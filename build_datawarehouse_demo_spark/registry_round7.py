@@ -1120,3 +1120,73 @@ def register_round7_minhash_auto() -> None:
         return minhash_dedup_pairs(
             _t(spark, sf_dir, "documents"), num_hashes=None, bands=None
         )
+
+
+def register_round7_simhash_auto() -> None:
+    # ------------------------------------------------------------------
+    # auto-sized SimHash blocking — THIRD instance of the fixed-bucket
+    # -space trap (r6: embedding sign-LSH; r7: text MinHash): 4 blocks
+    # of 8 bits = 256 buckets/block saturate once n >> 256*occupancy,
+    # candidates grow blocks*n^2/2^w. Block width now grows log2(n).
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import simhash_auto_width
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SW = simhash_auto_width(_N_DOCS)  # per-block bits
+    _SBITS = 4 * _SW
+    _SHASH = (
+        _HASH32
+        if _SBITS <= 32
+        else "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    )
+
+    @register(
+        "dedup_simhash_auto",
+        oracle=f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {_SHASH.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, {_SBITS - 1})) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        ),
+        blocked AS (
+          SELECT doc_id, simhash, blk,
+                 (simhash >> (blk * {_SW})) & {(1 << _SW) - 1} AS blk_val
+          FROM sigs, unnest(generate_series(0, 3)) AS g(blk)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM blocked a
+        JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+    )
+    def q_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same semantics as dedup_simhash_pairs but the signature
+        width auto-sizes: per-block bits = simhash_auto_width(n) keep
+        bucket occupancy ~64 so candidates stay LINEAR; widths past 32
+        bits draw from the 60-bit md5 hash (hash60). At the driver
+        fixture's n the width resolves to the oracle's pinned value."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            simhash,
+            simhash_auto_width,
+            simhash_near_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        w = simhash_auto_width(docs.count())
+        sigs = simhash(docs, bits=4 * w)
+        return simhash_near_pairs(sigs, max_hamming=3, blocks=4, bits=4 * w)

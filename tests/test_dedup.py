@@ -223,3 +223,79 @@ def test_minhash_auto_params_law_and_candidate_growth(spark):
     # auto mode end-to-end still verifies candidates exactly
     out = minhash_dedup_pairs(small, num_hashes=None, bands=None, threshold=0.9)
     assert out.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_simhash_auto_width_law_and_bucket_saturation(spark):
+    """Third fixed-bucket-space instance: (1) the width law — blocks
+    widen with log2(n), clamped to the hash60 ceiling; (2) measured on
+    uniform synthetic signatures, fixed 8-bit blocks saturate (4x sigs
+    -> ~16x candidates) while auto-sized widths keep growth ~linear."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        hash60,
+        simhash_auto_width,
+        simhash_near_pairs,
+        simhash,
+    )
+
+    # (1) width law
+    assert simhash_auto_width(500) == 8          # floor
+    assert simhash_auto_width(50_000) == 10
+    assert simhash_auto_width(10**9) == 15       # hash60 ceiling
+    prev = 0
+    for n in (100, 10_000, 10**6, 10**9):
+        w = simhash_auto_width(n)
+        assert w >= prev
+        prev = w
+
+    # (2) bucket saturation on uniform signatures (hash of an id range
+    # stands in for simhash values — the blocking layer only sees a
+    # long). Fixed 8-bit blocks: candidates ~ 4*n^2/256. Candidate
+    # VOLUME is computed as sum over (block, value) buckets of
+    # C(count, 2) — the exact pre-verify pair count the equi-join
+    # enumerates, without materializing it.
+    def n_cand(n, width):
+        sigs = spark.range(n).select(
+            (hash60(F.col("id").cast("string"))).alias("simhash")
+        )
+        blocked = sigs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("blk"),
+                            F.shiftright(F.col("simhash"), i * width)
+                            .bitwiseAND((1 << width) - 1)
+                            .alias("blk_val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b")
+        )
+        return (
+            blocked.groupBy("b.blk", "b.blk_val")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .first()[0]
+        )
+
+    small, big = 12_500, 50_000
+    fixed_growth = n_cand(big, 8) / max(n_cand(small, 8), 1)
+    auto_growth = n_cand(big, simhash_auto_width(big)) / max(
+        n_cand(small, simhash_auto_width(small)), 1
+    )
+    assert fixed_growth > 10, fixed_growth   # saturated: ~16x
+    assert auto_growth < 8, (auto_growth, fixed_growth)
+
+    # wide-signature simhash end-to-end still deterministic
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    sigs = simhash(df, bits=40)
+    pairs = simhash_near_pairs(sigs, max_hamming=3, blocks=4, bits=40).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash(df, bits=64)
