@@ -124,6 +124,7 @@ def _load_all() -> None:
         register_round7_minhash_auto,
         register_round7_simhash_auto,
         register_round7_profiling,
+        register_round7_regexp,
         register_round7_sampling,
         register_round7_star,
         register_round7_url,
@@ -149,6 +150,7 @@ def _load_all() -> None:
     register_round7_minhash_auto()
     register_round7_simhash_auto()
     register_round7_profiling()
+    register_round7_regexp()
     register_round7_sampling()
     register_round7_star()
     register_round7_url()

@@ -1190,3 +1190,42 @@ def register_round7_simhash_auto() -> None:
         w = simhash_auto_width(docs.count())
         sigs = simhash(docs, bits=4 * w)
         return simhash_near_pairs(sigs, max_hamming=3, blocks=4, bits=4 * w)
+
+
+def register_round7_regexp() -> None:
+    # ------------------------------------------------------------------
+    # regexp scalar kit — completes the §2.8 scalar-function surface
+    # with the pattern family every ETL reaches for (extract / replace
+    # / count / boolean match), on patterns where Java-regex (Spark)
+    # and RE2 (the oracle engine) semantics coincide
+    # ------------------------------------------------------------------
+    @register(
+        "fn_regexp_kit",
+        oracle="""
+        SELECT c_custkey,
+               coalesce(regexp_extract(c_name, '([0-9]+)$', 1), '') AS trailing_digits,
+               regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+               CAST(length(c_name) - length(regexp_replace(c_name, '0', '', 'g'))
+                    AS BIGINT) AS n_zeros,
+               (c_name SIMILAR TO '.*[13579]') AS ends_odd
+        FROM customer
+        """,
+    )
+    def q_regexp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """regexp_extract (trailing digit run), global regexp_replace
+        (squeeze zero runs), occurrence counting (via length delta —
+        identical in both engines, unlike regexp_count's engine-
+        specific overlap rules), and boolean tail match (rlike vs
+        SIMILAR TO). Narrow scalar expressions only — one scan, zero
+        shuffles."""
+        cust = _t(spark, sf_dir, "customer", rebalance=False)
+        name = F.col("c_name")
+        return cust.select(
+            "c_custkey",
+            F.regexp_extract(name, r"([0-9]+)$", 1).alias("trailing_digits"),
+            F.regexp_replace(name, "0+", "0").alias("squeezed"),
+            (F.length(name) - F.length(F.regexp_replace(name, "0", "")))
+            .cast("bigint")
+            .alias("n_zeros"),
+            name.rlike("[13579]$").alias("ends_odd"),
+        )
