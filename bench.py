@@ -96,6 +96,10 @@ HEADLINE = [
     # auto-sized TEXT MinHash banding (round-7 twin of the embedding
     # auto lane — rows grow log(n) so background candidates stay linear)
     "dedup_minhash_lsh_auto",
+    # auto-sized SimHash blocking (block width log2(n); identical to
+    # the fixed lane at sf<=0.1 where the width floor binds — the
+    # divergence shows from sf1 up, which the scale harness measures)
+    "dedup_simhash_auto",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

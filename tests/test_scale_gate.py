@@ -56,6 +56,9 @@ DESIGNED_CAPS = {
     # bands to re-hold recall as t^r shrinks -> O(n log^2 n) signature
     # work while background candidates stay linear
     "dedup_minhash_lsh_auto": (1.35, "O(n log^2 n) signature growth"),
+    # block width grows log2(n) -> O(n log n) signature work,
+    # candidates linear (bucket-saturation pytest)
+    "dedup_simhash_auto": (1.3, "O(n log n): log2(n)-wide blocks"),
 }
 
 
