@@ -114,8 +114,8 @@ def ivf_assign(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def ivf_topk_assigned(
+    assigned: DataFrame,
     centroids: DataFrame,
     probes: DataFrame,
     k: int = 5,
@@ -124,12 +124,14 @@ def ivf_topk(
     probe_id_col: str = "probe_id",
     nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: probes are routed to their ``nprobe`` nearest
-    centroids and only scored against those clusters' inverted lists.
-    nprobe trades cost (fraction of corpus scanned ~ nprobe/nlist) for
-    recall; each corpus vector lives in exactly one list, so the
-    per-probe candidate sets are disjoint — no dedup needed."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    """IVF search over a PREBUILT inverted-list assignment
+    (``assigned`` = (id, centroid_id, __v) rows, e.g. from
+    ``ivf_assign`` or ``ivf_assign_two_level``): probes are routed to
+    their ``nprobe`` nearest centroids and only scored against those
+    clusters' inverted lists. nprobe trades cost (fraction of corpus
+    scanned ~ nprobe/nlist) for recall; each corpus vector lives in
+    exactly one list, so the per-probe candidate sets are disjoint —
+    no dedup needed."""
     probe_assigned = ivf_assign(
         probes, centroids, probe_id_col, vec_col, top_n=nprobe
     ).select(probe_id_col, "centroid_id", F.col("__v").alias("__pv"))
@@ -143,6 +145,26 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF search with a FLAT (every-vector × every-centroid) list
+    build — fine when centroids are a given small input; for the
+    trained path at scale use ivf_assign_two_level + ivf_topk_assigned
+    (the flat build is O(n·nlist) = O(n^1.5) at nlist≈√n)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    return ivf_topk_assigned(
+        assigned, centroids, probes, k, id_col, vec_col, probe_id_col, nprobe
     )
 
 
@@ -619,6 +641,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """n_iter Lloyd iterations (driver-side loop over lazy steps; each
     step's centroids are localCheckpoint'ed so lineage stays O(1) —
@@ -631,6 +654,153 @@ def kmeans_train(
     cents = centroids
     for _ in range(n_iter):
         cents = kmeans_lloyd_step(
-            corpus, cents, id_col=id_col, vec_col=vec_col, round_to=round_to
+            corpus,
+            cents,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+            round_to=round_to,
         ).localCheckpoint()
     return cents
+
+
+def ivf_sample_modulus(n: int, nlist: int, points_per_centroid: int = 64) -> int:
+    """Hash-sampling modulus K for the coarse-quantizer training set:
+    keep rows whose id-hash ≡ 0 (mod K), sized so the expected sample
+    is ~points_per_centroid·nlist vectors (the FAISS convention of
+    training the quantizer on a BOUNDED multiple of nlist, not the
+    full corpus). With nlist≈√n the training cost becomes
+    O(n_iter·points_per_centroid·nlist²) = O(n_iter·ppc·n) — LINEAR —
+    instead of the O(n_iter·n·√n) full-corpus Lloyd that made the r7
+    build the one super-linear lane on the committed scale curve
+    (VERDICT r7 item 1, measured exponent 1.42). Single source for the
+    impl, the oracle pin, and the scaling pytest."""
+    return max(1, n // max(1, points_per_centroid * nlist))
+
+
+def ivf_train_sampled(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    n: int,
+    nlist: int,
+    n_iter: int = 2,
+    points_per_centroid: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Train the IVF coarse quantizer on a deterministic hash sample
+    of ~points_per_centroid·nlist vectors (see ivf_sample_modulus).
+
+    The sample predicate is md5-derived (dedup.hash32 over
+    'ivftrain:'-salted ids) so any engine — or the DuckDB oracle —
+    draws the IDENTICAL training set; the salt keeps the draw
+    independent of the sampling operators' buckets at the same seed
+    (operators/sampling.py's purpose-salt discipline). K=1 (small
+    corpora) degrades to full-corpus Lloyd, so driver-scale results
+    are unchanged by the sampling."""
+    from build_datawarehouse_demo_spark.operators.dedup import hash32
+
+    k = ivf_sample_modulus(n, nlist, points_per_centroid)
+    sample = corpus
+    if k > 1:
+        sample = corpus.filter(
+            F.pmod(
+                hash32(F.concat(F.lit("ivftrain:"), F.col(id_col).cast("string"))),
+                F.lit(k),
+            )
+            == 0
+        )
+    return kmeans_train(
+        sample, seeds, n_iter=n_iter, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
+def ivf_group_centroids(
+    centroids: DataFrame,
+    n_groups: int | None = None,
+    n_iter: int = 1,
+    id_col: str = "centroid_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level coarse quantizer, level 2: cluster the nlist centroids
+    under ~√nlist SUPER-centroids (one Lloyd pass over nlist points —
+    trivial cost) so the full-corpus assignment can route through
+    groups instead of scoring every centroid.
+
+    Returns (super_centroids (group_id, vec), groups (centroid_id,
+    group_id)). Super-seeds are the n_groups smallest surviving
+    centroid ids (orderBy+limit over a tiny df — deterministic,
+    oracle-replicable as ORDER BY cid LIMIT g). Pass n_groups
+    explicitly (ceil(√nlist) from the SEED count) when an oracle must
+    pin it statically; the None default sizes from the survivor count.
+    """
+    import math
+
+    if n_groups is None:
+        n_groups = max(1, math.ceil(math.sqrt(centroids.count())))
+    pts = centroids.select(F.col(id_col).alias("__cpt"), F.col(vec_col))
+    seeds = (
+        centroids.orderBy(id_col)
+        .limit(n_groups)
+        .select(F.col(id_col).alias("group_id"), F.col(vec_col))
+    )
+    sup = kmeans_train(
+        pts,
+        seeds,
+        n_iter=n_iter,
+        id_col="__cpt",
+        vec_col=vec_col,
+        round_to=round_to,
+        centroid_id_col="group_id",
+    )
+    groups = ivf_assign(
+        centroids, sup, id_col=id_col, vec_col=vec_col, centroid_id_col="group_id"
+    ).select(id_col, "group_id")
+    return sup, groups
+
+
+def ivf_assign_two_level(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    super_centroids: DataFrame,
+    centroid_groups: DataFrame,
+    gprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level inverted-list build: each vector routes to its
+    ``gprobe`` nearest SUPER-centroids (broadcast, ~√nlist of them),
+    then scores only the centroids living in those groups and keeps
+    the max-cosine one. Per-row cost drops from nlist ≈ √n (the flat
+    build's O(n^1.5) total) to ~(1+gprobe)·√nlist ≈ n^0.25 — the
+    two-level fix VERDICT r7 item 1 prescribes. Assignment is
+    approximate exactly like FAISS's coarse quantization (the true
+    nearest centroid can sit in an unprobed group); gprobe is the
+    quality knob. Each centroid lives in ONE group, so candidate
+    (vector, centroid) pairs are unique — no dedup exchange.
+
+    Output matches ivf_assign: (id, centroid_id, __v) — feed to
+    ivf_topk_assigned."""
+    routed = ivf_assign(
+        corpus,
+        super_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col="group_id",
+        top_n=gprobe,
+    )
+    cmap = centroid_groups.select("centroid_id", "group_id")
+    cvecs = centroids.select(F.col("centroid_id"), _as_double(vec_col).alias("__c"))
+    scored = (
+        routed.join(F.broadcast(cmap), "group_id")
+        .join(F.broadcast(cvecs), "centroid_id")
+        .withColumn("sim", cosine(F.col("__v"), F.col("__c")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "__v")
+    )

@@ -131,21 +131,31 @@ def register_round7_ann() -> None:
     # the engine — nlist ≈ sqrt(n) centroids derived by 2 Lloyd
     # iterations from deterministic seeds, searched with nprobe > 1
     # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_sample_modulus,
+    )
+
     _NLIST = max(2, math.ceil(math.sqrt(_N_EMB)))
     _NPROBE = 4
     _DIM = 64
+    # r8 linearization pins (VERDICT r7 item 1) — all derived from the
+    # SAME functions the impl calls at runtime, never re-derived formulas
+    _SAMPLE_K = ivf_sample_modulus(_N_EMB, _NLIST)
+    _NGROUPS = max(1, math.ceil(math.sqrt(_NLIST)))
+    _GPROBE = 2
 
-    def _lloyd_sql(prev: str, out: str) -> str:
-        """One Lloyd iteration in SQL: assign every vector to its
-        max-cosine centroid of `prev`, re-pack per-dim 6dp-rounded
-        means as the new centroid list `out`."""
+    def _lloyd_sql(prev: str, out: str, corpus: str = "e") -> str:
+        """One Lloyd iteration in SQL over ``corpus`` (vec_id, v):
+        assign every vector to its max-cosine centroid of `prev`
+        (cid, cv), re-pack per-dim 6dp-rounded means as the new
+        centroid list `out`."""
         return f"""
         a_{out} AS (
           SELECT vec_id, cid, v FROM (
             SELECT e.vec_id, c.cid, e.v,
                    row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY {_cos_sql("e.v", "c.cv")} DESC, c.cid) AS rn
-            FROM e, {prev} c
+            FROM {corpus} e, {prev} c
           ) WHERE rn = 1
         ),
         {out} AS (
@@ -160,15 +170,39 @@ def register_round7_ann() -> None:
         "sim_ivf_trained",
         oracle=f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        samp AS (
+          SELECT vec_id, v FROM e
+          WHERE CAST(('0x' || substr(md5('0:ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % {_SAMPLE_K} = 0
+        ),
         c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_NLIST}),
-        {_lloyd_sql("c0", "c1")},
-        {_lloyd_sql("c1", "c2")},
+        {_lloyd_sql("c0", "c1", corpus="samp")},
+        {_lloyd_sql("c1", "c2", corpus="samp")},
+        cc AS (SELECT cid AS vec_id, cv AS v FROM c2),
+        s0 AS (SELECT cid, cv FROM c2 ORDER BY cid LIMIT {_NGROUPS}),
+        {_lloyd_sql("s0", "s1", corpus="cc")},
+        grp AS (
+          SELECT cid, gid FROM (
+            SELECT c.cid, s.cid AS gid,
+                   row_number() OVER (PARTITION BY c.cid
+                       ORDER BY {_cos_sql("c.cv", "s.cv")} DESC, s.cid) AS rn
+            FROM c2 c, s1 s
+          ) WHERE rn = 1
+        ),
+        route AS (
+          SELECT vec_id, gid, v FROM (
+            SELECT e.vec_id, s.cid AS gid, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.v", "s.cv")} DESC, s.cid) AS rn
+            FROM e, s1 s
+          ) WHERE rn <= {_GPROBE}
+        ),
         lists AS (
           SELECT vec_id, cid, v FROM (
-            SELECT e.vec_id, c.cid, e.v,
-                   row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_cos_sql("e.v", "c.cv")} DESC, c.cid) AS rn
-            FROM e, c2 c
+            SELECT r.vec_id, g.cid, r.v,
+                   row_number() OVER (PARTITION BY r.vec_id
+                       ORDER BY {_cos_sql("r.v", "c.cv")} DESC, g.cid) AS rn
+            FROM route r JOIN grp g ON g.gid = r.gid JOIN c2 c ON c.cid = g.cid
           ) WHERE rn = 1
         ),
         p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
@@ -194,22 +228,33 @@ def register_round7_ann() -> None:
         """,
     )
     def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """IVF with a TRAINED index: nlist ≈ sqrt(n) centroids from 2
-        Lloyd iterations (kmeans_train, round_to=6 so both engines
-        feed identical centroids into each next step) over
-        deterministic seeds (first nlist vectors), searched with
-        nprobe=4. Completes the 100 TB ANN story: sim_ivf_topk's
-        centroids were oracle-pinned INPUTS; here the build is part of
-        the engine. Scale shape: training is n_iter broadcast
-        assign + (cluster, dim) partial-agg passes; search scans
-        ~nprobe/nlist of the corpus through one equi-join on the list
-        id. Recall-vs-brute measured in tests/test_similarity.py
-        (planted-cluster corpus ≥0.9 at nprobe=4; near-random
-        embeddings need nprobe ≈ nlist/2 — the curse-of-dimensionality
-        regime documented there)."""
+        """IVF with a TRAINED index, LINEARIZED build (r8, VERDICT r7
+        item 1 — the r7 full-corpus flat Lloyd measured exponent 1.42):
+
+        - the coarse quantizer trains on a BOUNDED md5-hash sample of
+          ~64·nlist vectors (ivf_train_sampled; the FAISS convention),
+          so training is O(n_iter·64·nlist²) = O(n) at nlist≈√n
+          instead of O(n_iter·n·√n);
+        - the one remaining full-corpus pass — list assignment — is
+          TWO-LEVEL (ivf_group_centroids + ivf_assign_two_level):
+          vectors route through ~√nlist super-centroids (gprobe=2),
+          then score only the routed groups' centroids, so per-row
+          assignment work is ~3·√nlist ≈ n^0.25, not nlist ≈ √n.
+
+        nlist ≈ sqrt(n) centroids from 2 Lloyd iterations (round_to=6
+        so both engines feed identical centroids into each next step)
+        over deterministic seeds (first nlist vectors), searched with
+        nprobe=4 (probes are tiny — they route against the FULL
+        centroid set). At the driver fixture (n=500) the sample
+        modulus is 1 — full-corpus training, so driver-scale results
+        still exercise every stage. Recall-vs-brute measured in
+        tests/test_similarity.py (planted-cluster corpus ≥0.9; the
+        two-level assignment's recall-vs-flat is pinned there too)."""
         from build_datawarehouse_demo_spark.operators.similarity import (
-            ivf_topk,
-            kmeans_train,
+            ivf_assign_two_level,
+            ivf_group_centroids,
+            ivf_topk_assigned,
+            ivf_train_sampled,
         )
 
         emb = _t(spark, sf_dir, "embeddings")
@@ -218,11 +263,14 @@ def register_round7_ann() -> None:
         seeds = emb.filter(F.col("vec_id") < nlist).select(
             F.col("vec_id").alias("centroid_id"), "embedding"
         )
-        cents = kmeans_train(emb, seeds, n_iter=2, round_to=6)
+        cents = ivf_train_sampled(emb, seeds, n=n, nlist=nlist, n_iter=2, round_to=6)
+        ngroups = max(1, math.ceil(math.sqrt(nlist)))
+        sup, groups = ivf_group_centroids(cents, n_groups=ngroups, n_iter=1, round_to=6)
+        assigned = ivf_assign_two_level(emb, cents, sup, groups, gprobe=_GPROBE)
         probes = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
-        return ivf_topk(emb, cents, probes, k=5, nprobe=_NPROBE)
+        return ivf_topk_assigned(assigned, cents, probes, k=5, nprobe=_NPROBE)
 
 
 def register_round7_star() -> None:
