@@ -104,6 +104,41 @@ HEADLINE = [
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")
 
+#: calibration workload size — pinned forever so the anchor means the
+#: same thing in every round's artifact (do not scale with sf)
+_CAL_ROWS = 8_000_000
+
+
+def _calibration(spark) -> float:
+    """Pinned sort + hash-agg over GENERATED data, timed in the same
+    process as the queries (VERDICT r7 item 2): BENCH_r*.json absolute
+    numbers drift with VM-host state (r7's shared set read a UNIFORM
+    1.24x r6 on unchanged code; same-day windows differed 1.26x vs
+    1.58x), so every committed artifact now carries its own
+    denominator. Cross-round comparisons should use
+    queries_normalized (per-query median / calibration median) —
+    identical code then reads ~equal regardless of box state. The
+    workload is sf-independent and deterministic: range -> arithmetic
+    keys -> groupBy-sum (shuffle + hash agg) -> global sort, forced
+    with the same noop sink as the queries."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    keyed = spark.range(0, _CAL_ROWS, 1, 32).select(
+        (F.col("id") % 4096).alias("k"),
+        ((F.col("id") * 2654435761) % 1000003).alias("v"),
+    )
+    (
+        keyed.groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("c"))
+        .orderBy("sv")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    keyed.orderBy("v", "k").write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
 
 def _timed_write(spark, sf_dir: str) -> float:
     """Sink-path benchmark: concurrent materialization of the biggest
@@ -152,6 +187,8 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {}
     gc_ms: dict[str, list[int]] = {}
+    cal_samples: list[float] = [_calibration(spark)]  # warm the anchor's codegen
+    cal_samples.clear()
     for r in range(runs):
         # rotate: run r starts at query r, so no query always pays the
         # same predecessor's session state (JIT/GC), and medians are
@@ -163,9 +200,14 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(round(time.time() - t0, 3))
             gc_ms.setdefault(name, []).append(_gc_ms() - g0)
+        # one calibration sample per run, interleaved with the queries
+        # so the anchor sees the same box state they did
+        cal_samples.append(_calibration(spark))
     samples["write_tables_concurrent"] = [_timed_write(spark, sf_dir) for _ in range(runs)]
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    cal = round(statistics.median(cal_samples), 3)
+    normalized = {name: round(t / cal, 3) for name, t in timings.items()}
     # `value` keeps its round-over-round meaning: QUERY medians only.
     # The write-path median rides alongside in queries/samples but is
     # excluded from the sum (it measures the sink, not the queries).
@@ -174,7 +216,13 @@ def main() -> None:
     # record came back unparseable because samples+gc_ms pushed the one
     # JSON line past that buffer. Keep the printed line compact and
     # ship the per-run audit detail in a side file instead.
-    detail = {"samples": samples, "gc_ms": gc_ms, "runs": runs, "sf": sf_val}
+    detail = {
+        "samples": samples,
+        "gc_ms": gc_ms,
+        "runs": runs,
+        "sf": sf_val,
+        "calibration_samples": cal_samples,
+    }
     # Stamp the side file per round (SPARK_GRAFT_ROUND, if the driver
     # exports one) so successive runs don't clobber a round's audit
     # detail; never let an unwritable dir kill the headline JSON line.
@@ -196,6 +244,10 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "sf": sf_val,
+                # box-state anchor (see _calibration): compare rounds on
+                # queries_normalized, not wall-clock
+                "calibration": cal,
+                "queries_normalized": normalized,
             }
         )
     )
