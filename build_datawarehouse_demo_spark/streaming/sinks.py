@@ -85,6 +85,7 @@ def stream_merge_to_partitioned_parquet(
     checkpoint_dir: str,
     op_col: str | None = "op",
     version_aware: bool = False,
+    tombstone_retention: float | int | None = None,
 ):
     """foreachBatch MERGE sink: each micro-batch of a CDC feed is
     applied to a PARTITIONED parquet target through
@@ -106,6 +107,11 @@ def stream_merge_to_partitioned_parquet(
     the order columns and stale cross-batch changes lose to the stored
     row (the ``source.order > target.order`` MERGE condition of a
     lakehouse sink) — pinned by the out-of-order stream test.
+
+    ``tombstone_retention`` bounds the sibling tombstone store at CDC
+    scale: each batch's feed watermark expires tombstones older than
+    the horizon (see merge_into_partitioned_parquet — out-of-order
+    changes beyond the horizon become undefined, the bounded promise).
     """
     from build_datawarehouse_demo_spark.operators.merge import (
         merge_into_partitioned_parquet,
@@ -121,6 +127,7 @@ def stream_merge_to_partitioned_parquet(
             partition_col=partition_col,
             op_col=op_col,
             version_aware=version_aware,
+            tombstone_retention=tombstone_retention,
         )
 
     return (

