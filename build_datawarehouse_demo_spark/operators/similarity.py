@@ -289,6 +289,7 @@ def ann_rp_lsh_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     multiprobe: bool = False,
+    directed_flips: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only corpus vectors whose
     sign-projection signature equals the probe's.
@@ -314,16 +315,80 @@ def ann_rp_lsh_topk(
     probe once the corpus dwarfs the bucket space; growing planes with
     log2(n) keeps buckets ~64 deep, and multiprobe=True is the recall
     compensation for the narrower buckets.
+
+    ``directed_flips=T`` is QUERY-DIRECTED multiprobe (Lv et al.,
+    Multi-Probe LSH, VLDB 2007) — the scale composition for the
+    auto-sized lane: instead of flipping EVERY bit once (fanout
+    n_planes+1, recovers only 1-bit misses), probe all 2^T subsets of
+    the T bits whose projections sit CLOSEST to zero for this probe —
+    exactly the hyperplanes a near neighbor most likely lands on the
+    other side of, including multi-bit misses, which dominate once
+    auto-sizing grows the signature past ~12 planes. Fanout is a
+    constant 2^T regardless of plane count (8 at T=3 vs 25 at
+    n_planes=24), so probe cost stays flat as the corpus — and the
+    signature — grows. Mutually exclusive with ``multiprobe``.
     """
+    if multiprobe and directed_flips:
+        raise ValueError("multiprobe and directed_flips are mutually exclusive")
     if n_planes is None:
         n_planes = ann_auto_planes(corpus.count())
     planes = rp_planes(n_planes, dim)
     c = rp_signature_staged(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")), "__cv", planes
     )
-    p = rp_signature_staged(
-        probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")), "__pv", planes
-    )
+    if directed_flips:
+        t_bits = min(directed_flips, n_planes)
+        p = staged_projections(
+            probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")),
+            "__pv",
+            planes,
+        )
+        sig = None
+        for i in range(n_planes):
+            b = sign_bit(F.element_at(F.col("__rp_projs"), i + 1), 1 << i)
+            sig = b if sig is None else sig + b
+        p = p.withColumn("__sig", sig.cast("int"))
+        # least-confident planes: smallest |projection|, plane-index
+        # tiebreak (array_sort on (abs, idx) structs — deterministic,
+        # so an oracle ranks the identical planes)
+        conf = F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(F.col("__rp_projs"), i + 1)).alias("a"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(n_planes)
+            ]
+        )
+        p = p.withColumn(
+            "__masks",
+            F.transform(
+                F.slice(F.array_sort(conf), 1, t_bits),
+                # 1 << i with a COLUMN shift amount (shiftleft needs a
+                # literal): 2^i is exact in double for i <= 24 planes
+                lambda s: F.pow(F.lit(2.0), s.getField("i")).cast("int"),
+            ),
+        )
+        variant_cols = []
+        for j in range(1 << t_bits):
+            m = None
+            for t in range(t_bits):
+                if (j >> t) & 1:
+                    e = F.element_at(F.col("__masks"), t + 1)
+                    m = e if m is None else m + e  # distinct bits: + == OR
+            variant_cols.append(
+                F.col("__sig") if m is None else F.col("__sig").bitwiseXOR(m)
+            )
+        p = (
+            p.withColumn("__sig", F.explode(F.array(*variant_cols)))
+            .drop("__rp_projs", "__masks")
+        )
+    else:
+        p = rp_signature_staged(
+            probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv")),
+            "__pv",
+            planes,
+        )
     if multiprobe:
         variants = F.array(
             F.col("__sig"), *[F.col("__sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -333,7 +398,10 @@ def ann_rp_lsh_topk(
     if multiprobe:
         # a pair can match through several probe variants; dedupe before
         # scoring so it is scored once and holds one rank. (Without
-        # multiprobe a pair matches at most once — skip the exchange.)
+        # multiprobe a pair matches at most once — skip the exchange.
+        # directed_flips needs no dedup either: its 2^T variants are
+        # DISTINCT signature values, so one corpus signature matches at
+        # most one of them.)
         matched = matched.dropDuplicates([probe_id_col, id_col])
     scored = matched.withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))

@@ -129,6 +129,9 @@ def _load_all() -> None:
         register_round7_star,
         register_round7_url,
     )
+    from build_datawarehouse_demo_spark.registry_round8 import (  # noqa
+        register_round8_ann,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -154,6 +157,7 @@ def _load_all() -> None:
     register_round7_sampling()
     register_round7_star()
     register_round7_url()
+    register_round8_ann()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

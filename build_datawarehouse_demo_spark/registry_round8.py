@@ -1,0 +1,124 @@
+"""Round-8 registry entries.
+
+Theme (VERDICT r7): close the remaining scale-posture gaps — the
+query-directed multiprobe composition for the auto-sized ANN lane —
+and keep widening oracle-checked surface.
+
+Same oracle discipline as registry_round7: exact integer / md5-derived
+values wherever possible, identical aliases on both sides, pinned
+constants derived from the driver fixture through the SAME functions
+the implementation calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.registry import register
+from build_datawarehouse_demo_spark.registry_round7 import (
+    _cos_sql,
+    _driver_rows,
+    _t,
+)
+
+
+def register_round8_ann() -> None:
+    # ------------------------------------------------------------------
+    # query-directed multiprobe over the auto-sized signature (VERDICT
+    # r7 item 4): the Hamming-1 lane probes EVERY 1-bit flip (fanout
+    # n_planes+1, recovers only 1-bit misses); the directed lane probes
+    # all subsets of the T least-confident bits — constant 2^T fanout
+    # and multi-bit-miss recovery, which is what holds recall once
+    # auto-sizing grows the signature past ~12 planes
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ann_auto_planes,
+        rp_planes,
+    )
+
+    _N_EMB = _driver_rows("embeddings", 500)
+    _PLANES = ann_auto_planes(_N_EMB)
+    _T_BITS = 3
+    _ap = rp_planes(_PLANES, 64)
+    _sig_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in plane)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_ap)
+    )
+    _proj_union = " UNION ALL ".join(
+        f"SELECT probe_id, {i} AS i, "
+        f"list_dot_product(pv, [{', '.join(str(x) for x in plane)}]) AS proj FROM p"
+        for i, plane in enumerate(_ap)
+    )
+    _mask_sum = " + ".join(f"b.b{t + 1} * m.ms[{t + 1}]" for t in range(_T_BITS))
+    _bit_sources = ", ".join(
+        f"(SELECT unnest([0,1]) AS b{t + 1}) s{t + 1}" for t in range(_T_BITS)
+    )
+    _bit_cols = ", ".join(f"s{t + 1}.b{t + 1} AS b{t + 1}" for t in range(_T_BITS))
+
+    @register(
+        "sim_ann_rp_lsh_auto_directed",
+        oracle=f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id, v, CAST({_sig_sql} AS INTEGER) AS s FROM e
+        ),
+        p AS (SELECT vec_id AS probe_id, v AS pv, s FROM sig WHERE vec_id < 10),
+        proj AS ({_proj_union}),
+        masks AS (
+          SELECT probe_id,
+                 list(CAST(1 AS INTEGER) << i ORDER BY abs(proj), i) AS ms
+          FROM proj GROUP BY probe_id
+        ),
+        variants AS (
+          SELECT p.probe_id, p.pv,
+                 CAST(xor(p.s, {_mask_sum}) AS INTEGER) AS s
+          FROM p JOIN masks m ON m.probe_id = p.probe_id,
+               (SELECT {_bit_cols} FROM {_bit_sources}) b
+        ),
+        cand AS (
+          SELECT DISTINCT v.probe_id, c.vec_id
+          FROM sig c JOIN variants v ON c.s = v.s AND c.vec_id <> v.probe_id
+        ),
+        scored AS (
+          SELECT cd.probe_id, cd.vec_id, {_cos_sql("pe.v", "ce.v")} AS cos
+          FROM cand cd
+          JOIN e pe ON pe.vec_id = cd.probe_id
+          JOIN e ce ON ce.vec_id = cd.vec_id
+        ),
+        ranked AS (
+          SELECT probe_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+        """,
+    )
+    def q_ann_lsh_auto_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Auto-sized ANN search with QUERY-DIRECTED multiprobe
+        (Lv et al., Multi-Probe LSH, VLDB 2007): for each probe, the T=3
+        hyperplanes whose projections sit closest to zero are the ones
+        a true neighbor most plausibly lands across, so all 2^3 subsets
+        of those bit-flips are probed. Versus the Hamming-1 lane
+        (sim_ann_rp_lsh_auto): constant fanout 8 instead of
+        n_planes+1 (25 at the 24-plane auto ceiling), and it recovers
+        MULTI-bit misses — the failure mode that dominates at wide
+        auto signatures (recall-vs-n pytest in tests/test_similarity.py
+        shows directed holding recall at a plane count where
+        single-probe drops). Oracle mirrors the per-probe plane
+        confidence ranking (ORDER BY abs(proj), i) bit for bit."""
+        from build_datawarehouse_demo_spark.operators.similarity import (
+            ann_rp_lsh_topk,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return ann_rp_lsh_topk(
+            emb, probes, k=5, n_planes=None, dim=64, directed_flips=_T_BITS
+        )

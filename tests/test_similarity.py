@@ -390,6 +390,37 @@ def _planted_cluster_df(spark, G=20, per=50, dim=32, seed=7):
     )
 
 
+@pytest.mark.parametrize("n_base", [450, 19950])
+def test_ann_directed_multiprobe_holds_recall_where_single_probe_drops(
+    spark, n_base
+):
+    """VERDICT r8 item 4: query-directed multiprobe (2^T subsets of the
+    T least-confident bits) composed with the AUTO-sized signature.
+    At auto plane counts, single-probe recall on planted ~0.99-cosine
+    dups is ~p^planes (~0.66-0.69 here) — buckets are narrow by
+    design; the directed variants recover exactly the most-likely
+    flip patterns, including MULTI-bit misses Hamming-1 can't, at
+    constant fanout 8. Measured at two corpus sizes resolving to
+    different plane counts: directed must hold >= 0.9 and strictly
+    beat single-probe."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ann_rp_lsh_topk,
+    )
+
+    df, probes = _planted_corpus(spark, n_base)
+    single = _recall_of_planted(
+        ann_rp_lsh_topk(df, probes, k=5, n_planes=None, dim=64).collect(), n_base
+    )
+    directed = _recall_of_planted(
+        ann_rp_lsh_topk(
+            df, probes, k=5, n_planes=None, dim=64, directed_flips=3
+        ).collect(),
+        n_base,
+    )
+    assert directed >= 0.9
+    assert directed > single
+
+
 def test_ivf_trained_recall_on_planted_clusters(spark):
     """VERDICT r7 item 4 / r8 item 1: the LINEARIZED trained-IVF build
     (sample-trained quantizer -> super-centroid grouping -> two-level

@@ -79,6 +79,10 @@ def main() -> None:
         "runs": runs,
         "total_small": r_small["value"],
         "total_big": r_big["value"],
+        # per-leg box-state anchors (bench.py calibration): if the two
+        # legs' anchors diverge, the exponents carry that drift
+        "calibration_small": r_small.get("calibration"),
+        "calibration_big": r_big.get("calibration"),
         "queries": dict(
             sorted(per_query.items(), key=lambda kv: -kv[1]["ratio"])
         ),
