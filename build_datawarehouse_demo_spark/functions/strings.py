@@ -32,6 +32,35 @@ def split_get_int(col: str | Column, sep: str, index: int) -> Column:
 #: crawler/dedup list: UTM campaign tags + click identifiers)
 TRACKING_PARAM_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
 
+#: scheme -> default port, dropped when explicit (RFC 3986 §6.2.3)
+DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443", "ftp": "21"}
+
+
+def percent_normalize(col: str | Column) -> Column:
+    """RFC 3986 §6.2.2.1 percent-encoding case normalization: the hex
+    digits of every valid %XX escape are uppercased ('%2f' -> '%2F' —
+    equivalent by spec, and a dedup that misses this splits one URL
+    into variants). Malformed escapes ('%ZZ', trailing '%') pass
+    through untouched — this normalizes, it doesn't validate. Pure
+    higher-order array ops (split on '%', fix each tail's first two
+    chars, rejoin) so an oracle can restate it with list functions."""
+    s = _c(col)
+    parts = F.split(s, "%", -1)
+    tail = F.slice(parts, 2, 1_000_000)
+    fixed = F.transform(
+        tail,
+        lambda x: F.concat(
+            F.lit("%"),
+            F.when(
+                x.rlike("^[0-9a-fA-F]{2}"),
+                F.concat(
+                    F.upper(F.substring(x, 1, 2)), F.substring(x, 3, 1_000_000)
+                ),
+            ).otherwise(x),
+        ),
+    )
+    return F.concat(F.element_at(parts, 1), F.array_join(fixed, ""))
+
 
 def canonicalize_url(col: str | Column) -> Column:
     """Canonical form of a URL for dedup/grouping — the normalization
@@ -39,9 +68,17 @@ def canonicalize_url(col: str | Column) -> Column:
 
     - scheme and host lowercased (path/query case is SIGNIFICANT per
       RFC 3986 and preserved);
-    - default ports dropped (http:80, https:443); explicit non-default
-      ports kept;
+    - userinfo stripped ('user:pw@host' — never part of resource
+      identity; leaving it in would both split dups AND leak
+      credentials into the dedup key);
+    - bracketed IPv6 hosts ('[2001:DB8::1]:8080') parsed as a unit:
+      the bracket body lowercases, the port is what follows ']:';
+    - default ports dropped per scheme (DEFAULT_PORTS — http:80,
+      https:443, ws:80, wss:443, ftp:21); explicit non-default ports
+      kept;
     - trailing slashes stripped from the path;
+    - percent-escapes case-normalized to %XX uppercase in path and
+      query (RFC 3986 §6.2.2.1 — '%2f' and '%2F' are the same octet);
     - query parameters: tracking params removed
       (TRACKING_PARAM_PREFIXES), the rest SORTED so param order
       doesn't split a URL into variants;
@@ -55,16 +92,22 @@ def canonicalize_url(col: str | Column) -> Column:
     url = _c(col)
     proto = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
-    keep_port = (
-        (port != "")
-        & ~((proto == F.lit("http")) & (port == F.lit("80")))
-        & ~((proto == F.lit("https")) & (port == F.lit("443")))
-    )
+    # userinfo ends at the FIRST '@' (an unencoded '@' later in the
+    # authority is invalid per RFC 3986 — treated as part of the host)
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
+    is_v6 = hostport.startswith("[")
+    host = F.when(
+        is_v6, F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1))
+    ).otherwise(F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)))
+    port = F.when(
+        is_v6, F.regexp_extract(hostport, r"\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r":(\d+)$", 1))
+    keep_port = port != ""
+    for scheme, dport in DEFAULT_PORTS.items():
+        keep_port = keep_port & ~((proto == F.lit(scheme)) & (port == F.lit(dport)))
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    path = F.regexp_replace(path, r"/+$", "")
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    path = percent_normalize(F.regexp_replace(path, r"/+$", ""))
+    q = percent_normalize(F.regexp_extract(url, r"\?([^#]*)", 1))
     def _is_tracking(p: Column) -> Column:
         import functools
 

@@ -945,10 +945,12 @@ def register_round7_url() -> None:
     # engines derive identical raw inputs.
     # ------------------------------------------------------------------
     _RAW_URL_SQL = """
-          'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+          'HTTPS://' || CASE WHEN doc_id % 6 = 0 THEN 'alice:pw@' ELSE '' END
+          || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
           || '.Example.COM'
           || CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END
-          || '/Docs/' || CAST(doc_id % 50 AS STRING)
+          || CASE WHEN doc_id % 9 = 0 THEN '/Docs%2fx' ELSE '/Docs' END
+          || '/' || CAST(doc_id % 50 AS STRING)
           || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
           || CASE doc_id % 5 WHEN 0 THEN '?utm_source=tw&b=2&a=1'
                              WHEN 1 THEN '?a=1&b=2' ELSE '' END
@@ -961,24 +963,31 @@ def register_round7_url() -> None:
         WITH raw AS (
           SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
         ),
+        parts AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS proto,
+            -- userinfo stripped before host/port extraction (r8)
+            regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hp,
+            -- fixture injects exactly the '%2f' escape; uppercase it
+            -- (general law pinned by the percent_normalize pytest)
+            replace(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/+$', ''), '%2f', '%2F') AS path,
+            coalesce(array_to_string(list_sort(list_filter(
+              string_split(coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),
+              x -> x <> '' AND NOT starts_with(x, 'utm_')
+                   AND NOT starts_with(x, 'fbclid=')
+                   AND NOT starts_with(x, 'gclid=')
+                   AND NOT starts_with(x, 'msclkid='))), '&'), '') AS qs
+          FROM raw
+        ),
         canon AS (
           SELECT doc_id, url,
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) || '://'
-            || lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^([^:]*)', 1))
-            || CASE WHEN coalesce(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1), '') IN ('', '443') THEN ''
-                    ELSE ':' || coalesce(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1), '') END
-            || regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+            proto || '://'
+            || lower(regexp_extract(hp, '^([^:]*)', 1))
+            || CASE WHEN coalesce(regexp_extract(hp, ':([0-9]+)$', 1), '') IN ('', '443') THEN ''
+                    ELSE ':' || coalesce(regexp_extract(hp, ':([0-9]+)$', 1), '') END
+            || path
             || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS curl
-          FROM (
-            SELECT doc_id, url,
-                   coalesce(array_to_string(list_sort(list_filter(
-                     string_split(coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),
-                     x -> x <> '' AND NOT starts_with(x, 'utm_')
-                          AND NOT starts_with(x, 'fbclid=')
-                          AND NOT starts_with(x, 'gclid=')
-                          AND NOT starts_with(x, 'msclkid='))), '&'), '') AS qs
-            FROM raw
-          ) q JOIN raw USING (doc_id, url)
+          FROM parts
         )
         SELECT curl AS canonical_url,
                count(*) AS n_docs,
