@@ -243,6 +243,65 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         interval_overlap_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", 0)
 
 
+def test_interval_overlap_skew_defense_bounds_hot_cells(spark):
+    """VERDICT r8 item 8: a pathological interval spanning ~90% of the
+    domain previously landed in ~every grid cell (hot cells, O(n)
+    candidates per cell). With max_cells set, long intervals route to
+    a broadcast side-channel: (a) results still match the quadratic
+    truth exactly-once — including long×short, short×long and
+    long×long pairs; (b) the grid lane's explode volume stays bounded
+    by n_short*(max_cells+1) while the undefended explode of the long
+    intervals alone exceeds it; (c) the defended plan carries the
+    side-channel as BroadcastNestedLoopJoin against the FEW long rows,
+    never the row product."""
+    from build_datawarehouse_demo_spark.operators.asof import interval_overlap_join
+
+    bw, mc = 10, 4
+    # 50 short intervals each side + long outliers spanning ~90 cells
+    lrows = [(i, i * 20, i * 20 + 5) for i in range(50)] + [
+        (900 + j, j * 5, 900 + j * 5) for j in range(10)
+    ]
+    rrows = [(i, i * 20 + 2, i * 20 + 8) for i in range(50)] + [(901, 100, 950)]
+    left = spark.createDataFrame(lrows, "l_id long, l_lo long, l_hi long")
+    right = spark.createDataFrame(rrows, "r_id long, r_lo long, r_hi long")
+    truth = sorted(
+        (li, ri)
+        for li, llo, lhi in lrows
+        for ri, rlo, rhi in rrows
+        if llo < rhi and rlo < lhi
+    )
+    joined = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=bw, max_cells=mc
+    )
+    got = sorted((r.l_id, r.r_id) for r in joined.collect())
+    assert got == truth  # exactly once each, incl. the long x long pair
+    assert (900, 901) in got
+
+    # explode-volume law (the same span expression the operator uses):
+    # short lane bounded, the one long interval alone would blow past it
+    short_cells = sum(
+        min(hi // bw - lo // bw + 1, mc) for _, lo, hi in lrows if hi // bw - lo // bw < mc
+    )
+    long_cells = sum(
+        hi // bw - lo // bw + 1 for _, lo, hi in lrows if hi // bw - lo // bw >= mc
+    )
+    assert short_cells <= len(lrows) * (mc + 1)
+    assert long_cells > len(lrows) * (mc + 1)  # the undefended blowup
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the side-channel engaged
+
+    # defense off: same pairs, pure grid
+    undefended = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=bw,
+            max_cells=None,
+        ).collect()
+    )
+    assert undefended == truth
+
+
 def test_asof_join_tolerance_nulls_stale_matches(spark):
     """merge_asof-style tolerance: a carried build row farther than
     the bound nulls out exactly like a missing match; near matches
