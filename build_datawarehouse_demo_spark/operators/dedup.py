@@ -295,13 +295,22 @@ def minhash_dedup_pairs(
     is narrow). At 100 TB, materialize the shingle arrays to parquet
     once and run signatures + verify against that.
     """
-    if num_hashes is None or bands is None:
+    if (num_hashes is None) != (bands is None):
+        # r7 ADVICE: a PARTIAL None mixed auto and manual params (e.g.
+        # bands=None with num_hashes=16 kept auto bands but derived
+        # rows_per_band = 16 // auto_b), silently voiding the
+        # recall/linearity law auto-sizing exists for
+        raise ValueError(
+            "pass num_hashes=None AND bands=None together for auto-sizing "
+            f"(got num_hashes={num_hashes!r}, bands={bands!r}); mixing one "
+            "auto with one manual parameter has no coherent banding"
+        )
+    if num_hashes is None:
         # auto-size from the corpus count (one count() action): rows
         # grow log(n) so background candidates stay linear, bands hold
         # the recall constraint — pass None for the scale-safe mode
-        auto_b, auto_r = minhash_auto_params(df.count(), threshold=threshold)
-        bands = auto_b if bands is None else bands
-        num_hashes = bands * auto_r if num_hashes is None else num_hashes
+        bands, auto_r = minhash_auto_params(df.count(), threshold=threshold)
+        num_hashes = bands * auto_r
     sh = shingle_arrays(df, id_col, text_col, k)
     sigs = minhash_signatures_from_arrays(sh, num_hashes, id_col)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)

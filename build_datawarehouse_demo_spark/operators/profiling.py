@@ -135,13 +135,25 @@ def constraint_violations(
     # first (toDF is purely positional), compute against those, and
     # carry the real names only as literal labels.
     safe = {}
+    dupes = set()
     for i, c in enumerate(df.columns):
+        if c in safe:
+            dupes.add(c)
         safe.setdefault(c, f"__in{i}")
     sdf = df.toDF(*[f"__in{i}" for i in range(len(df.columns))])
 
     def _in(c: str):
         if c not in safe:
             raise ValueError(f"unknown column {c!r}; have {df.columns}")
+        if c in dupes:
+            # r7 ADVICE: setdefault silently bound a duplicated name to
+            # its FIRST occurrence — where F.col would have raised
+            # AMBIGUOUS_REFERENCE, this computed the constraint against
+            # an arbitrary one of the duplicates
+            raise ValueError(
+                f"column {c!r} appears more than once in the input; "
+                "disambiguate (rename) before profiling it"
+            )
         return F.col(safe[c])
 
     labels: list[str] = []

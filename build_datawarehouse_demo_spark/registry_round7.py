@@ -30,12 +30,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True) -> D
 
 def _driver_rows(table: str, default: int) -> int:
     """Row count of the driver fixture's table from parquet metadata
-    (no Spark session needed at import time)."""
+    (no Spark session needed at import time).
+
+    Only a genuinely ABSENT capability/fixture falls back to the
+    pinned default (r7 ADVICE: a bare `except Exception` swallowed
+    every error, so a moved fixture silently diverged oracle pins from
+    the data and the correctness gate failed far from the cause) —
+    and the fallback announces itself."""
     try:
         import pyarrow.dataset as pds
 
         return pds.dataset(f"{_DRIVER_SF_DIR}/{table}.parquet").count_rows()
-    except Exception:
+    except (ImportError, FileNotFoundError, OSError) as e:
+        import warnings
+
+        warnings.warn(
+            f"_driver_rows({table!r}): falling back to pinned default "
+            f"{default} ({type(e).__name__}: {e}) — oracle constants may "
+            "diverge from the fixture",
+            stacklevel=2,
+        )
         return default
 
 

@@ -224,6 +224,15 @@ def test_minhash_auto_params_law_and_candidate_growth(spark):
     out = minhash_dedup_pairs(small, num_hashes=None, bands=None, threshold=0.9)
     assert out.columns == ["id_a", "id_b", "jaccard"]
 
+    # r7 ADVICE: a PARTIAL None must raise, not silently mix one auto
+    # parameter with one manual one (which voided the recall law)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        minhash_dedup_pairs(small, num_hashes=None, bands=4)
+    with _pytest.raises(ValueError, match="together"):
+        minhash_dedup_pairs(small, num_hashes=16, bands=None)
+
 
 def test_simhash_auto_width_law_and_bucket_saturation(spark):
     """Third fixed-bucket-space instance: (1) the width law — blocks

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from build_datawarehouse_demo_spark.operators.text import (
     fingerprint,
     lang_id,
@@ -330,6 +332,28 @@ def test_constraint_violations_hostile_column_names(spark):
         for r in constraint_violations(df, not_null=["it's `odd`"]).collect()
     }
     assert got == {"not_null:it's `odd`": 1}
+
+
+def test_constraint_violations_rejects_duplicate_columns(spark):
+    """r7 ADVICE: a duplicated input column name previously bound to
+    its FIRST positional occurrence (where F.col raises ambiguity) —
+    profiling against an arbitrary duplicate must raise instead.
+    Unreferenced duplicates stay harmless."""
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.profiling import (
+        constraint_violations,
+    )
+
+    a = spark.createDataFrame([(1, None)], "x int, y int")
+    dup = a.select("x", "y", F.lit(5).alias("x"))
+    with pytest.raises(ValueError, match="more than once"):
+        constraint_violations(dup, not_null=["x"])
+    got = {
+        r.constraint: r.n_violations
+        for r in constraint_violations(dup, not_null=["y"]).collect()
+    }
+    assert got == {"not_null:y": 1}
 
 
 def test_canonicalize_url_cases(spark):
