@@ -40,7 +40,11 @@ def asof_join(
     whose time is <= (or < when inclusive=False) the probe time —
     or, with ``direction="forward"``, the EARLIEST build row at-or-
     after (>` when exclusive) the probe time: the next-reading /
-    next-version lookup.
+    next-version lookup. ``direction="nearest"`` (pandas merge_asof
+    parity, r8) picks whichever of the backward/forward candidates is
+    closer in absolute time, backward winning exact-distance ties (the
+    earlier build row) — both carries run off ONE exchange (same
+    hashpartitioning, two window sorts).
 
     probe keeps all its columns; `build_cols` (+ matched build time as
     `asof_time`) are appended, null when no build row precedes
@@ -60,8 +64,10 @@ def asof_join(
     AND asof_time), exactly as if no build row existed. Applied as a
     per-row predicate on the carried payload — no extra exchange.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     overlap = set(probe.columns) & ({*build_cols, "asof_time"})
     if overlap:
         # letting these through would emit duplicate column names and
@@ -123,35 +129,63 @@ def asof_join(
     # and build_order sorts descending so first() still picks the max.
     # build_order columns live inside the struct; getField on the
     # probe rows' null struct is null.
-    if direction == "backward":
-        side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
-        order_cols = [F.col("__t").asc(), side_order] + [
-            F.col(f"__bpay.{c}").asc_nulls_first() for c in build_order
-        ]
-        frame = (Window.unboundedPreceding, 0 if inclusive else -1)
-        carry = F.last
-    else:
+    def _w(dir_: str):
+        if dir_ == "backward":
+            side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
+            order_cols = [F.col("__t").asc(), side_order] + [
+                F.col(f"__bpay.{c}").asc_nulls_first() for c in build_order
+            ]
+            frame = (Window.unboundedPreceding, 0 if inclusive else -1)
+            return Window.partitionBy(key).orderBy(*order_cols).rowsBetween(*frame), F.last
         side_order = F.col("__side").desc() if inclusive else F.col("__side").asc()
         order_cols = [F.col("__t").asc(), side_order] + [
             F.col(f"__bpay.{c}").desc_nulls_last() for c in build_order
         ]
         frame = (0, Window.unboundedFollowing)
-        carry = F.first
-    w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(*frame)
-    carried = unioned.select(
-        F.col(key),
-        "__t",
-        "__side",
-        *probe_payload,
-        carry("__bpay", ignorenulls=True).over(w).alias("__bpay"),
-    )
+        return Window.partitionBy(key).orderBy(*order_cols).rowsBetween(*frame), F.first
+
+    if direction == "nearest":
+        # BOTH carries in one pass: same hashpartitioning(key), so one
+        # exchange feeds two window sorts; then pick per probe row the
+        # closer build time, backward winning exact-distance ties (the
+        # earlier build row — pandas merge_asof's tie rule).
+        wb, cb = _w("backward")
+        wf, cf = _w("forward")
+        carried = unioned.select(
+            F.col(key),
+            "__t",
+            "__side",
+            *probe_payload,
+            cb("__bpay", ignorenulls=True).over(wb).alias("__bb"),
+            cf("__bpay", ignorenulls=True).over(wf).alias("__bf"),
+        )
+        back_d = F.col("__t") - F.col("__bb.__bt")
+        fwd_d = F.col("__bf.__bt") - F.col("__t")
+        pick_back = F.col("__bf").isNull() | (
+            F.col("__bb").isNotNull() & (back_d <= fwd_d)
+        )
+        carried = carried.withColumn(
+            "__bpay", F.when(pick_back, F.col("__bb")).otherwise(F.col("__bf"))
+        ).drop("__bb", "__bf")
+    else:
+        w, carry = _w(direction)
+        carried = unioned.select(
+            F.col(key),
+            "__t",
+            "__side",
+            *probe_payload,
+            carry("__bpay", ignorenulls=True).over(w).alias("__bpay"),
+        )
     matched = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        in_tol = (
-            F.col("__bpay.__bt") + tolerance >= F.col("__t")
-            if direction == "backward"
-            else F.col("__bpay.__bt") <= F.col("__t") + tolerance
-        )
+        if direction == "backward":
+            in_tol = F.col("__bpay.__bt") + tolerance >= F.col("__t")
+        elif direction == "forward":
+            in_tol = F.col("__bpay.__bt") <= F.col("__t") + tolerance
+        else:  # nearest: bounded in BOTH directions
+            in_tol = (F.col("__bpay.__bt") + tolerance >= F.col("__t")) & (
+                F.col("__bpay.__bt") <= F.col("__t") + tolerance
+            )
         matched = matched.withColumn(
             "__bpay", F.when(in_tol, F.col("__bpay"))
         )

@@ -330,6 +330,60 @@ def minhash_dedup_pairs(
     )
 
 
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    operator: every ``window``-token span whose content recurs in
+    >= ``min_docs`` DISTINCT documents, with its 1-based token
+    position, so a span-removal pass (or a doc-level duplication-rate
+    score) can act on exactly the duplicated regions instead of whole
+    documents. This is the within-document complement of the
+    whole-doc dedup family: boilerplate headers, licence blocks and
+    quoted passages recur across otherwise-unique documents, and
+    document-level MinHash can't see them.
+
+    Output: (id, pos, gram_md5, n_docs) — one row per duplicated
+    window occurrence; n_docs = distinct documents containing that
+    content anywhere.
+
+    Scale shape: tokenize narrow (plain single-space split — positions
+    are RAW token offsets, so no normalization may shift them, and the
+    oracle mirrors the split verbatim), explode one row per window
+    (the token-stream volume, ~doc length), aggregate 16-byte md5
+    digests (groupBy digest — documents never shuffle), and equi-join
+    the digest counts back to the window rows. Two exchanges total,
+    both carrying (digest, id, pos) triples. At 100 TB the gram table
+    is the corpus token stream ×1 — the same volume any tokenizing
+    pass already streams.
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t")).where(
+        F.size("__t") >= window
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__t") - (window - 1))).alias("pos"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("pos"),
+        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), window), " ")).alias(
+            "gram_md5"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(dup, "gram_md5").select(id_col, "pos", "gram_md5", "n_docs")
+
+
 def hash60(col: Column, seed: int = 0) -> Column:
     """60-bit md5-derived hash (first 15 hex chars) — same engine
     portability contract as hash32, for signatures wider than 32 bits

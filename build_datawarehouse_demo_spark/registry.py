@@ -131,6 +131,8 @@ def _load_all() -> None:
     )
     from build_datawarehouse_demo_spark.registry_round8 import (  # noqa
         register_round8_ann,
+        register_round8_asof,
+        register_round8_spans,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
@@ -158,6 +160,8 @@ def _load_all() -> None:
     register_round7_star()
     register_round7_url()
     register_round8_ann()
+    register_round8_asof()
+    register_round8_spans()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

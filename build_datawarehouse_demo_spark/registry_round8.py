@@ -122,3 +122,114 @@ def register_round8_ann() -> None:
         return ann_rp_lsh_topk(
             emb, probes, k=5, n_planes=None, dim=64, directed_flips=_T_BITS
         )
+
+
+def register_round8_spans() -> None:
+    # ------------------------------------------------------------------
+    # exact substring-duplication spans (Lee et al. 2022): the
+    # within-document dedup the whole-doc family can't see —
+    # boilerplate/licence/quotation spans recurring across otherwise
+    # unique documents, with token positions for span removal
+    # ------------------------------------------------------------------
+    _W = 5
+
+    @register(
+        "dedup_substring_spans",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                 md5(array_to_string(t[i:i+{_W - 1}], ' ')) AS gram_md5
+          FROM toks, unnest(generate_series(1, len(t) - {_W - 1})) AS s(i)
+          WHERE len(t) >= {_W}
+        ),
+        dup AS (
+          SELECT gram_md5, count(DISTINCT doc_id) AS n_docs
+          FROM grams GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT g.doc_id, g.pos, g.gram_md5, dup.n_docs
+        FROM grams g JOIN dup USING (gram_md5)
+        """,
+    )
+    def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Every {_W}-token window recurring in >= 2 distinct docs,
+        with its 1-based token position (duplicate_substring_spans).
+        Tokenization is a verbatim single-space split on BOTH sides —
+        positions are raw offsets, so no normalization may shift them.
+        Scale: two digest-keyed exchanges; documents never shuffle."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            duplicate_substring_spans,
+        )
+
+        return duplicate_substring_spans(
+            _t(spark, sf_dir, "documents"), window=_W, min_docs=2
+        )
+
+
+def register_round8_asof() -> None:
+    # ------------------------------------------------------------------
+    # as-of NEAREST — completes the asof family (backward r4, forward
+    # r6, tolerance r7): pandas merge_asof(direction='nearest') parity
+    # with the backward-wins-ties rule
+    # ------------------------------------------------------------------
+    @register(
+        "join_asof_nearest",
+        oracle="""
+        WITH v AS (
+          SELECT event_id, user_id, epoch_us(ts) AS pt
+          FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+          SELECT event_id AS click_id, user_id, epoch_us(ts) AS bt
+          FROM events WHERE event_type = 'click'
+        ),
+        j AS (
+          SELECT v.event_id, v.user_id, v.pt, c.click_id, c.bt,
+                 row_number() OVER (PARTITION BY v.event_id
+                     ORDER BY abs(c.bt - v.pt), c.bt, c.click_id DESC) AS rn
+          FROM v LEFT JOIN c ON c.user_id = v.user_id
+        )
+        SELECT event_id, user_id, CAST(pt AS BIGINT) AS ts_us,
+               click_id AS nearest_click_id, CAST(bt AS BIGINT) AS nearest_ts_us
+        FROM j WHERE rn = 1
+        """,
+    )
+    def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Nearest click (either direction in time) per view event per
+        user: asof_join(direction='nearest') — backward and forward
+        carries off ONE exchange, closer |Δt| wins, backward wins
+        exact-distance ties, max click_id wins same-instant ties
+        (build_order). The oracle states the same choice as a
+        row_number over the full per-key cross — quadratic there,
+        one shuffle here."""
+        from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf_dir, "events", rebalance=False)
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        views = ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", us.alias("ts_us")
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            us.alias("click_us"),
+            F.col("event_id").alias("nearest_click_id"),
+        )
+        out = asof_join(
+            views,
+            clicks,
+            key="user_id",
+            probe_time="ts_us",
+            build_time="click_us",
+            build_cols=("nearest_click_id",),
+            build_order=("nearest_click_id",),
+            direction="nearest",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "nearest_click_id",
+            F.col("asof_time").alias("nearest_ts_us"),
+        )

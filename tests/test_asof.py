@@ -302,6 +302,57 @@ def test_interval_overlap_skew_defense_bounds_hot_cells(spark):
     assert undefended == truth
 
 
+def test_asof_nearest_semantics(spark):
+    """direction='nearest' (r8, pandas merge_asof parity): closer
+    |Δt| wins in either direction; exact-distance ties go backward
+    (the earlier build row); same-instant duplicate builds resolve by
+    max build_order; keys with no build rows keep nulls; tolerance
+    bounds BOTH directions."""
+    from build_datawarehouse_demo_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [("a", 100), ("a", 205), ("a", 300), ("b", 50)], "k string, pt long"
+    )
+    build = spark.createDataFrame(
+        [
+            ("a", 90, "back"),     # 10 before 100
+            ("a", 104, "fwd"),     # 4 after 100 -> closer, wins
+            ("a", 200, "tie_lo"),  # 5 before 205
+            ("a", 210, "tie_hi"),  # 5 after 205 -> tie, backward wins
+            ("a", 300, "exact1"),  # same instant as probe 300
+            ("a", 300, "exact2"),  # duplicate: max build_order wins
+        ],
+        "k string, bt long, val string",
+    )
+    got = {
+        (r.k, r.pt): (r.val, r.asof_time)
+        for r in asof_join(
+            probe, build, "k", "pt", "bt", ("val",),
+            build_order=("val",), direction="nearest",
+        ).collect()
+    }
+    assert got == {
+        ("a", 100): ("fwd", 104),
+        ("a", 205): ("tie_lo", 200),
+        ("a", 300): ("exact2", 300),
+        ("b", 50): (None, None),
+    }
+    # tolerance bounds both directions: 3 leaves only the exact match
+    tol = {
+        (r.k, r.pt): r.val
+        for r in asof_join(
+            probe, build, "k", "pt", "bt", ("val",),
+            build_order=("val",), direction="nearest", tolerance=F.lit(3),
+        ).collect()
+    }
+    assert tol == {
+        ("a", 100): None,
+        ("a", 205): None,
+        ("a", 300): "exact2",
+        ("b", 50): None,
+    }
+
+
 def test_asof_join_tolerance_nulls_stale_matches(spark):
     """merge_asof-style tolerance: a carried build row farther than
     the bound nulls out exactly like a missing match; near matches

@@ -234,6 +234,35 @@ def test_minhash_auto_params_law_and_candidate_growth(spark):
         minhash_dedup_pairs(small, num_hashes=16, bands=None)
 
 
+def test_duplicate_substring_spans(spark):
+    """Lee-et-al substring spans (r8): a 5-token boilerplate shared by
+    two docs reports at its exact 1-based position in EACH doc with
+    n_docs=2; a window repeated only WITHIN one doc (min_docs=2) stays
+    silent; docs shorter than the window are skipped; unique text
+    emits nothing."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    boiler = "all rights reserved by corp"
+    docs = [
+        (1, f"intro text here {boiler} tail"),           # boiler at pos 4
+        (2, f"{boiler} unique body two"),                # boiler at pos 1
+        (3, "totally different content entirely here now"),
+        (4, "rep rep rep rep rep rep"),                  # intra-doc repeat only
+        (5, "short doc"),                                # < window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.n_docs
+        for r in duplicate_substring_spans(df, window=5).collect()
+    }
+    assert got == {(1, 4): 2, (2, 1): 2}
+    # min_docs=1 turns the intra-doc repeat visible too
+    intra = duplicate_substring_spans(df, window=5, min_docs=1)
+    assert {r.doc_id for r in intra.collect()} >= {1, 2, 3, 4}
+
+
 def test_simhash_auto_width_law_and_bucket_saturation(spark):
     """Third fixed-bucket-space instance: (1) the width law — blocks
     widen with log2(n), clamped to the hash60 ceiling; (2) measured on
