@@ -481,6 +481,101 @@ def ann_index_search_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    table_name: str,
+    seeds: DataFrame | None = None,
+    n_iter: int = 2,
+    points_per_centroid: int = 64,
+    gprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+    buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Write-once trained-IVF index: the LINEARIZED build
+    (ivf_train_sampled -> ivf_group_centroids -> ivf_assign_two_level)
+    persisted as TWO catalog tables — ``<name>`` = the inverted lists
+    (id, centroid_id, vec) BUCKETED on centroid_id (search's equi-join
+    on the list id is then exchange-free on the corpus side), and
+    ``<name>_centroids`` = the trained (centroid_id, vec).
+
+    The build-once/search-many amortization of
+    build_rp_signature_index applied to the trained-IVF path: the
+    O(n) training + assignment cost is paid at ingest; every query
+    thereafter routes against nlist centroids and scans ~nprobe/nlist
+    of the corpus. ``seeds=None`` takes the nlist smallest ids
+    (orderBy+limit — deterministic). Returns (lists, centroids) read
+    back from the catalog so the caller exercises the real read path.
+    """
+    import math
+
+    from build_datawarehouse_demo_spark.sources.writers import save_table
+
+    n = corpus.count()
+    nlist = max(2, math.ceil(math.sqrt(n)))
+    if seeds is None:
+        seeds = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    cents = ivf_train_sampled(
+        corpus,
+        seeds,
+        n=n,
+        nlist=nlist,
+        n_iter=n_iter,
+        points_per_centroid=points_per_centroid,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=6,
+    )
+    ngroups = max(1, math.ceil(math.sqrt(nlist)))
+    sup, groups = ivf_group_centroids(
+        cents, n_groups=ngroups, n_iter=1, vec_col=vec_col, round_to=6
+    )
+    assigned = ivf_assign_two_level(
+        corpus, cents, sup, groups, gprobe=gprobe, id_col=id_col, vec_col=vec_col
+    )
+    lists = assigned.select(
+        F.col(id_col), "centroid_id", F.col("__v").alias("vec")
+    )
+    save_table(
+        lists, table_name, bucket_by=(buckets, ("centroid_id",)), path=path
+    )
+    save_table(
+        cents.select("centroid_id", F.col(vec_col).alias("vec")),
+        f"{table_name}_centroids",
+        path=f"{path}_centroids" if path else None,
+    )
+    spark = corpus.sparkSession
+    return spark.table(table_name), spark.table(f"{table_name}_centroids")
+
+
+def ivf_index_search_topk(
+    lists: DataFrame,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Search a persisted trained-IVF index (build_ivf_index): probes
+    route against the stored centroids; the corpus side is a plain
+    scan of the bucketed lists table. Identical semantics (and
+    identical oracle) to the inline trained path."""
+    assigned = lists.select(
+        F.col(id_col), "centroid_id", F.col("vec").cast("array<double>").alias("__v")
+    )
+    cents = centroids.select("centroid_id", F.col("vec").alias(vec_col))
+    return ivf_topk_assigned(
+        assigned, cents, probes, k, id_col, vec_col, probe_id_col, nprobe
+    )
+
+
 def embedding_near_dup_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.4,

@@ -132,6 +132,7 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round8 import (  # noqa
         register_round8_ann,
         register_round8_asof,
+        register_round8_ivf_index,
         register_round8_spans,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -161,6 +162,7 @@ def _load_all() -> None:
     register_round7_url()
     register_round8_ann()
     register_round8_asof()
+    register_round8_ivf_index()
     register_round8_spans()
 
     rank = _rotation_rank()

@@ -63,6 +63,121 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+#: the trained-IVF pins — derived from the SAME functions the impl
+#: calls at runtime, never re-derived formulas (r6 ADVICE discipline)
+IVF_NPROBE = 4
+IVF_GPROBE = 2
+_IVF_DIM = 64
+
+
+def _ivf_pins() -> tuple[int, int, int]:
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_sample_modulus,
+    )
+
+    n_emb = _driver_rows("embeddings", 500)
+    nlist = max(2, math.ceil(math.sqrt(n_emb)))
+    sample_k = ivf_sample_modulus(n_emb, nlist)
+    ngroups = max(1, math.ceil(math.sqrt(nlist)))
+    return nlist, sample_k, ngroups
+
+
+def _lloyd_sql(prev: str, out: str, corpus: str = "e") -> str:
+    """One Lloyd iteration in SQL over ``corpus`` (vec_id, v): assign
+    every vector to its max-cosine centroid of `prev` (cid, cv),
+    re-pack per-dim 6dp-rounded means as the new centroid list `out`."""
+    return f"""
+    a_{out} AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT e.vec_id, c.cid, e.v,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM {corpus} e, {prev} c
+      ) WHERE rn = 1
+    ),
+    {out} AS (
+      SELECT cid, list(m ORDER BY dim) AS cv FROM (
+        SELECT cid, i AS dim, round(avg(v[i]), 6) AS m
+        FROM a_{out}, unnest(generate_series(1, {_IVF_DIM})) AS g(i)
+        GROUP BY 1, 2
+      ) GROUP BY cid
+    )"""
+
+
+def ivf_trained_with_block() -> str:
+    """The shared WITH block of the LINEARIZED trained-IVF build
+    (sampled training -> super-centroid grouping -> two-level
+    assignment), ending with the ``lists`` (vec_id, cid, v) and ``c2``
+    (centroids) CTEs — reused by sim_ivf_trained (r7/r8) and the
+    persisted-index entries (r8)."""
+    nlist, sample_k, ngroups = _ivf_pins()
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    samp AS (
+      SELECT vec_id, v FROM e
+      WHERE CAST(('0x' || substr(md5('0:ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % {sample_k} = 0
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist}),
+    {_lloyd_sql("c0", "c1", corpus="samp")},
+    {_lloyd_sql("c1", "c2", corpus="samp")},
+    cc AS (SELECT cid AS vec_id, cv AS v FROM c2),
+    s0 AS (SELECT cid, cv FROM c2 ORDER BY cid LIMIT {ngroups}),
+    {_lloyd_sql("s0", "s1", corpus="cc")},
+    grp AS (
+      SELECT cid, gid FROM (
+        SELECT c.cid, s.cid AS gid,
+               row_number() OVER (PARTITION BY c.cid
+                   ORDER BY {_cos_sql("c.cv", "s.cv")} DESC, s.cid) AS rn
+        FROM c2 c, s1 s
+      ) WHERE rn = 1
+    ),
+    route AS (
+      SELECT vec_id, gid, v FROM (
+        SELECT e.vec_id, s.cid AS gid, e.v,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql("e.v", "s.cv")} DESC, s.cid) AS rn
+        FROM e, s1 s
+      ) WHERE rn <= {IVF_GPROBE}
+    ),
+    lists AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT r.vec_id, g.cid, r.v,
+               row_number() OVER (PARTITION BY r.vec_id
+                   ORDER BY {_cos_sql("r.v", "c.cv")} DESC, g.cid) AS rn
+        FROM route r JOIN grp g ON g.gid = r.gid JOIN c2 c ON c.cid = g.cid
+      ) WHERE rn = 1
+    )"""
+
+
+def ivf_trained_search_sql() -> str:
+    """Full search SQL: nprobe routing over the trained centroids +
+    exact rerank of the routed inverted lists."""
+    return f"""
+    {ivf_trained_with_block()},
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+    pa AS (
+      SELECT probe_id, pv, cid FROM (
+        SELECT p.probe_id, p.pv, c.cid,
+               row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY {_cos_sql("p.pv", "c.cv")} DESC, c.cid) AS rn
+        FROM p, c2 c
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT pa.probe_id, l.vec_id, {_cos_sql("pa.pv", "l.v")} AS cos
+      FROM pa JOIN lists l ON l.cid = pa.cid AND l.vec_id <> pa.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
 def register_round7_ann() -> None:
     # ------------------------------------------------------------------
     # auto-sized ANN search (VERDICT r6 item 2): the n_planes=None lane
@@ -145,102 +260,7 @@ def register_round7_ann() -> None:
     # the engine — nlist ≈ sqrt(n) centroids derived by 2 Lloyd
     # iterations from deterministic seeds, searched with nprobe > 1
     # ------------------------------------------------------------------
-    from build_datawarehouse_demo_spark.operators.similarity import (
-        ivf_sample_modulus,
-    )
-
-    _NLIST = max(2, math.ceil(math.sqrt(_N_EMB)))
-    _NPROBE = 4
-    _DIM = 64
-    # r8 linearization pins (VERDICT r7 item 1) — all derived from the
-    # SAME functions the impl calls at runtime, never re-derived formulas
-    _SAMPLE_K = ivf_sample_modulus(_N_EMB, _NLIST)
-    _NGROUPS = max(1, math.ceil(math.sqrt(_NLIST)))
-    _GPROBE = 2
-
-    def _lloyd_sql(prev: str, out: str, corpus: str = "e") -> str:
-        """One Lloyd iteration in SQL over ``corpus`` (vec_id, v):
-        assign every vector to its max-cosine centroid of `prev`
-        (cid, cv), re-pack per-dim 6dp-rounded means as the new
-        centroid list `out`."""
-        return f"""
-        a_{out} AS (
-          SELECT vec_id, cid, v FROM (
-            SELECT e.vec_id, c.cid, e.v,
-                   row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_cos_sql("e.v", "c.cv")} DESC, c.cid) AS rn
-            FROM {corpus} e, {prev} c
-          ) WHERE rn = 1
-        ),
-        {out} AS (
-          SELECT cid, list(m ORDER BY dim) AS cv FROM (
-            SELECT cid, i AS dim, round(avg(v[i]), 6) AS m
-            FROM a_{out}, unnest(generate_series(1, {_DIM})) AS g(i)
-            GROUP BY 1, 2
-          ) GROUP BY cid
-        )"""
-
-    @register(
-        "sim_ivf_trained",
-        oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        samp AS (
-          SELECT vec_id, v FROM e
-          WHERE CAST(('0x' || substr(md5('0:ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                % {_SAMPLE_K} = 0
-        ),
-        c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_NLIST}),
-        {_lloyd_sql("c0", "c1", corpus="samp")},
-        {_lloyd_sql("c1", "c2", corpus="samp")},
-        cc AS (SELECT cid AS vec_id, cv AS v FROM c2),
-        s0 AS (SELECT cid, cv FROM c2 ORDER BY cid LIMIT {_NGROUPS}),
-        {_lloyd_sql("s0", "s1", corpus="cc")},
-        grp AS (
-          SELECT cid, gid FROM (
-            SELECT c.cid, s.cid AS gid,
-                   row_number() OVER (PARTITION BY c.cid
-                       ORDER BY {_cos_sql("c.cv", "s.cv")} DESC, s.cid) AS rn
-            FROM c2 c, s1 s
-          ) WHERE rn = 1
-        ),
-        route AS (
-          SELECT vec_id, gid, v FROM (
-            SELECT e.vec_id, s.cid AS gid, e.v,
-                   row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_cos_sql("e.v", "s.cv")} DESC, s.cid) AS rn
-            FROM e, s1 s
-          ) WHERE rn <= {_GPROBE}
-        ),
-        lists AS (
-          SELECT vec_id, cid, v FROM (
-            SELECT r.vec_id, g.cid, r.v,
-                   row_number() OVER (PARTITION BY r.vec_id
-                       ORDER BY {_cos_sql("r.v", "c.cv")} DESC, g.cid) AS rn
-            FROM route r JOIN grp g ON g.gid = r.gid JOIN c2 c ON c.cid = g.cid
-          ) WHERE rn = 1
-        ),
-        p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
-        pa AS (
-          SELECT probe_id, pv, cid FROM (
-            SELECT p.probe_id, p.pv, c.cid,
-                   row_number() OVER (PARTITION BY p.probe_id
-                       ORDER BY {_cos_sql("p.pv", "c.cv")} DESC, c.cid) AS rn
-            FROM p, c2 c
-          ) WHERE rn <= {_NPROBE}
-        ),
-        scored AS (
-          SELECT pa.probe_id, l.vec_id, {_cos_sql("pa.pv", "l.v")} AS cos
-          FROM pa JOIN lists l ON l.cid = pa.cid AND l.vec_id <> pa.probe_id
-        ),
-        ranked AS (
-          SELECT probe_id, vec_id, cos,
-                 CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-          FROM scored
-        )
-        SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
-        FROM ranked WHERE rank <= 5
-        """,
-    )
+    @register("sim_ivf_trained", oracle=ivf_trained_search_sql())
     def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         """IVF with a TRAINED index, LINEARIZED build (r8, VERDICT r7
         item 1 — the r7 full-corpus flat Lloyd measured exponent 1.42):
@@ -280,11 +300,11 @@ def register_round7_ann() -> None:
         cents = ivf_train_sampled(emb, seeds, n=n, nlist=nlist, n_iter=2, round_to=6)
         ngroups = max(1, math.ceil(math.sqrt(nlist)))
         sup, groups = ivf_group_centroids(cents, n_groups=ngroups, n_iter=1, round_to=6)
-        assigned = ivf_assign_two_level(emb, cents, sup, groups, gprobe=_GPROBE)
+        assigned = ivf_assign_two_level(emb, cents, sup, groups, gprobe=IVF_GPROBE)
         probes = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
-        return ivf_topk_assigned(assigned, cents, probes, k=5, nprobe=_NPROBE)
+        return ivf_topk_assigned(assigned, cents, probes, k=5, nprobe=IVF_NPROBE)
 
 
 def register_round7_star() -> None:

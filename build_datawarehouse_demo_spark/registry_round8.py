@@ -124,6 +124,82 @@ def register_round8_ann() -> None:
         )
 
 
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False):
+    """Write the trained-IVF index once per (session, sf_dir) — the
+    same single-slot memo contract as registry_extensions'
+    _ensure_ann_index: the build entry always writes (it times the
+    ingest), the search entry reuses a current build."""
+    import math
+
+    from build_datawarehouse_demo_spark.operators.similarity import build_ivf_index
+    from build_datawarehouse_demo_spark.registry_extensions import (
+        _bucketed_scratch_dir,
+    )
+
+    if not force and getattr(spark, "_graft_ivf_idx_key", None) == sf_dir:
+        return spark.table("ivf_idx"), spark.table("ivf_idx_centroids")
+    emb = _t(spark, sf_dir, "embeddings")
+    nlist = max(2, math.ceil(math.sqrt(emb.count())))
+    # explicit seeds = the oracle's c0 (vec_id < nlist); the default
+    # orderBy+limit would coincide only for contiguous-from-0 ids
+    seeds = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = build_ivf_index(
+        emb, "ivf_idx", seeds=seeds, path=f"{_bucketed_scratch_dir()}/ivf_idx"
+    )
+    spark._graft_ivf_idx_key = sf_dir
+    return out
+
+
+def register_round8_ivf_index() -> None:
+    from build_datawarehouse_demo_spark.registry_round7 import (
+        IVF_NPROBE,
+        ivf_trained_search_sql,
+        ivf_trained_with_block,
+    )
+
+    # ------------------------------------------------------------------
+    # persisted trained-IVF index: build-once/search-many for the
+    # linearized build — the amortization sim_index_build provides for
+    # RP-LSH, applied to the trained coarse quantizer
+    # ------------------------------------------------------------------
+    @register(
+        "sim_ivf_index_build",
+        oracle=f"""
+        {ivf_trained_with_block()}
+        SELECT vec_id, cid AS centroid_id FROM lists
+        """,
+    )
+    def q_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Trained-IVF ingest: sampled quantizer training + two-level
+        list assignment persisted as catalog tables bucketed on the
+        list id (build_ivf_index). Returns the (vec_id, centroid_id)
+        projection of the stored lists (the vec column is an array,
+        which hash checkers cannot canonicalize). Always-write
+        (force=True): this entry IS the ingest cost."""
+        lists, _ = _ensure_ivf_index(spark, sf_dir, force=True)
+        return lists.select("vec_id", "centroid_id")
+
+    @register("sim_ivf_index_search", oracle=ivf_trained_search_sql())
+    def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Search the persisted trained-IVF index: probes route against
+        the STORED centroids, lists come off the bucketed table —
+        every query pays nlist routing + ~nprobe/nlist of the corpus,
+        never the build. Same oracle as sim_ivf_trained (persistence
+        must not change a single value)."""
+        from build_datawarehouse_demo_spark.operators.similarity import (
+            ivf_index_search_topk,
+        )
+
+        lists, cents = _ensure_ivf_index(spark, sf_dir)
+        emb = _t(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return ivf_index_search_topk(lists, cents, probes, k=5, nprobe=IVF_NPROBE)
+
+
 def register_round8_spans() -> None:
     # ------------------------------------------------------------------
     # exact substring-duplication spans (Lee et al. 2022): the
