@@ -384,6 +384,59 @@ def duplicate_substring_spans(
     return grams.join(dup, "gram_md5").select(id_col, "pos", "gram_md5", "n_docs")
 
 
+def document_duplication_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication score: the fraction of a document's
+    ``window``-token windows whose content recurs in >= ``min_docs``
+    distinct documents — the doc-level filter built on
+    duplicate_substring_spans (drop or downweight documents past a
+    duplication threshold, the standard corpus-mixing lever). Docs
+    shorter than the window are absent (no windows to score).
+
+    Output: (id, n_windows, n_dup_windows, dup_rate) with dup_rate
+    rounded to 6dp. Same two digest-keyed exchanges as the span op,
+    plus the per-doc aggregate."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t")).where(
+        F.size("__t") >= window
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__t") - (window - 1))).alias("pos"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), window), " ")).alias(
+            "gram_md5"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram_md5")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        grams.join(dup, "gram_md5", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("__dup").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+            ),
+        )
+    )
+
+
 def hash60(col: Column, seed: int = 0) -> Column:
     """60-bit md5-derived hash (first 15 hex chars) — same engine
     portability contract as hash32, for signatures wider than 32 bits

@@ -243,6 +243,43 @@ def register_round8_spans() -> None:
             _t(spark, sf_dir, "documents"), window=_W, min_docs=2
         )
 
+    @register(
+        "dedup_doc_duplication_rate",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 md5(array_to_string(t[i:i+{_W - 1}], ' ')) AS gram_md5
+          FROM toks, unnest(generate_series(1, len(t) - {_W - 1})) AS s(i)
+          WHERE len(t) >= {_W}
+        ),
+        dup AS (
+          SELECT gram_md5 FROM grams
+          GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(d.gram_md5) AS BIGINT) AS n_dup_windows,
+               round(count(d.gram_md5) * 1.0 / count(*), 6) AS dup_rate
+        FROM grams g LEFT JOIN dup d USING (gram_md5)
+        GROUP BY g.doc_id
+        """,
+    )
+    def q_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Doc-level duplication score (fraction of {_W}-token windows
+        recurring in >= 2 docs) — the filtering lever built on the
+        span op: documents past a duplication threshold get dropped
+        or downweighted in corpus mixing."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            document_duplication_rate,
+        )
+
+        return document_duplication_rate(
+            _t(spark, sf_dir, "documents"), window=_W, min_docs=2
+        )
+
 
 def register_round8_asof() -> None:
     # ------------------------------------------------------------------

@@ -262,6 +262,19 @@ def test_duplicate_substring_spans(spark):
     intra = duplicate_substring_spans(df, window=5, min_docs=1)
     assert {r.doc_id for r in intra.collect()} >= {1, 2, 3, 4}
 
+    # doc-level rate: doc 1 has 5 windows (9 toks), 1 duplicated
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        document_duplication_rate,
+    )
+
+    rates = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_rate)
+        for r in document_duplication_rate(df, window=5).collect()
+    }
+    assert rates[1] == (5, 1, 0.2)
+    assert rates[3][1] == 0 and rates[3][2] == 0.0
+    assert 5 not in rates  # shorter than the window: no windows to score
+
 
 def test_simhash_auto_width_law_and_bucket_saturation(spark):
     """Third fixed-bucket-space instance: (1) the width law — blocks
