@@ -100,6 +100,12 @@ HEADLINE = [
     # the fixed lane at sf<=0.1 where the width floor binds — the
     # divergence shows from sf1 up, which the scale harness measures)
     "dedup_simhash_auto",
+    # round-8 lanes: query-directed multiprobe (constant 2^T fanout on
+    # the auto signature), Lee-et-al substring-span dedup (token-stream
+    # volume), and the linearized trained-IVF build (was the one
+    # super-linear lane; now sampled training + two-level assignment)
+    "sim_ann_rp_lsh_auto_directed",
+    "dedup_substring_spans",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

@@ -196,7 +196,7 @@ def test_asof_direction_validated(spark):
     df = spark.createDataFrame([(1, 1)], "k long, t long")
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df.selectExpr("k", "t AS bt"), key="k", probe_time="t",
-                  build_time="bt", build_cols=(), direction="nearest")
+                  build_time="bt", build_cols=(), direction="sideways")
 
 
 def test_interval_overlap_join_matches_bruteforce(spark):

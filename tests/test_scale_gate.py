@@ -37,11 +37,13 @@ DESIGNED_CAPS = {
     # projection work is O(n log n) while candidates stay flat;
     # expected exponent 1 + log(planes_big/planes_small)/log(4)
     "sim_ann_rp_lsh_auto": (1.3, "O(n log n): log2(n)-wide signature"),
-    # flat IVF BUILD: every vector scores nlist = ceil(sqrt(n))
-    # centroids per Lloyd pass -> O(n^1.5). The standard build-time
-    # cost of a flat coarse quantizer; the SEARCH path (what queries
-    # pay) scans ~nprobe/nlist of the corpus and is sub-linear.
-    "sim_ivf_trained": (1.6, "O(n^1.5) flat k-means build, by design"),
+    # same signature-growth curve, directed-multiprobe lane (probe
+    # fanout is CONSTANT 2^T, so only the log2(n) plane count grows)
+    "sim_ann_rp_lsh_auto_directed": (1.3, "O(n log n): log2(n)-wide signature"),
+    # r7's flat IVF build (exponent 1.42 under a 1.6 cap) was
+    # LINEARIZED in r8 — sampled quantizer training + two-level
+    # assignment — so sim_ivf_trained now rides the default 1.1
+    # ceiling with no designed cap (VERDICT r7 item 1 done).
     # lsh_auto_params holds recall >= 0.93 at fixed threshold while
     # keeping bucket occupancy flat: r grows log2(n) AND bands grow to
     # compensate the narrower buckets (sf1 (12,10) -> sf4 (16,12) =
