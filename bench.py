@@ -96,10 +96,23 @@ HEADLINE = [
     # auto-sized TEXT MinHash banding (round-7 twin of the embedding
     # auto lane — rows grow log(n) so background candidates stay linear)
     "dedup_minhash_lsh_auto",
-    # auto-sized SimHash blocking (block width log2(n); identical to
-    # the fixed lane at sf<=0.1 where the width floor binds — the
-    # divergence shows from sf1 up, which the scale harness measures)
-    "dedup_simhash_auto",
+    # dedup_simhash_auto (all-pairs shape) was demoted in r8: the r8
+    # sf1->sf4 curve measured exponent 1.785 against its 1.3 cap, and
+    # the probe showed the OUTPUT itself is quadratic on clustered
+    # corpora (identical-signature clusters of k docs emit k^2/2
+    # Hamming-0 pairs; top cluster 3.5k->13k docs at 4x data). It
+    # stays oracle-checked; the scalable shapes below replace it in
+    # any headline that feeds the scale gate.
+    # dedup_simhash_rep_pairs stays OUT of the gate-fed headline too:
+    # its candidate volume is signature-ENTROPY-bound — on the
+    # low-entropy synthetic corpus the 48 vote bits hold ~17 bits of
+    # entropy (95k distinct sigs at sf4), so block values collide
+    # structurally whatever the width, and even the TRUE pair count
+    # grows super-linearly (neighbor density rises as everything is
+    # similar). simhash near-pairs are for rich-vocabulary corpora;
+    # the content-keyed MinHash lane below is the pairs lane that
+    # survives low entropy (shingle content ≫ bit-vote entropy).
+    "dedup_simhash_collapse",
     # round-8 lanes: query-directed multiprobe (constant 2^T fanout on
     # the auto signature), Lee-et-al substring-span dedup (token-stream
     # volume), and the linearized trained-IVF build (was the one

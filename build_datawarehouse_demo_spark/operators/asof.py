@@ -267,13 +267,14 @@ def interval_overlap_join(
     long interval explodes into EVERY cell it spans — a 90%-of-domain
     interval lands in ~every grid cell, making each cell's candidate
     list O(n) (hot cells, quadratic candidates). Intervals spanning
-    >= max_cells cells are therefore routed to a side-channel: they
+    MORE than max_cells cells (grid-line crossings >= max_cells, i.e.
+    explode volume > max_cells cells) are routed to a side-channel: they
     are assumed FEW (long outliers — if they're the norm, pick a
     bigger bucket_width), broadcast, and nested-loop-joined against
     the other side with the exact overlap predicate — the same
     hot-token escape hatch as the fuzzy join. Long×long pairs are
-    claimed once by the left-long lane; the grid lane keeps per-cell
-    candidates bounded by ~max_cells × short-interval density.
+    claimed once by the left-long lane; the grid lane's explode volume
+    is bounded by (max_cells+1) cells per short interval.
     ``max_cells=None`` disables the defense (pure grid).
 
     Cost scales with Σ interval-widths / bucket_width per side plus

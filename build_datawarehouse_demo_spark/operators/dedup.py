@@ -18,7 +18,7 @@ All pure DataFrame expressions — no Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from build_datawarehouse_demo_spark.operators.text import tokens
@@ -330,6 +330,30 @@ def minhash_dedup_pairs(
     )
 
 
+def _window_gram_rows(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, pos, gram_md5) rows — one per ``window``-token span. The
+    ONE place the span family's tokenize/window/digest contract lives
+    (a verbatim single-space split: positions are raw token offsets,
+    and the DuckDB oracles mirror the split exactly — normalizing here
+    would silently diverge both consumers)."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t")).where(
+        F.size("__t") >= window
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__t") - (window - 1))).alias("pos"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("pos"),
+        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), window), " ")).alias(
+            "gram_md5"
+        ),
+    )
+
+
 def duplicate_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -362,20 +386,7 @@ def duplicate_substring_spans(
     is the corpus token stream ×1 — the same volume any tokenizing
     pass already streams.
     """
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t")).where(
-        F.size("__t") >= window
-    )
-    grams = toks.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.size("__t") - (window - 1))).alias("pos"),
-        F.col("__t"),
-    ).select(
-        F.col(id_col),
-        F.col("pos").cast("int").alias("pos"),
-        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), window), " ")).alias(
-            "gram_md5"
-        ),
-    )
+    grams = _window_gram_rows(df, id_col, text_col, window)
     dup = (
         grams.groupBy("gram_md5")
         .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -401,19 +412,7 @@ def document_duplication_rate(
     Output: (id, n_windows, n_dup_windows, dup_rate) with dup_rate
     rounded to 6dp. Same two digest-keyed exchanges as the span op,
     plus the per-doc aggregate."""
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t")).where(
-        F.size("__t") >= window
-    )
-    grams = toks.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.size("__t") - (window - 1))).alias("pos"),
-        F.col("__t"),
-    ).select(
-        F.col(id_col),
-        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), window), " ")).alias(
-            "gram_md5"
-        ),
-    )
+    grams = _window_gram_rows(df, id_col, text_col, window).drop("pos")
     dup = (
         grams.groupBy("gram_md5")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -467,8 +466,23 @@ def simhash_auto_width(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash: per token, hash bits vote ±1; sign of each
-    bit-position sum forms the signature. Expressed as explode(token) ×
-    explode(bit) + one groupBy — all codegen'd expressions.
+    bit-position sum forms the signature.
+
+    ZERO-SHUFFLE form (r8): token hashes are staged ONCE per row
+    (one md5 per distinct token), then each bit's vote sum is an
+    integer `aggregate` fold over that array — all per-row codegen'd
+    expressions, no exchange. The original explode(token)×explode(bit)
+    + two groupBys shuffled docs × tokens × bits ROWS (≈384M at sf4's
+    200k docs × 48 auto bits) and went super-linear from spill the
+    moment the exchange stopped fitting — caught by the r8 sf1→sf4
+    curve (dedup_simhash_auto measured exponent 1.785 against its 1.3
+    cap; the scale gate doing exactly its job). Signatures are
+    BIT-IDENTICAL to the exploded form: same tokens, same hashes, same
+    ±1 votes (integer sums are order-independent), same >0 sign rule —
+    the DuckDB oracles needed no change.
+
+    Docs with no tokens produce no signature (same as the exploded
+    form, where they had no rows to vote with).
 
     bits <= 32 hashes with hash32 (bit-compatible with the original
     entries); wider signatures (the auto-scaled path) draw their bits
@@ -477,30 +491,31 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     widths past 60 are rejected."""
     if bits > 60:
         raise ValueError(f"bits must be <= 60 (hash60 source width), got {bits}")
-    tok = spread(df, id_col).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    hfn = hash32 if bits <= 32 else hash60
+    staged = (
+        spread(df, id_col)
+        .withColumn(
+            "__th", F.transform(F.array_distinct(tokens(text_col)), lambda t: hfn(t))
+        )
+        .where(F.size("__th") > 0)
     )
-    hashed = tok.withColumn(
-        "h", hash32(F.col("tok")) if bits <= 32 else hash60(F.col("tok"))
-    )
-    bitted = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        # F.shiftright needs a literal shift amount; the SQL form takes
-        # a column for both operands.
-        "vote",
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
-    )
-    bit_signs = (
-        bitted.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
-    )
-    return bit_signs.groupBy(id_col).agg(
-        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).cast("long").alias("simhash")
-    )
+    def _vote_fold(b: int):
+        # closure factory, not a default-arg lambda: pyspark reads the
+        # lambda's arity to build the higher-order function, and a
+        # bound default would make it ternary
+        def fold(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return fold
+
+    sig = None
+    for b in range(bits):
+        vote = F.aggregate(F.col("__th"), F.lit(0), _vote_fold(b))
+        bitval = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        sig = bitval if sig is None else sig + bitval
+    return staged.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -542,6 +557,164 @@ def simhash_near_pairs(
         )
         .dropDuplicates()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_collapse(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Identical-signature cluster collapse: every doc mapped to the
+    min-id CANONICAL of its exact-signature cluster, with the cluster
+    size — the radius-0 SimHash dedup, and the piece that keeps the
+    operator linear on CLUSTERED corpora.
+
+    Why this exists (r8 scale-gate catch): the pairs shape
+    (simhash_near_pairs over all docs) is OUTPUT-BOUND — identical
+    signatures have Hamming 0, so a duplicate cluster of k docs emits
+    k(k-1)/2 pairs, and on corpora with large duplicate classes the
+    output itself grows ~quadratically (measured on the synthetic
+    sf1→sf4 corpus: top signature cluster 3.5k→13k docs, Σ|cluster|²
+    21M→233M, wall-clock exponent 1.785 with no algorithmic waste —
+    the join was emitting exactly its output). Production SimHash
+    dedup therefore collapses clusters (linear: one exchange on the
+    signature) and generates near-pairs only BETWEEN representatives
+    (simhash_rep_pairs)."""
+    w = Window.partitionBy("simhash")
+    return sigs.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def simhash_rep_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 32,
+    hot_threshold: int | None = 1024,
+) -> DataFrame:
+    """Near pairs (1 <= Hamming <= max_hamming) between cluster
+    REPRESENTATIVES — one doc (min id) per distinct signature. The
+    between-cluster complement of simhash_collapse: candidate and
+    output volume scale with DISTINCT signatures, not docs, so large
+    duplicate classes cost one representative each instead of a
+    quadratic pair block. Feed the result to connected components (or
+    a min-canonical merge) to fuse near-identical clusters.
+
+    HOT-VALUE SUB-BLOCKING (``hot_threshold``): structured corpora
+    make some (block, value) groups huge even among distinct
+    signatures (common-token votes align whole blocks; measured
+    sf4: Σgroup² = 707M among 95k reps — 80× the uniform estimate).
+    A (block, value) group with >= hot_threshold members is not
+    self-joined directly; its members re-apply the pigeonhole to
+    their REMAINING (blocks-1)·w bits with ``blocks`` sub-blocks —
+    LOSSLESS: a pair agreeing on the hot block still has
+    <= max_hamming diffs, all in the remaining bits, so with
+    sub_blocks > max_hamming it must agree on a whole sub-block (the
+    Manku/WWW'07 multi-level trick). Distinct signatures spread over
+    sub-values, so a k-member hot group costs ~k²/2^(3w/4) per
+    sub-block instead of k²/2. hot_threshold=None disables.
+    The output pair set is IDENTICAL either way (oracles unchanged).
+
+    DATA-REGIME LIMIT (r8 measurement): sub-blocking reduces, but
+    cannot beat, the ENTROPY of the signature itself. On the
+    low-entropy synthetic corpus (31-token vocabulary) the 48 vote
+    bits carry ~17 bits of effective entropy (95k distinct signatures
+    at 200k docs), so block values collide structurally at ANY width
+    (measured: Σgroup² 707M raw, 273M with sub-blocking) and the TRUE
+    near-pair count itself grows super-linearly (neighbor density
+    rises as everything is similar — avg 32→36 neighbors/rep at 4×
+    docs). SimHash near-pairs are for rich-vocabulary corpora, where
+    vote bits are near-balanced by construction; on low-entropy data
+    use the content-keyed MinHash lane (shingle entropy ≫ bit-vote
+    entropy) — which is why this operator is not in the scale-gate
+    headline while dedup_minhash_lsh_auto is.
+    """
+    if blocks < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole requires blocks >= max_hamming + 1 (got blocks={blocks}, "
+            f"max_hamming={max_hamming})"
+        )
+    reps = sigs.groupBy("simhash").agg(F.min(id_col).alias(id_col)).select(
+        id_col, "simhash"
+    )
+    if hot_threshold is None:
+        return simhash_near_pairs(
+            reps, id_col=id_col, max_hamming=max_hamming, blocks=blocks, bits=bits
+        )
+
+    width = bits // blocks
+    mask = (1 << width) - 1
+    block_cols = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(mask).alias("blk_val"),
+        )
+        for i in range(blocks)
+    ]
+    blocked = reps.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*block_cols)).alias("b")
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"))
+    counts = blocked.groupBy("blk", "blk_val").agg(F.count(F.lit(1)).alias("__gc"))
+    tagged = blocked.join(counts, ["blk", "blk_val"])
+
+    def _pairs(side: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        return (
+            a.join(b, keys)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).cast("int").alias("hamming"),
+            )
+        )
+
+    cold_pairs = _pairs(tagged.where(F.col("__gc") < hot_threshold), ["blk", "blk_val"])
+
+    # hot lane: concatenate the OTHER blocks' bits (per blk, a literal
+    # bit-shuffle) and pigeonhole them into `blocks` sub-blocks
+    rem_bits = (blocks - 1) * width
+    sub_w = -(-rem_bits // blocks)  # ceil: sub-blocks cover all rem bits
+    rem_expr = None
+    for b0 in range(blocks):
+        others = [j for j in range(blocks) if j != b0]
+        rem = None
+        for k, j in enumerate(others):
+            part = (
+                F.shiftright(F.col("simhash"), j * width).bitwiseAND(mask)
+                * F.lit(1 << (k * width))
+            )
+            rem = part if rem is None else rem + part
+        rem_expr = (
+            F.when(F.col("blk") == b0, rem)
+            if rem_expr is None
+            else rem_expr.when(F.col("blk") == b0, rem)
+        )
+    hot = tagged.where(F.col("__gc") >= hot_threshold).withColumn("__rem", rem_expr)
+    sub_cols = [
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.shiftright(F.col("__rem"), s * sub_w)
+            .bitwiseAND((1 << sub_w) - 1)
+            .alias("sub_val"),
+        )
+        for s in range(blocks)
+    ]
+    hot_sub = hot.select(
+        id_col, "simhash", "blk", "blk_val", F.explode(F.array(*sub_cols)).alias("s")
+    ).select(
+        id_col, "simhash", "blk", "blk_val",
+        F.col("s.sub").alias("sub"), F.col("s.sub_val").alias("sub_val"),
+    )
+    hot_pairs = _pairs(hot_sub, ["blk", "blk_val", "sub", "sub_val"])
+
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .dropDuplicates(["id_a", "id_b"])
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
     )
 
 

@@ -147,25 +147,26 @@ def merge_into_partitioned_parquet(
     partition column, unpartitioned feed) and fails loudly instead of
     silently materializing a full-table rewrite through the driver.
 
-    ``tombstone_retention`` (version_aware only; VERDICT r7 item 3)
-    bounds the sibling store: after each merge, tombstones in the
-    TOUCHED partitions whose first order value falls below
-    ``max(feed order) - tombstone_retention`` are dropped. The
+    ``tombstone_retention`` (version_aware + op_col only; VERDICT r7
+    item 3) bounds the sibling store: after each merge, tombstones in
+    the TOUCHED partitions whose first order value falls below
+    ``watermark - tombstone_retention`` are dropped, where the
+    watermark is the max order across the touched partitions' contest
+    winners (>= the feed's max — no side-channel clock needed). The
     out-of-order contract becomes explicit: a stale update arriving
     while its delete's order is still inside the horizon loses to the
     tombstone as before; one arriving MORE than the horizon after the
     watermark has passed the delete is UNDEFINED (it may resurrect the
     key) — the same bounded promise as a watermarked stream or a
     Delta-style VACUUM of removed files. None (default) retains
-    forever. The watermark is the feed's own max order (one scalar
-    agg), so retention needs no side-channel clock; untouched
-    partitions keep their tombstones until a feed next touches them
-    (dropping them would expand the rewrite blast radius).
+    forever. Untouched partitions keep their tombstones until a feed
+    next touches them (dropping them would expand the rewrite blast
+    radius).
     """
-    if tombstone_retention is not None and not version_aware:
+    if tombstone_retention is not None and not (version_aware and op_col is not None):
         raise ValueError(
             "tombstone_retention only applies to version_aware=True merges "
-            "(non-version_aware merges keep no tombstone store)"
+            "with an op_col (only those keep a tombstone store)"
         )
     part_vals = [
         r[0]
@@ -188,26 +189,37 @@ def merge_into_partitioned_parquet(
 
     keep_tomb = version_aware and op_col is not None
     tomb_path = tombstone_store_path(target_path)
-    if not version_aware and _exists(spark, tomb_path):
+    if not keep_tomb and _exists(spark, tomb_path):
         # round-7 ADVICE: silently ignoring a persisted tombstone store
-        # lets deleted keys resurrect and leaves the stale directory
+        # lets deleted keys resurrect and leaves the stale directory.
+        # Guard on keep_tomb, not version_aware: version_aware=True
+        # with op_col=None ALSO skips the store (review finding r8).
         raise ValueError(
             f"target has a persisted tombstone store at {tomb_path} "
-            "(it was maintained with version_aware=True) but this merge "
-            "was called with version_aware=False — mode mixing would "
-            "silently ignore stored deletes. Pass version_aware=True, or "
-            "remove the tombstone store if the delete history is moot."
+            "(it was maintained with version_aware=True + op_col) but this "
+            f"merge (version_aware={version_aware}, op_col={op_col!r}) "
+            "would silently ignore stored deletes. Match the original "
+            "mode, or remove the tombstone store if the delete history "
+            "is moot."
         )
     # tombstone-store schema: just enough to contest (and re-win) —
     # key identity, ordering, and the partition it lives in
     tomb_cols = list(dict.fromkeys([*key_cols, *order_cols, partition_col]))
 
-    def _retain(tombs: DataFrame) -> DataFrame:
-        """Drop tombstones older than the feed watermark minus the
-        retention horizon (see docstring); no-op when retention unset."""
+    def _retain(tombs: DataFrame, winners: DataFrame) -> DataFrame:
+        """Drop tombstones older than the watermark minus the retention
+        horizon; no-op when retention unset. The watermark is the max
+        order across the CONTEST WINNERS of the touched partitions —
+        computed from the already-localCheckpoint'ed winners (one cheap
+        scalar agg over materialized rows, not an extra pass over the
+        unmaterialized feed; review finding r8). Winners-max >= feed-max
+        (every feed row competed), so it is a monotone, strictly more
+        advanced watermark — tombstones expire no later than under a
+        feed-only clock, and the beyond-horizon-undefined contract is
+        unchanged."""
         if tombstone_retention is None:
             return tombs
-        hwm = changes.agg(F.max(order_cols[0])).collect()[0][0]
+        hwm = winners.agg(F.max(order_cols[0])).collect()[0][0]
         if hwm is None:
             return tombs
         return tombs.where(
@@ -230,7 +242,7 @@ def merge_into_partitioned_parquet(
         if keep_tomb:
             winners = winners.localCheckpoint(eager=True)
             is_del = F.col(op_col) == delete_op
-            _retain(winners.where(is_del).select(*tomb_cols)).write.mode(
+            _retain(winners.where(is_del).select(*tomb_cols), winners).write.mode(
                 "overwrite"
             ).partitionBy(partition_col).parquet(tomb_path)
             winners = winners.where(~is_del)
@@ -293,7 +305,7 @@ def merge_into_partitioned_parquet(
             # both the data write and the tombstone write feed from it
             winners = winners.localCheckpoint(eager=True)
             is_del = F.col(op_col) == delete_op
-            new_tombs = _retain(winners.where(is_del).select(*tomb_cols))
+            new_tombs = _retain(winners.where(is_del).select(*tomb_cols), winners)
             _dynamic_overwrite(spark, new_tombs, tomb_path, partition_col)
             # touched partitions whose tombstones all vanished (every
             # delete was superseded by a newer upsert) emit nothing —

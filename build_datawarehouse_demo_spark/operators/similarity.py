@@ -492,6 +492,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     path: str | None = None,
     buckets: int = 8,
+    n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Write-once trained-IVF index: the LINEARIZED build
     (ivf_train_sampled -> ivf_group_centroids -> ivf_assign_two_level)
@@ -512,7 +513,10 @@ def build_ivf_index(
 
     from build_datawarehouse_demo_spark.sources.writers import save_table
 
-    n = corpus.count()
+    if n is None:
+        # pass n when the caller already counted (the count is a full
+        # corpus action — the ingest entry pays it exactly once)
+        n = corpus.count()
     nlist = max(2, math.ceil(math.sqrt(n)))
     if seeds is None:
         seeds = (

@@ -133,6 +133,7 @@ def _load_all() -> None:
         register_round8_ann,
         register_round8_asof,
         register_round8_ivf_index,
+        register_round8_simhash_scalable,
         register_round8_spans,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -163,6 +164,7 @@ def _load_all() -> None:
     register_round8_ann()
     register_round8_asof()
     register_round8_ivf_index()
+    register_round8_simhash_scalable()
     register_round8_spans()
 
     rank = _rotation_rank()

@@ -139,14 +139,15 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False):
     if not force and getattr(spark, "_graft_ivf_idx_key", None) == sf_dir:
         return spark.table("ivf_idx"), spark.table("ivf_idx_centroids")
     emb = _t(spark, sf_dir, "embeddings")
-    nlist = max(2, math.ceil(math.sqrt(emb.count())))
+    n = emb.count()
+    nlist = max(2, math.ceil(math.sqrt(n)))
     # explicit seeds = the oracle's c0 (vec_id < nlist); the default
     # orderBy+limit would coincide only for contiguous-from-0 ids
     seeds = emb.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     out = build_ivf_index(
-        emb, "ivf_idx", seeds=seeds, path=f"{_bucketed_scratch_dir()}/ivf_idx"
+        emb, "ivf_idx", seeds=seeds, path=f"{_bucketed_scratch_dir()}/ivf_idx", n=n
     )
     spark._graft_ivf_idx_key = sf_dir
     return out
@@ -278,6 +279,106 @@ def register_round8_spans() -> None:
 
         return document_duplication_rate(
             _t(spark, sf_dir, "documents"), window=_W, min_docs=2
+        )
+
+
+def register_round8_simhash_scalable() -> None:
+    # ------------------------------------------------------------------
+    # the scale-gate catch of r8: the SimHash PAIRS shape is
+    # output-bound — identical signatures (Hamming 0) make a duplicate
+    # cluster of k docs emit k(k-1)/2 pairs, and on clustered corpora
+    # the OUTPUT grows ~quadratically (sf1→sf4: top cluster 3.5k→13k
+    # docs, measured exponent 1.785 with zero algorithmic waste). The
+    # scalable shape is collapse + representative-level pairs.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import simhash_auto_width
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SW = simhash_auto_width(_N_DOCS)
+    _SBITS = 4 * _SW
+    _SHASH = (
+        _HASH32
+        if _SBITS <= 32
+        else "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    )
+    _SIG_SQL = f"""
+        tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {_SHASH.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, {_SBITS - 1})) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        )"""
+
+    @register(
+        "dedup_simhash_collapse",
+        oracle=f"""
+        WITH {_SIG_SQL}
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+               count(*) OVER (PARTITION BY simhash) AS cluster_size
+        FROM sigs
+        """,
+    )
+    def q_simhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Radius-0 SimHash dedup at the auto width: every doc mapped
+        to its exact-signature cluster's min-id canonical + cluster
+        size — LINEAR however clustered the corpus (one exchange on
+        the signature). The pairs lane this replaces in the headline
+        is output-quadratic on clustered data (see
+        operators/dedup.py:simhash_collapse)."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            simhash,
+            simhash_auto_width,
+            simhash_collapse,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        w = simhash_auto_width(docs.count())
+        return simhash_collapse(simhash(docs, bits=4 * w))
+
+    @register(
+        "dedup_simhash_rep_pairs",
+        oracle=f"""
+        WITH {_SIG_SQL},
+        reps AS (
+          SELECT simhash, min(doc_id) AS doc_id FROM sigs GROUP BY simhash
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+    )
+    def q_simhash_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near pairs (Hamming <= 3) between cluster REPRESENTATIVES —
+        one per distinct signature — via pigeonhole blocking:
+        candidates scale with distinct signatures, not docs. The
+        oracle is the brute representative cross (EXACTLY equivalent:
+        pigeonhole with blocks > max_hamming misses nothing, so
+        blocked+filter == brute filter)."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            simhash,
+            simhash_auto_width,
+            simhash_rep_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        w = simhash_auto_width(docs.count())
+        return simhash_rep_pairs(
+            simhash(docs, bits=4 * w), max_hamming=3, blocks=4, bits=4 * w
         )
 
 

@@ -117,6 +117,12 @@ def stream_merge_to_partitioned_parquet(
         merge_into_partitioned_parquet,
     )
 
+    if tombstone_retention is not None and not (version_aware and op_col is not None):
+        # fail at wiring time, not inside batch 0's foreachBatch
+        raise ValueError(
+            "tombstone_retention requires version_aware=True and an op_col"
+        )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         merge_into_partitioned_parquet(
             batch_df.sparkSession,

@@ -276,6 +276,55 @@ def test_duplicate_substring_spans(spark):
     assert 5 not in rates  # shorter than the window: no windows to score
 
 
+def test_simhash_collapse_and_rep_pairs(spark):
+    """r8 scale-gate catch: the all-pairs shape is output-quadratic on
+    clustered corpora (a k-doc identical-signature cluster emits k²/2
+    Hamming-0 pairs). simhash_collapse maps every doc to its cluster's
+    min-id canonical (linear); simhash_rep_pairs emits near pairs only
+    BETWEEN distinct-signature representatives, and its hot-value
+    sub-blocking lane returns the IDENTICAL pair set as the plain
+    blocked join (lossless by the pigeonhole argument)."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        simhash,
+        simhash_collapse,
+        simhash_rep_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),      # exact dup of 1
+        (3, "alpha beta gamma delta"),      # exact dup of 1
+        (4, "omega psi chi phi"),
+        (5, "omega psi chi phi upsilon"),   # near 4
+        (6, "zz yy xx ww vv uu"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = simhash(df, bits=32)
+    col = {
+        r.doc_id: (r.canonical_id, r.cluster_size)
+        for r in simhash_collapse(sigs).collect()
+    }
+    assert col[1] == (1, 3) and col[2] == (1, 3) and col[3] == (1, 3)
+    assert col[6][1] == 1
+    # rep pairs: identical-sig docs appear as ONE representative; the
+    # hot lane (threshold 1 forces every group hot) returns the same set
+    plain = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_rep_pairs(
+            sigs, max_hamming=7, blocks=8, hot_threshold=None
+        ).collect()
+    }
+    forced_hot = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_rep_pairs(
+            sigs, max_hamming=7, blocks=8, hot_threshold=1
+        ).collect()
+    }
+    assert plain == forced_hot
+    assert all(a not in (2, 3) and b not in (2, 3) for a, b, _ in plain)
+    assert all(h >= 1 for _, _, h in plain)
+
+
 def test_simhash_auto_width_law_and_bucket_saturation(spark):
     """Third fixed-bucket-space instance: (1) the width law — blocks
     widen with log2(n), clamped to the hash60 ceiling; (2) measured on

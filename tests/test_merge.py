@@ -363,6 +363,21 @@ def test_merge_mode_mixing_fails_loudly(spark, tmp_path):
             ["seq", "id"],
             "part",
         )
+    # review finding r8: version_aware=True with op_col=None ALSO skips
+    # the store (pure-upsert contest) — equally loud
+    with pytest.raises(ValueError, match="tombstone store"):
+        merge_into_partitioned_parquet(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, 1, 5.0, 2)], "id long, part int, v double, seq int"
+            ),
+            ["id"],
+            ["seq", "id"],
+            "part",
+            op_col=None,
+            version_aware=True,
+        )
 
 
 def test_merge_blast_radius_guard(spark, tmp_path):

@@ -59,8 +59,19 @@ DESIGNED_CAPS = {
     # work while background candidates stay linear
     "dedup_minhash_lsh_auto": (1.35, "O(n log^2 n) signature growth"),
     # block width grows log2(n) -> O(n log n) signature work,
-    # candidates linear (bucket-saturation pytest)
+    # candidates linear (bucket-saturation pytest). NOTE r8: the
+    # all-pairs lane itself left the headline — its OUTPUT is
+    # quadratic on clustered corpora (Hamming-0 pairs inside
+    # duplicate-signature clusters; measured 1.785, BENCH_SCALE_
+    # r08_PRELIM.json) — replaced by dedup_simhash_collapse (linear
+    # radius-0 dedup) + dedup_simhash_rep_pairs (pairs between
+    # distinct-signature representatives). The cap stays for any
+    # artifact that still carries the old key.
     "dedup_simhash_auto": (1.3, "O(n log n): log2(n)-wide blocks"),
+    # signature work O(n log n); collapse is one exchange on the
+    # signature. (rep-pairs is not headlined: candidate volume is
+    # signature-entropy-bound on low-entropy corpora — see bench.py)
+    "dedup_simhash_collapse": (1.3, "O(n log n): log2(n)-wide signature"),
 }
 
 

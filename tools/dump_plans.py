@@ -48,7 +48,7 @@ AUDITED = {
     "sim_ann_rp_lsh_auto_directed": "query-directed multiprobe — one staged projection pass per side; probe side fans out a CONSTANT 2^T subset-variants explode (no n_planes growth), bucket equi-join, exact-cosine rerank; NO dedup exchange (variants are distinct signatures) and NO cross/nested-loop join",
     "dedup_substring_spans": "substring-span dedup — tokenize+window explode (token-stream volume), partial/final count-distinct agg on 16-byte digests, equi-join of digest counts back to window rows; documents never shuffle",
     "graph_triangle_count": "degree-ordered triangles — hash aggs + equi-joins over (int,int) pairs only, edge list + oriented list checkpointed once (they are read 4x/2x; uncheckpointed the basket-pair derivation re-executed per reference: 166 Exchanges); never nested-loop",
-    "join_interval_overlap": "gridded overlap join — both sides explode to grid cells, ONE equi-join on the cell id, residual overlap + overlap-start-cell claim as filters; NO cross/nested-loop join",
+    "join_interval_overlap": "gridded overlap join — both sides explode to grid cells, ONE equi-join on the cell id, residual overlap + overlap-start-cell claim as filters; the two BroadcastNestedLoopJoin lanes are the r8 long-interval SIDE-CHANNEL (>max_cells-span outliers broadcast against the other side — BY DESIGN, empty at this SF), never the row product",
     "streaming_session_window": "session windows — partial/final SessionWindow aggregation around one Exchange on (user_id); no join, no global window",
     "pipeline_star_schema_build": "full warehouse build — one composite DAG; dims broadcast into every date resolution, surrogate windows only above deduped dim-scale inputs",
 }
