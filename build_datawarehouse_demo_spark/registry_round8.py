@@ -382,6 +382,104 @@ def register_round8_simhash_scalable() -> None:
         )
 
 
+def register_round8_simhash_components() -> None:
+    # ------------------------------------------------------------------
+    # the fully-scalable SimHash dedup composition: collapse (linear)
+    # -> representative near-pairs -> connected components over the
+    # REP graph -> every doc to its final canonical. The scalable twin
+    # of dedup_cluster_components, whose pair graph is doc-level.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import simhash_auto_width
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SW = simhash_auto_width(_N_DOCS)
+    _SBITS = 4 * _SW
+    _SHASH = (
+        _HASH32
+        if _SBITS <= 32
+        else "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    )
+
+    @register(
+        "dedup_simhash_components_scalable",
+        oracle=f"""
+        WITH RECURSIVE tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {_SHASH.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, {_SBITS - 1})) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        ),
+        reps AS (
+          SELECT simhash, min(doc_id) AS rep_id FROM sigs GROUP BY simhash
+        ),
+        rpairs AS (
+          SELECT a.rep_id AS id_a, b.rep_id AS id_b
+          FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM rpairs
+          UNION SELECT id_b, id_a FROM rpairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s)
+        SELECT sg.doc_id,
+               COALESCE(c.component, r.rep_id) AS canonical_id
+        FROM sigs sg
+        JOIN reps r ON r.simhash = sg.simhash
+        LEFT JOIN comp c ON c.node = r.rep_id
+        """,
+    )
+    def q_simhash_components_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end scalable SimHash dedup: exact-signature collapse
+        (linear), near-pairs between distinct-signature
+        REPRESENTATIVES only, large-star/small-star components over
+        the rep graph (O(log n) rounds, node count = distinct sigs),
+        then every doc resolves through its signature's rep to the
+        component canonical. Identical final clustering to the
+        doc-level dedup_cluster_components on any corpus (two docs
+        with the same signature are Hamming-0 neighbors, so
+        collapsing them first never changes components) at a fraction
+        of the pair volume on clustered corpora."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            connected_components_star,
+            simhash,
+            simhash_auto_width,
+            simhash_rep_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        w = simhash_auto_width(docs.count())
+        sigs = simhash(docs, bits=4 * w)
+        reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+        pairs = simhash_rep_pairs(sigs, max_hamming=3, blocks=4, bits=4 * w)
+        comp = connected_components_star(pairs)
+        return (
+            sigs.join(reps, "simhash")
+            .join(comp, F.col("rep_id") == F.col("node"), "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("rep_id")).alias("canonical_id"),
+            )
+        )
+
+
 def register_round8_asof() -> None:
     # ------------------------------------------------------------------
     # as-of NEAREST — completes the asof family (backward r4, forward

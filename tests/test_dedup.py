@@ -325,6 +325,59 @@ def test_simhash_collapse_and_rep_pairs(spark):
     assert all(h >= 1 for _, _, h in plain)
 
 
+def test_simhash_scalable_components_equal_doc_level(spark):
+    """The collapse -> rep-pairs -> components composition yields the
+    SAME final clustering as doc-level pairs -> components: same-sig
+    docs are Hamming-0 neighbors, so collapsing them first cannot
+    change connectivity, and the canonical (min id of the component)
+    is preserved because each rep is its cluster's min id."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        simhash,
+        simhash_near_pairs,
+        simhash_rep_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "omega psi chi phi"),
+        (5, "omega psi chi phi upsilon"),
+        (6, "zz yy xx ww vv uu"),
+        (7, "zz yy xx ww vv uu"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = simhash(df, bits=32)
+
+    # doc-level: all pairs (hamming 0..3) -> components
+    doc_pairs = simhash_near_pairs(sigs, max_hamming=3, blocks=4, bits=32)
+    doc_comp = {
+        r.node: r.component for r in connected_components_star(doc_pairs).collect()
+    }
+    doc_canon = {
+        d: doc_comp.get(d, d) for d, _ in docs
+    }
+    # resolve transitively is unnecessary: component IS the min label
+
+    # scalable: collapse + rep pairs -> components -> resolve via sig
+    reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+    rep_pairs = simhash_rep_pairs(sigs, max_hamming=3, blocks=4, bits=32)
+    comp = connected_components_star(rep_pairs)
+    out = {
+        r.doc_id: r.canonical_id
+        for r in sigs.join(reps, "simhash")
+        .join(comp, F.col("rep_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep_id")).alias("canonical_id"),
+        )
+        .collect()
+    }
+    assert out == doc_canon
+
+
 def test_simhash_auto_width_law_and_bucket_saturation(spark):
     """Third fixed-bucket-space instance: (1) the width law — blocks
     widen with log2(n), clamped to the hash60 ceiling; (2) measured on
