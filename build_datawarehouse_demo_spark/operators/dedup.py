@@ -466,23 +466,20 @@ def simhash_auto_width(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash: per token, hash bits vote ±1; sign of each
-    bit-position sum forms the signature.
+    bit-position sum forms the signature. Expressed as explode(token) ×
+    explode(bit) + one groupBy — all codegen'd expressions.
 
-    ZERO-SHUFFLE form (r8): token hashes are staged ONCE per row
-    (one md5 per distinct token), then each bit's vote sum is an
-    integer `aggregate` fold over that array — all per-row codegen'd
-    expressions, no exchange. The original explode(token)×explode(bit)
-    + two groupBys shuffled docs × tokens × bits ROWS (≈384M at sf4's
-    200k docs × 48 auto bits) and went super-linear from spill the
-    moment the exchange stopped fitting — caught by the r8 sf1→sf4
-    curve (dedup_simhash_auto measured exponent 1.785 against its 1.3
-    cap; the scale gate doing exactly its job). Signatures are
-    BIT-IDENTICAL to the exploded form: same tokens, same hashes, same
-    ±1 votes (integer sums are order-independent), same >0 sign rule —
-    the DuckDB oracles needed no change.
-
-    Docs with no tokens produce no signature (same as the exploded
-    form, where they had no rows to vote with).
+    Shape note (r8 measurement): the explode volume looks alarming
+    (docs × tokens × bits rows) but the groupBy(doc, bit) gets
+    MAP-SIDE partial aggregation, so the exchange carries only
+    docs × bits combined rows (9.6M at sf4's 200k docs × 48 bits) —
+    the exploded pipeline is whole-stage-codegen'd and was never
+    shuffle-bound. An `aggregate`-fold per-row rewrite was tried and
+    REVERTED: Spark's higher-order functions evaluate interpreted
+    (no codegen), measuring 2-4× slower at every scale leg
+    (dedup_simhash sf1: 1.3s exploded vs 3.0s folds). The r8
+    super-linearity of the auto PAIRS lane came from the candidate
+    join's output/entropy bound, not from here (see simhash_collapse).
 
     bits <= 32 hashes with hash32 (bit-compatible with the original
     entries); wider signatures (the auto-scaled path) draw their bits
@@ -491,31 +488,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     widths past 60 are rejected."""
     if bits > 60:
         raise ValueError(f"bits must be <= 60 (hash60 source width), got {bits}")
-    hfn = hash32 if bits <= 32 else hash60
-    staged = (
-        spread(df, id_col)
-        .withColumn(
-            "__th", F.transform(F.array_distinct(tokens(text_col)), lambda t: hfn(t))
-        )
-        .where(F.size("__th") > 0)
+    tok = spread(df, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
-    def _vote_fold(b: int):
-        # closure factory, not a default-arg lambda: pyspark reads the
-        # lambda's arity to build the higher-order function, and a
-        # bound default would make it ternary
-        def fold(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return fold
-
-    sig = None
-    for b in range(bits):
-        vote = F.aggregate(F.col("__th"), F.lit(0), _vote_fold(b))
-        bitval = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        sig = bitval if sig is None else sig + bitval
-    return staged.select(F.col(id_col), sig.alias("simhash"))
+    hashed = tok.withColumn(
+        "h", hash32(F.col("tok")) if bits <= 32 else hash60(F.col("tok"))
+    )
+    bitted = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        # F.shiftright needs a literal shift amount; the SQL form takes
+        # a column for both operands.
+        "vote",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
+    )
+    bit_signs = (
+        bitted.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    return bit_signs.groupBy(id_col).agg(
+        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).cast("long").alias("simhash")
+    )
 
 
 def simhash_near_pairs(
