@@ -436,6 +436,103 @@ def document_duplication_rate(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span REMOVAL — the acting half of the Lee et al. 2022 pipeline
+    (duplicate_substring_spans detects, document_duplication_rate
+    scores, this removes): rebuild each document with duplicated spans
+    cut out, keeping one global owner per span so no content vanishes
+    from the corpus entirely.
+
+    Contract (deterministic, engine-mirrorable): token t of doc d is
+    REMOVED iff it is covered by at least one ``window``-token span
+    whose content occurs in >= ``min_docs`` distinct docs AND d is not
+    that span's OWNER (the global min doc_id containing the gram — the
+    owner keeps its copy). Output: (id, cleaned_text, n_tokens,
+    n_tokens_removed). Docs shorter than the window pass through
+    untouched.
+
+    Scale shape: the same token-stream-volume gram explode as the span
+    op, one more explode to covered positions (×window), a distinct on
+    (doc, position) removals, an anti-join from the posexploded token
+    stream, and one ordered per-doc re-aggregation (array_sort over
+    (idx, token) structs — the collect is per-doc, the same volume any
+    re-tokenizing writer pays). Everything keys on digests/ids;
+    documents themselves cross the wire once, in the final rebuild.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__t"),
+    )
+    grams = toks.where(F.size("__t") >= window).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__t") - (window - 1))).alias("pos"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("pos"),
+        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), window), " ")).alias(
+            "gram_md5"
+        ),
+    )
+    owners = (
+        grams.groupBy("gram_md5")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram_md5", "__owner")
+    )
+    removals = (
+        grams.join(owners, "gram_md5")
+        .where(F.col(id_col) != F.col("__owner"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (window - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    stream = toks.select(
+        F.col(id_col),
+        F.posexplode(F.col("__t")).alias("idx0", "tok"),
+    ).select(id_col, (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = (
+        stream.join(removals, [id_col, "idx"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("tok")))
+                    ),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("__kept"),
+        )
+    )
+    # base join keeps fully-removed docs (every token cut: doc was
+    # wholly duplicated and not the owner) with an EMPTY cleaned_text
+    base = toks.select(F.col(id_col), F.size("__t").alias("n_tokens"))
+    return base.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
 def hash60(col: Column, seed: int = 0) -> Column:
     """60-bit md5-derived hash (first 15 hex chars) — same engine
     portability contract as hash32, for signatures wider than 32 bits

@@ -181,3 +181,64 @@ def weighted_reservoir_per_group(
         .where(F.col("__wr_rank") <= k)
         .drop("__wr_rank")
     )
+
+
+def sample_temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    budget: int,
+    temperature: float = 2.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual/multi-source
+    rebalancing every LLM data pipeline runs): each source s gets a
+    quota ∝ n_s^(1/T) of the total ``budget`` — T=1 reproduces natural
+    proportions, T→∞ tends to uniform across sources, the standard
+    way to up-sample tail sources without flattening the head — then
+    the quota is filled with a DETERMINISTIC uniform per-source draw
+    (md5-hash rank, engine-portable like every sampler here).
+
+    Only temperature=2.0 (quota ∝ sqrt(n_s)) is currently supported:
+    sqrt is correctly-rounded under IEEE 754 in every engine, so the
+    quota arithmetic is bit-reproducible for the oracle; a general
+    pow(n, 1/T) differs in the last ulp between libm implementations
+    and could flip a floor() at a quota boundary. The share is
+    additionally rounded to 6dp before the floor to squash summation-
+    order ulps in Σ√n. Output: sampled rows + (rnk, quota).
+
+    Scale shape: one count aggregate per source (tiny), the scalar
+    Σ√n broadcast by crossJoin, quotas broadcast into the rank filter,
+    ONE shuffle on source_col for the rank window.
+    """
+    if temperature != 2.0:
+        raise NotImplementedError(
+            "only temperature=2.0 (sqrt weighting) is supported: sqrt is "
+            "correctly rounded per IEEE 754, so quotas are engine-"
+            "reproducible; pow(n, 1/T) is not"
+        )
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("__n"))).alias("__tw"))
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.floor(
+                F.round(
+                    F.lit(float(budget)) * F.sqrt(F.col("__n")) / F.col("__tw"), 6
+                )
+            )
+            .cast("int")
+            .alias("quota"),
+        )
+    )
+    h = hash32(F.concat(F.lit("temp:"), F.col(id_col).cast("string")), seed=seed)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(quotas), source_col)
+        .where(F.col("rnk") <= F.col("quota"))
+    )

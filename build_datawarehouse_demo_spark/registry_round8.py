@@ -281,6 +281,61 @@ def register_round8_spans() -> None:
             _t(spark, sf_dir, "documents"), window=_W, min_docs=2
         )
 
+    @register(
+        "text_remove_duplicate_spans",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                 md5(array_to_string(t[i:i+{_W - 1}], ' ')) AS g
+          FROM toks, unnest(generate_series(1, len(t) - {_W - 1})) AS s(i)
+          WHERE len(t) >= {_W}
+        ),
+        owners AS (
+          SELECT g, min(doc_id) AS owner FROM grams
+          GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        removals AS (
+          SELECT DISTINCT gr.doc_id, gr.pos + q.off AS idx
+          FROM grams gr
+          JOIN owners o ON o.g = gr.g AND gr.doc_id <> o.owner,
+               unnest(generate_series(0, {_W - 1})) AS q(off)
+        ),
+        stream AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS idx, t[i] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) AS s(i)
+        ),
+        kept AS (
+          SELECT s.doc_id,
+                 array_to_string(list(s.tok ORDER BY s.idx), ' ') AS cleaned_text,
+                 count(*) AS kept
+          FROM stream s
+          LEFT JOIN removals r ON r.doc_id = s.doc_id AND r.idx = s.idx
+          WHERE r.idx IS NULL
+          GROUP BY s.doc_id
+        )
+        SELECT b.doc_id,
+               COALESCE(k.cleaned_text, '') AS cleaned_text,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               CAST(len(b.t) - COALESCE(k.kept, 0) AS BIGINT) AS n_tokens_removed
+        FROM toks b LEFT JOIN kept k USING (doc_id)
+        """,
+    )
+    def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Span REMOVAL — the acting half of the Lee-et-al pipeline:
+        each doc rebuilt with duplicated {_W}-token spans cut out,
+        except in the span's global owner (min doc_id), so exactly one
+        copy of every duplicated passage survives corpus-wide."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        return remove_duplicate_spans(
+            _t(spark, sf_dir, "documents"), window=_W, min_docs=2
+        )
+
 
 def register_round8_simhash_scalable() -> None:
     # ------------------------------------------------------------------
@@ -380,6 +435,53 @@ def register_round8_simhash_scalable() -> None:
         return simhash_rep_pairs(
             simhash(docs, bits=4 * w), max_hamming=3, blocks=4, bits=4 * w
         )
+
+
+def register_round8_sampling() -> None:
+    # ------------------------------------------------------------------
+    # temperature-based corpus mixing: per-source quotas ∝ n^(1/T),
+    # filled by deterministic hash rank — the multilingual rebalancing
+    # lever (T=2: sqrt weighting, the IEEE-exact case)
+    # ------------------------------------------------------------------
+    _BUDGET = 200
+
+    @register(
+        "sample_temperature_mix",
+        oracle=f"""
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        tw AS (SELECT sum(sqrt(n)) AS t FROM c),
+        tgt AS (
+          SELECT source, CAST(floor(round({_BUDGET} * sqrt(n) / t, 6)) AS INTEGER) AS quota
+          FROM c, tw
+        ),
+        ranked AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY CAST(('0x' || substr(md5('0:temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                              doc_id) AS INTEGER) AS rnk
+          FROM documents
+        )
+        SELECT r.doc_id, r.source, r.rnk, g.quota
+        FROM ranked r JOIN tgt g ON g.source = r.source
+        WHERE r.rnk <= g.quota
+        """,
+    )
+    def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sample a {_BUDGET}-doc mix with per-source quotas ∝
+        sqrt(n_source) (temperature 2): tail sources up-weighted
+        relative to natural proportions without flattening the head;
+        the draw within each source is the md5-hash rank, so both
+        engines pick the identical docs."""
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            sample_temperature_mix,
+        )
+
+        docs = _t(spark, sf_dir, "documents", rebalance=False).select(
+            "doc_id", "source"
+        )
+        return sample_temperature_mix(
+            docs, "source", "doc_id", budget=_BUDGET
+        ).select("doc_id", "source", "rnk", "quota")
 
 
 def register_round8_simhash_components() -> None:

@@ -325,6 +325,36 @@ def test_simhash_collapse_and_rep_pairs(spark):
     assert all(h >= 1 for _, _, h in plain)
 
 
+def test_remove_duplicate_spans(spark):
+    """Span removal (Lee et al., acting half): the global owner (min
+    doc_id containing the gram) keeps its copy; every other doc loses
+    the covered tokens; a doc that IS entirely a duplicated span comes
+    back empty (still present, with the removal count); unique and
+    shorter-than-window docs pass through untouched."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = "all rights reserved by corp"
+    docs = [
+        (1, f"intro text here {boiler} tail"),
+        (2, f"{boiler} unique body two"),
+        (3, boiler),
+        (4, "something else entirely different here"),
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
+        for r in remove_duplicate_spans(df, window=5).collect()
+    }
+    assert got[1] == (docs[0][1], 9, 0)        # owner keeps everything
+    assert got[2] == ("unique body two", 8, 5)
+    assert got[3] == ("", 5, 5)                # wholly duplicated, not owner
+    assert got[4] == (docs[3][1], 5, 0)
+    assert got[5] == (docs[4][1], 2, 0)
+
+
 def test_simhash_scalable_components_equal_doc_level(spark):
     """The collapse -> rep-pairs -> components composition yields the
     SAME final clustering as doc-level pairs -> components: same-sig

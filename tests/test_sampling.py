@@ -144,3 +144,36 @@ def test_weighted_reservoir_exact_k_and_weight_bias(spark):
     assert {(r.grp, r.id) for r in other} != {(r.grp, r.id) for r in got}
     with pytest.raises(ValueError):
         weighted_reservoir_per_group(df, "grp", "id", "w", k=0)
+
+
+def test_sample_temperature_mix_quota_law(spark):
+    """Temperature mixing (T=2): per-source quotas follow sqrt(n) —
+    the tail source's SHARE of the sample exceeds its share of the
+    corpus, the head's shrinks; quota total stays within the budget;
+    the draw is deterministic (same rows twice); other temperatures
+    are rejected (IEEE-exactness contract)."""
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_temperature_mix,
+    )
+
+    rows = [(i, "head") for i in range(900)] + [(1000 + i, "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    budget = 100
+    out = sample_temperature_mix(df, "source", "doc_id", budget=budget).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    n_head, n_tail = len(by_src["head"]), len(by_src["tail"])
+    assert n_head + n_tail <= budget
+    # corpus shares 90/10; sqrt shares 0.75/0.25 — tail up-weighted
+    assert n_tail / (n_head + n_tail) > 0.15
+    assert n_head / (n_head + n_tail) < 0.85
+    again = {
+        (r.doc_id, r.source)
+        for r in sample_temperature_mix(df, "source", "doc_id", budget=budget).collect()
+    }
+    assert again == {(r.doc_id, r.source) for r in out}
+    with pytest.raises(NotImplementedError, match="temperature"):
+        sample_temperature_mix(df, "source", "doc_id", budget=budget, temperature=3.0)
