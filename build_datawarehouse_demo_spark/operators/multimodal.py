@@ -112,6 +112,60 @@ def sample_frames(
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = (
+    "id bigint, win_idx int, win_off int, n_bytes int, energy bigint, win_md5 string"
+)
+
+
+def audio_windows(
+    df: DataFrame, window_bytes: int = 16, hop_bytes: int = 8
+) -> DataFrame:
+    """Audio-style OVERLAPPING window framing over an opaque binary
+    payload — the STFT/fbank front-end shape (hop < window, unlike
+    sample_frames' disjoint stride): every hop-aligned window that
+    fits emits its offset, byte length, a deterministic 'energy'
+    feature (byte-value sum — the stand-in for a real frame feature;
+    the DSP itself would need an audio lib this container lacks), and
+    the window digest. Completes the multimodal plumbing family:
+    frames (video, disjoint), resize (image), metadata, and now
+    overlapped audio framing — all mapInPandas over Arrow batches so
+    the per-row Python is a codec call away from real.
+    """
+    if hop_bytes <= 0 or window_bytes <= 0:
+        raise ValueError("window_bytes and hop_bytes must be > 0")
+
+    def frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "win_idx", "win_off", "n_bytes", "energy", "win_md5")}
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                idx = 0
+                for off in range(0, max(len(payload) - window_bytes + 1, 0), hop_bytes):
+                    win = payload[off : off + window_bytes]
+                    out["id"].append(rid)
+                    out["win_idx"].append(idx)
+                    out["win_off"].append(off)
+                    out["n_bytes"].append(len(win))
+                    out["energy"].append(int(sum(win)))
+                    out["win_md5"].append(hashlib.md5(win).hexdigest())
+                    idx += 1
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "win_idx": pd.Series(out["win_idx"], dtype="int32"),
+                    "win_off": pd.Series(out["win_off"], dtype="int32"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                    "win_md5": pd.Series(out["win_md5"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(frame, schema=AUDIO_WINDOW_SCHEMA)
+
+
 RESIZE_SCHEMA = "id bigint, src_bytes bigint, dst_bytes int, resized_md5 string"
 
 

@@ -133,6 +133,7 @@ def _load_all() -> None:
         register_round8_ann,
         register_round8_asof,
         register_round8_ivf_index,
+        register_round8_multimodal,
         register_round8_sampling,
         register_round8_simhash_components,
         register_round8_simhash_scalable,
@@ -166,6 +167,7 @@ def _load_all() -> None:
     register_round8_ann()
     register_round8_asof()
     register_round8_ivf_index()
+    register_round8_multimodal()
     register_round8_sampling()
     register_round8_simhash_components()
     register_round8_simhash_scalable()

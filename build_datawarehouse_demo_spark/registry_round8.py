@@ -484,6 +484,45 @@ def register_round8_sampling() -> None:
         ).select("doc_id", "source", "rnk", "quota")
 
 
+def register_round8_multimodal() -> None:
+    # ------------------------------------------------------------------
+    # overlapped audio-style framing — completes the multimodal
+    # plumbing family (video frames r5, image resize r5, metadata r5)
+    # ------------------------------------------------------------------
+    @register(
+        "multimodal_audio_windows",
+        oracle="""
+        SELECT doc_id AS id,
+               CAST(k AS INTEGER) AS win_idx,
+               CAST(k * 8 AS INTEGER) AS win_off,
+               CAST(16 AS INTEGER) AS n_bytes,
+               CAST((SELECT sum(ord(substr(text, k * 8 + j + 1, 1)))
+                     FROM unnest(generate_series(0, 15)) AS u(j)) AS BIGINT) AS energy,
+               md5(substr(text, k * 8 + 1, 16)) AS win_md5
+        FROM documents,
+             unnest(generate_series(0, (octet_length(encode(text)) - 16) // 8)) AS g(k)
+        WHERE octet_length(encode(text)) >= 16
+        """,
+    )
+    def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Overlapping 16-byte windows at hop 8 (50% overlap — the
+        audio STFT-framing shape) over binary payloads via mapInPandas:
+        offsets, a deterministic energy feature (byte-value sum), and
+        window digests. ASCII text payloads make substr == byte slice
+        and ord == byte value, so SQL mirrors the Arrow-batch lane
+        exactly (same contract as multimodal_frame_sample)."""
+        from build_datawarehouse_demo_spark.operators.multimodal import (
+            attach_binary,
+            audio_windows,
+        )
+
+        return audio_windows(
+            attach_binary(_t(spark, sf_dir, "documents")),
+            window_bytes=16,
+            hop_bytes=8,
+        )
+
+
 def register_round8_simhash_components() -> None:
     # ------------------------------------------------------------------
     # the fully-scalable SimHash dedup composition: collapse (linear)

@@ -101,3 +101,33 @@ def test_resize_payload_nearest_kernel(spark):
     assert rows[2]["resized_md5"] == hashlib.md5(b"xxxxxxxx").hexdigest()
     with pytest.raises(ValueError):
         resize_payload_nearest(df, target_bytes=0)
+
+
+def test_audio_windows_overlap_and_energy(spark):
+    """Overlapped framing: hop < window means consecutive windows
+    share bytes (the STFT shape sample_frames' disjoint stride can't
+    express); energy = byte-value sum; payloads shorter than one
+    window emit nothing; nulls skip."""
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.multimodal import (
+        attach_binary,
+        audio_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "ab"), (3, None)], "doc_id long, text string"
+    )
+    rows = sorted(
+        audio_windows(attach_binary(df), window_bytes=4, hop_bytes=2).collect(),
+        key=lambda r: (r.id, r.win_idx),
+    )
+    got = [(r.id, r.win_idx, r.win_off, r.n_bytes, r.energy) for r in rows]
+    abcd = sum(b"abcd")
+    assert got == [
+        (1, 0, 0, 4, abcd),
+        (1, 1, 2, 4, sum(b"cdef")),
+        (1, 2, 4, 4, sum(b"efgh")),
+    ]
+    with pytest.raises(ValueError):
+        audio_windows(attach_binary(df), window_bytes=4, hop_bytes=0)
