@@ -450,36 +450,34 @@ def remove_duplicate_spans(
     from the corpus entirely.
 
     Contract (deterministic, engine-mirrorable): token t of doc d is
-    REMOVED iff it is covered by at least one ``window``-token span
-    whose content occurs in >= ``min_docs`` distinct docs AND d is not
-    that span's OWNER (the global min doc_id containing the gram — the
-    owner keeps its copy). Output: (id, cleaned_text, n_tokens,
-    n_tokens_removed). Docs shorter than the window pass through
-    untouched.
+    REMOVED iff it is covered by at least one FOREIGN-owned duplicated
+    span (a ``window``-token span occurring in >= ``min_docs`` distinct
+    docs whose OWNER — the global min doc_id containing the gram — is
+    not d) AND by NO self-owned duplicated span. The protection clause
+    matters when overlapping duplicated spans have different owners:
+    without it, a foreign-owned span overlapping a span d owns would
+    cut into the owner's copy and the passage could survive
+    contiguously nowhere in the corpus (review finding r8) — with it,
+    every duplicated span's owner keeps that span intact, so one copy
+    of every duplicated passage survives corpus-wide. Output: (id,
+    cleaned_text, n_tokens, n_tokens_removed). Docs shorter than the
+    window pass through untouched.
 
     Scale shape: the same token-stream-volume gram explode as the span
-    op, one more explode to covered positions (×window), a distinct on
-    (doc, position) removals, an anti-join from the posexploded token
-    stream, and one ordered per-doc re-aggregation (array_sort over
-    (idx, token) structs — the collect is per-doc, the same volume any
-    re-tokenizing writer pays). Everything keys on digests/ids;
-    documents themselves cross the wire once, in the final rebuild.
+    op (via the shared _window_gram_rows contract), one more explode to
+    covered positions (×window) on each side of the foreign-minus-
+    protected anti-join, a distinct on (doc, position) removals, an
+    anti-join from the posexploded token stream, and one ordered
+    per-doc re-aggregation (array_sort over (idx, token) structs — the
+    collect is per-doc, the same volume any re-tokenizing writer
+    pays). Everything keys on digests/ids; documents themselves cross
+    the wire once, in the final rebuild.
     """
     toks = df.select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("__t"),
     )
-    grams = toks.where(F.size("__t") >= window).select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.size("__t") - (window - 1))).alias("pos"),
-        F.col("__t"),
-    ).select(
-        F.col(id_col),
-        F.col("pos").cast("int").alias("pos"),
-        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), window), " ")).alias(
-            "gram_md5"
-        ),
-    )
+    grams = _window_gram_rows(df, id_col, text_col, window)
     owners = (
         grams.groupBy("gram_md5")
         .agg(
@@ -489,17 +487,21 @@ def remove_duplicate_spans(
         .filter(F.col("__nd") >= min_docs)
         .select("gram_md5", "__owner")
     )
-    removals = (
-        grams.join(owners, "gram_md5")
-        .where(F.col(id_col) != F.col("__owner"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (window - 1))
-            ).alias("idx"),
-        )
+    owned = grams.join(owners, "gram_md5")
+    cover = F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + (window - 1))
+    ).alias("idx")
+    foreign = (
+        owned.where(F.col(id_col) != F.col("__owner"))
+        .select(F.col(id_col), cover)
         .distinct()
     )
+    protected = (
+        owned.where(F.col(id_col) == F.col("__owner"))
+        .select(F.col(id_col), cover)
+        .distinct()
+    )
+    removals = foreign.join(protected, [id_col, "idx"], "left_anti")
     stream = toks.select(
         F.col(id_col),
         F.posexplode(F.col("__t")).alias("idx0", "tok"),
@@ -607,7 +609,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         .withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
     )
     return bit_signs.groupBy(id_col).agg(
-        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).cast("long").alias("simhash")
+        # integer 1<<bit (F.expr: pyspark's shiftleft takes only a
+        # literal shift) — a double pow() per (doc, bit) row was pure
+        # wasted transcendental work (review finding r8); numerically
+        # identical for bit <= 59
+        F.sum(F.col("bitval") * F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .cast("long")
+        .alias("simhash")
     )
 
 

@@ -219,6 +219,12 @@ def sample_temperature_mix(
         )
     from pyspark.sql import Window
 
+    # null-id rows leave BEFORE counting: quotas must be proportional
+    # to the DRAWABLE population, or a source with many null ids would
+    # be over-quota'd against rows the rank window can never pick
+    # (review finding r8; same filter-first discipline as
+    # weighted_reservoir_per_group)
+    df = df.where(F.col(id_col).isNotNull())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     tot = counts.agg(F.sum(F.sqrt(F.col("__n"))).alias("__tw"))
     quotas = (
@@ -237,8 +243,7 @@ def sample_temperature_mix(
     h = hash32(F.concat(F.lit("temp:"), F.col(id_col).cast("string")), seed=seed)
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.where(F.col(id_col).isNotNull())
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        df.withColumn("rnk", F.row_number().over(w).cast("int"))
         .join(F.broadcast(quotas), source_col)
         .where(F.col("rnk") <= F.col("quota"))
     )

@@ -298,9 +298,17 @@ def register_round8_spans() -> None:
           GROUP BY g HAVING count(DISTINCT doc_id) >= 2
         ),
         removals AS (
+          -- foreign-owned cover MINUS self-owned cover: a span's owner
+          -- keeps that span intact even where a foreign-owned span
+          -- overlaps it (the protection clause of the operator contract)
           SELECT DISTINCT gr.doc_id, gr.pos + q.off AS idx
           FROM grams gr
           JOIN owners o ON o.g = gr.g AND gr.doc_id <> o.owner,
+               unnest(generate_series(0, {_W - 1})) AS q(off)
+          EXCEPT
+          SELECT DISTINCT gr.doc_id, gr.pos + q.off AS idx
+          FROM grams gr
+          JOIN owners o ON o.g = gr.g AND gr.doc_id = o.owner,
                unnest(generate_series(0, {_W - 1})) AS q(off)
         ),
         stream AS (
@@ -326,8 +334,10 @@ def register_round8_spans() -> None:
     def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Span REMOVAL — the acting half of the Lee-et-al pipeline:
         each doc rebuilt with duplicated {_W}-token spans cut out,
-        except in the span's global owner (min doc_id), so exactly one
-        copy of every duplicated passage survives corpus-wide."""
+        except in the span's global owner (min doc_id) — and a doc's
+        self-owned spans are PROTECTED from overlapping foreign-owned
+        spans — so one intact copy of every duplicated passage
+        survives corpus-wide."""
         from build_datawarehouse_demo_spark.operators.dedup import (
             remove_duplicate_spans,
         )
@@ -346,36 +356,7 @@ def register_round8_simhash_scalable() -> None:
     # docs, measured exponent 1.785 with zero algorithmic waste). The
     # scalable shape is collapse + representative-level pairs.
     # ------------------------------------------------------------------
-    from build_datawarehouse_demo_spark.operators.dedup import simhash_auto_width
-    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
-
-    _N_DOCS = _driver_rows("documents", 500)
-    _SW = simhash_auto_width(_N_DOCS)
-    _SBITS = 4 * _SW
-    _SHASH = (
-        _HASH32
-        if _SBITS <= 32
-        else "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
-    )
-    _SIG_SQL = f"""
-        tok AS (
-          SELECT DISTINCT doc_id, tok
-          FROM documents, unnest({_TOK}) AS t(tok)
-        ),
-        hashed AS (
-          SELECT doc_id, {_SHASH.format(expr="'0:' || tok")} AS h FROM tok
-        ),
-        votes AS (
-          SELECT doc_id, i AS bit,
-                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          FROM hashed, unnest(generate_series(0, {_SBITS - 1})) AS g(i)
-          GROUP BY doc_id, i
-        ),
-        sigs AS (
-          SELECT doc_id,
-                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-          FROM votes GROUP BY doc_id
-        )"""
+    _SIG_SQL = _simhash_sig_sql()
 
     @register(
         "dedup_simhash_collapse",
@@ -484,6 +465,43 @@ def register_round8_sampling() -> None:
         ).select("doc_id", "source", "rnk", "quota")
 
 
+def _simhash_sig_sql() -> str:
+    """The auto-width SimHash signature as a DuckDB CTE block
+    (tok/hashed/votes/sigs, ending with ``sigs`` (doc_id, simhash)) at
+    the driver fixture's pinned width — the ONE definition shared by
+    every r8 simhash oracle (collapse, rep-pairs, components); a
+    signature-contract change edited here reaches them all."""
+    from build_datawarehouse_demo_spark.operators.dedup import simhash_auto_width
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    n_docs = _driver_rows("documents", 500)
+    sbits = 4 * simhash_auto_width(n_docs)
+    shash = (
+        _HASH32
+        if sbits <= 32
+        else "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+        tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {shash.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, {sbits - 1})) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        )"""
+
+
 def register_round8_multimodal() -> None:
     # ------------------------------------------------------------------
     # overlapped audio-style framing — completes the multimodal
@@ -530,39 +548,10 @@ def register_round8_simhash_components() -> None:
     # REP graph -> every doc to its final canonical. The scalable twin
     # of dedup_cluster_components, whose pair graph is doc-level.
     # ------------------------------------------------------------------
-    from build_datawarehouse_demo_spark.operators.dedup import simhash_auto_width
-    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
-
-    _N_DOCS = _driver_rows("documents", 500)
-    _SW = simhash_auto_width(_N_DOCS)
-    _SBITS = 4 * _SW
-    _SHASH = (
-        _HASH32
-        if _SBITS <= 32
-        else "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
-    )
-
     @register(
         "dedup_simhash_components_scalable",
         oracle=f"""
-        WITH RECURSIVE tok AS (
-          SELECT DISTINCT doc_id, tok
-          FROM documents, unnest({_TOK}) AS t(tok)
-        ),
-        hashed AS (
-          SELECT doc_id, {_SHASH.format(expr="'0:' || tok")} AS h FROM tok
-        ),
-        votes AS (
-          SELECT doc_id, i AS bit,
-                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          FROM hashed, unnest(generate_series(0, {_SBITS - 1})) AS g(i)
-          GROUP BY doc_id, i
-        ),
-        sigs AS (
-          SELECT doc_id,
-                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-          FROM votes GROUP BY doc_id
-        ),
+        WITH RECURSIVE {_simhash_sig_sql()},
         reps AS (
           SELECT simhash, min(doc_id) AS rep_id FROM sigs GROUP BY simhash
         ),

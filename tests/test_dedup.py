@@ -355,6 +355,34 @@ def test_remove_duplicate_spans(spark):
     assert got[5] == (docs[4][1], 2, 0)
 
 
+def test_remove_duplicate_spans_protects_owned_overlaps(spark):
+    """Review finding r8: overlapping duplicated spans with DIFFERENT
+    owners. Doc 2 owns span 'a b c d e' but a foreign-owned span
+    'x a b c d' overlaps it; without the protection clause doc 2 would
+    be cut to just 'e' and the passage 'a b c d e' would survive
+    contiguously nowhere. With it: the owner's span stays intact, only
+    the unprotected foreign-covered token ('x') goes."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = [
+        (1, "x a b c d"),        # owns 'x a b c d'
+        (2, "x a b c d e"),      # owns 'a b c d e'; 'x a b c d' foreign
+        (3, "a b c d e"),        # owns nothing
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens_removed)
+        for r in remove_duplicate_spans(df, window=5).collect()
+    }
+    assert got[1] == ("x a b c d", 0)
+    assert got[2] == ("a b c d e", 1)   # 'x' cut, owned span intact
+    assert got[3] == ("", 5)
+    # the duplicated passage survives contiguously somewhere
+    assert "a b c d e" in got[2][0]
+
+
 def test_simhash_scalable_components_equal_doc_level(spark):
     """The collapse -> rep-pairs -> components composition yields the
     SAME final clustering as doc-level pairs -> components: same-sig
