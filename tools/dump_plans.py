@@ -47,6 +47,9 @@ AUDITED = {
     "sim_ivf_trained": "trained IVF, linearized r8 — training scores only the ~64*nlist hash SAMPLE against broadcast centroids; the full-corpus pass routes through ~sqrt(nlist) broadcast super-centroids then the gprobe routed groups (BNLJ stages are broadcast-centroid cross-scores BY DESIGN — the coarse-quantizer pattern; their per-row width is now n^0.25, not sqrt(n)); the search join on the list id is an equi-join",
     "sim_ann_rp_lsh_auto_directed": "query-directed multiprobe — one staged projection pass per side; probe side fans out a CONSTANT 2^T subset-variants explode (no n_planes growth), bucket equi-join, exact-cosine rerank; NO dedup exchange (variants are distinct signatures) and NO cross/nested-loop join",
     "dedup_substring_spans": "substring-span dedup — tokenize+window explode (token-stream volume), partial/final count-distinct agg on 16-byte digests, equi-join of digest counts back to window rows; documents never shuffle",
+    "text_remove_duplicate_spans": "span removal — gram digests + owner agg, foreign-minus-protected cover anti-join, token-stream anti-join, ONE per-doc ordered re-aggregation; text crosses the wire once (the rebuild)",
+    "dedup_simhash_collapse": "radius-0 simhash dedup — signature partial-aggs + ONE exchange on the signature for the min/count window; linear however clustered the corpus",
+    "sample_temperature_mix": "temperature mixing — tiny per-source count agg, scalar-sum broadcast crossJoin, quota broadcast join, ONE exchange on source for the rank window",
     "graph_triangle_count": "degree-ordered triangles — hash aggs + equi-joins over (int,int) pairs only, edge list + oriented list checkpointed once (they are read 4x/2x; uncheckpointed the basket-pair derivation re-executed per reference: 166 Exchanges); never nested-loop",
     "join_interval_overlap": "gridded overlap join — both sides explode to grid cells, ONE equi-join on the cell id, residual overlap + overlap-start-cell claim as filters; the two BroadcastNestedLoopJoin lanes are the r8 long-interval SIDE-CHANNEL (>max_cells-span outliers broadcast against the other side — BY DESIGN, empty at this SF), never the row product",
     "streaming_session_window": "session windows — partial/final SessionWindow aggregation around one Exchange on (user_id); no join, no global window",
