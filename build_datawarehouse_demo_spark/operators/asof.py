@@ -249,6 +249,7 @@ def interval_overlap_join(
     r_hi: str,
     bucket_width: float,
     max_cells: int | None = 64,
+    max_long_rows: int = 10_000,
 ) -> DataFrame:
     """UNKEYED interval-overlap join (half-open: [l_lo, l_hi) meets
     [r_lo, r_hi) iff l_lo < r_hi AND r_lo < l_hi) as an equi-join —
@@ -277,6 +278,17 @@ def interval_overlap_join(
     is bounded by (max_cells+1) cells per short interval.
     ``max_cells=None`` disables the defense (pure grid).
 
+    The side-channel ASSUMES long intervals are few; that assumption is
+    now enforced (ADVICE r8): each long lane is limit-probed against
+    ``max_long_rows`` and the join fails loudly when exceeded — an
+    unguarded broadcast of a numerous long side (bucket_width far below
+    typical interval length) would exhaust driver/executor memory far
+    from the cause. The probe is a LIMIT count (scans until
+    max_long_rows+1 rows, never the full lane). On breach: raise with
+    the fix (bigger bucket_width so long intervals are rare, or
+    max_cells=None for the pure grid, whose explode volume is then the
+    honest cost).
+
     Cost scales with Σ interval-widths / bucket_width per side plus
     true-result size, never the row product; pick bucket_width near
     the median interval length. Empty/inverted intervals (hi <= lo)
@@ -301,6 +313,16 @@ def interval_overlap_join(
         l_long = l_valid.where(span_cells(l_lo, l_hi) >= max_cells)
         r_short = r_valid.where(span_cells(r_lo, r_hi) < max_cells)
         r_long = r_valid.where(span_cells(r_lo, r_hi) >= max_cells)
+        for side, lane in (("left", l_long), ("right", r_long)):
+            if lane.limit(max_long_rows + 1).count() > max_long_rows:
+                raise ValueError(
+                    f"interval_overlap_join: over {max_long_rows} {side}-side "
+                    f"intervals span >= max_cells={max_cells} grid cells — the "
+                    "broadcast side-channel assumes long intervals are FEW. "
+                    "Raise bucket_width (so typical intervals span few cells), "
+                    "raise max_long_rows if the broadcast genuinely fits, or "
+                    "pass max_cells=None for the pure-grid join."
+                )
     else:
         l_short, r_short = l_valid, r_valid
 

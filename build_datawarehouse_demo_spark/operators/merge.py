@@ -213,10 +213,18 @@ def merge_into_partitioned_parquet(
         computed from the already-localCheckpoint'ed winners (one cheap
         scalar agg over materialized rows, not an extra pass over the
         unmaterialized feed; review finding r8). Winners-max >= feed-max
-        (every feed row competed), so it is a monotone, strictly more
-        advanced watermark — tombstones expire no later than under a
-        feed-only clock, and the beyond-horizon-undefined contract is
-        unchanged."""
+        (every feed row competed), so it is a monotone, MORE ADVANCED
+        clock: tombstones expire at the same time or EARLIER than under
+        a feed-only watermark (ADVICE r8 — the earlier wording inverted
+        this). Consequence: one hot touched partition's high order
+        values can advance the clock past a lagging partition's
+        tombstones before ``tombstone_retention`` of that partition's
+        OWN order-time has elapsed — retention is measured against the
+        global winners clock, not per partition. Within the documented
+        beyond-horizon-undefined contract this is sound (retention is a
+        minimum guarantee against the clock stated here); if per-
+        partition horizons matter, shrink batches or raise retention to
+        cover cross-partition lag."""
         if tombstone_retention is None:
             return tombs
         hwm = winners.agg(F.max(order_cols[0])).collect()[0][0]

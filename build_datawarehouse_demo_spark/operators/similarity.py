@@ -332,6 +332,16 @@ def ann_rp_lsh_topk(
         raise ValueError("multiprobe and directed_flips are mutually exclusive")
     if n_planes is None:
         n_planes = ann_auto_planes(corpus.count())
+    if directed_flips and n_planes > 31:
+        # the directed lane's probe-variant masks are built as
+        # 2.0**i cast to INT (shiftleft needs a literal shift amount) —
+        # exact for i <= 30, silently overflowing past bit 31. The auto
+        # path clamps to 24 planes; an explicit wider signature must be
+        # rejected, not wrapped (ADVICE r8).
+        raise ValueError(
+            f"directed_flips supports n_planes <= 31 (int signature width); "
+            f"got n_planes={n_planes}"
+        )
     planes = rp_planes(n_planes, dim)
     c = rp_signature_staged(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv")), "__cv", planes

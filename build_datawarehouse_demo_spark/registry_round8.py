@@ -528,7 +528,12 @@ def register_round8_multimodal() -> None:
         offsets, a deterministic energy feature (byte-value sum), and
         window digests. ASCII text payloads make substr == byte slice
         and ord == byte value, so SQL mirrors the Arrow-batch lane
-        exactly (same contract as multimodal_frame_sample)."""
+        exactly (same contract as multimodal_frame_sample). The
+        ASCII-only fixture invariant is ASSERTED, not assumed (ADVICE
+        r8): DuckDB cannot slice BLOBs, so the oracle is char-based and
+        would silently diverge on multi-byte text —
+        tests/test_gen_testdata.py::test_documents_text_is_ascii fails
+        loudly if the fixture ever grows non-ASCII documents."""
         from build_datawarehouse_demo_spark.operators.multimodal import (
             attach_binary,
             audio_windows,

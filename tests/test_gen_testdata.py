@@ -47,3 +47,23 @@ def test_generated_row_counts_scale_linearly(tmp_path):
     ]:
         n = pq.read_metadata(f"{out}/{t}.parquet").num_rows
         assert n == expect, (t, n, expect)
+
+
+def test_documents_text_is_ascii():
+    """The multimodal oracles (audio windows, frame sample) are
+    char-based DuckDB SQL mirroring BYTE-level Arrow lanes — they agree
+    only while documents.text is pure ASCII (substr == byte slice,
+    ord == byte value; DuckDB cannot slice BLOBs). ADVICE r8: assert
+    the invariant so a fixture change fails HERE, not as a far-away
+    hash mismatch in the correctness gate. Checked on the driver
+    correctness fixture (sf0.01 — the one the oracles run against)."""
+    import pyarrow.parquet as pqt
+
+    col = pqt.read_table("/root/testdata/sf0.01/documents.parquet", columns=["text"])
+    for chunk in col.column("text").chunks:
+        for v in chunk.to_pylist():
+            assert v is not None and v.isascii(), (
+                "documents.text contains non-ASCII content; the char-based "
+                "multimodal oracles (registry_round8.multimodal_audio_windows, "
+                "registry_round5 frame ops) no longer mirror the byte lanes"
+            )

@@ -183,3 +183,49 @@ def test_zorder_write_compact_in_both_dims(spark, tmp_path):
     cs = spans(cpath, ["y"])
     avg_y = sum(hi - lo for lo, hi in cs["y"]) / len(cs["y"])
     assert avg_y > 0.9 * n, f"control unexpectedly compact in y: {avg_y}"
+
+
+def test_training_pipeline_barrier_keeps_filter_above_features(spark):
+    """Pin the optimizer-barrier CONTRACT of prepare_training_data
+    (VERDICT r8 item 6): the quality filter depends on Catalyst's
+    nondeterministic-projection rule to stay ABOVE the feature
+    projection — a Spark upgrade that weakened that rule would silently
+    re-enable a ~20x per-row feature recompute (higher-order functions
+    get no codegen CSE, so a pushed-down predicate re-evaluates
+    split/filter/regexp chains per conjunct). Assert the optimized
+    plan's shape, not the runtime, so the break is loud and immediate.
+    """
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        prepare_training_data,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        prepare_training_data(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    filter_lines = [ln for ln in plan.splitlines() if "Filter " in ln]
+    quality_filters = [ln for ln in filter_lines if "n_tokens" in ln or "quality" in ln]
+    assert quality_filters, f"quality filter vanished from the plan:\n{plan[:2000]}"
+    for ln in quality_filters:
+        # the predicate must reference computed ATTRIBUTES only; any
+        # heavy feature expression inside a Filter means pushdown
+        # substituted the projection below it (the recompute this
+        # barrier exists to prevent)
+        for marker in ("split(", "regexp_", "lambdafunction"):
+            assert marker not in ln, (
+                f"feature expression leaked into a Filter — the optimizer "
+                f"barrier no longer holds:\n{ln}"
+            )
+        assert "monotonically_increasing_id" not in ln.replace(
+            "__barrier", ""
+        ), f"barrier column was inlined into the filter:\n{ln}"
+    # single evaluation of each heavy feature: the cleaned-text regexp
+    # chain and the punctuation extractor each appear exactly once
+    assert plan.count("regexp_extract_all") == 1, plan[:3000]
+    assert plan.count("lower(trim(regexp_replace") == 1, plan[:3000]
