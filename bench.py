@@ -119,6 +119,12 @@ HEADLINE = [
     # super-linear lane; now sampled training + two-level assignment)
     "sim_ann_rp_lsh_auto_directed",
     "dedup_substring_spans",
+    # round-9: the COMPOSED near-dup corpus-prep pipeline (exact dedup
+    # -> auto-banded minhash pairs -> star components -> keep reps ->
+    # span removal -> split in one plan) — the reference-class
+    # deliverable end-to-end, every stage already individually
+    # headlined/capped above
+    "pipeline_training_data_neardup",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

@@ -473,3 +473,45 @@ def test_histogram_equidepth_balances_skewed_data(spark):
         assert a.hi_value <= b.lo_value
     with _pytest.raises(ValueError):
         histogram_equidepth(df, "v", buckets=1)
+
+
+def test_prepare_training_data_neardup_full_chain(spark):
+    """Model-check the COMPOSED pipeline (VERDICT r8 item 1): exact
+    dedup, then MinHash near-dup components collapse near-identical
+    (not byte-identical) docs, then cross-doc duplicated spans are cut
+    from non-owners, then splits assigned."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        prepare_training_data_neardup,
+    )
+
+    base = (
+        "the cat and the dog sat of the mat to rest is fine "
+        "while the sun shines over the green field and the birds sing"
+    )
+    near = base + " today"  # high-Jaccard near-dup of base, not exact
+    boiler = "all rights reserved by the original author of this work"
+    docs = [
+        (1, base),
+        (2, base),              # exact dup -> dropped at exact stage
+        (3, near),              # near dup -> merged into component 1
+        (4, "the red fox is one of a kind and jumps to the far side of the river " + boiler),
+        (5, "a tall ship is the thing to sail the wide sea and find the new land " + boiler),
+        (6, "xyzzy plugh"),     # und -> filtered
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = prepare_training_data_neardup(
+        df, jaccard_threshold=0.7, span_window=5
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 2 (exact) and doc 3 (near) both collapse into component 1
+    assert set(rows) == {1, 4, 5}
+    assert rows[1].component_id == 1
+    # the shared boilerplate span survives intact only in its owner
+    # (doc 4, the min id containing it); doc 5 loses those tokens
+    assert rows[4].n_tokens_removed == 0
+    assert rows[5].n_tokens_removed == len(boiler.split())
+    assert boiler not in rows[5].cleaned_text
+    assert boiler in rows[4].cleaned_text
+    for r in rows.values():
+        assert r.split in ("train", "val", "test")
+        assert r.n_tokens == len(r.cleaned_text.split()) + r.n_tokens_removed
