@@ -183,6 +183,71 @@ def weighted_reservoir_per_group(
     )
 
 
+#: fixed-point scale of the temperature-quota weights: 30 fractional
+#: decimal digits — far past any plausible quota boundary, and exactly
+#: representable in arbitrary-precision integers on every platform
+_TEMP_FP_SCALE = 10**30
+
+
+def _iroot(x: int, p: int) -> int:
+    """floor(x ** (1/p)) for non-negative integer x, positive integer
+    p — exact integer Newton iteration (the isqrt generalization), so
+    the result is a pure function of (x, p) on any platform, with none
+    of libm pow's last-ulp variation."""
+    if x < 0 or p <= 0:
+        raise ValueError(f"_iroot needs x >= 0, p >= 1 (got x={x}, p={p})")
+    if p == 1 or x in (0, 1):
+        return x
+    r = 1 << -(-x.bit_length() // p)  # >= true root: 2^ceil(bits/p)
+    while True:
+        nr = ((p - 1) * r + x // r ** (p - 1)) // p
+        if nr >= r:
+            break
+        r = nr
+    while r**p > x:
+        r -= 1
+    return r
+
+
+def temperature_quotas(
+    counts: dict, budget: int, temperature: float
+) -> dict:
+    """Per-source quotas ∝ n_s^(1/T), computed in EXACT integer
+    arithmetic (VERDICT r8 item 2 — this removes the former T=2-only
+    restriction):
+
+    - T is resolved to the nearest rational p/q with q <= 1000
+      (``Fraction(T).limit_denominator``) — exact for every practical
+      temperature (1.5 -> 3/2, 3.0 -> 3/1) and it bounds the integer
+      exponents below;
+    - the weight w_s = floor(n_s^(q/p) * 10^30) is the integer p-th
+      root of n_s^q * 10^(30*p) (``_iroot`` — exact Newton, no libm);
+    - quota_s = (budget * w_s) // Σw — one bigint division.
+
+    Every step is arbitrary-precision integer math, so the quotas are
+    bit-identical on any engine/platform/libm — the reproducibility
+    the old IEEE-sqrt special case bought for T=2, now for all T > 0.
+    Sources with n <= 0 get quota 0. Σ quotas <= budget by the floor;
+    a tiny source's quota may exceed its n (the rank filter then just
+    takes the whole source and the budget is under-filled).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    from fractions import Fraction
+
+    t = Fraction(temperature).limit_denominator(1000)
+    p, q = t.numerator, t.denominator  # T = p/q, so 1/T = q/p
+    w = {
+        s: _iroot(int(n) ** q * _TEMP_FP_SCALE**p, p)
+        for s, n in counts.items()
+        if n and n > 0
+    }
+    total = sum(w.values())
+    if total == 0:
+        return {s: 0 for s in counts}
+    return {s: (budget * ws) // total for s, ws in w.items()}
+
+
 def sample_temperature_mix(
     df: DataFrame,
     source_col: str,
@@ -199,25 +264,24 @@ def sample_temperature_mix(
     the quota is filled with a DETERMINISTIC uniform per-source draw
     (md5-hash rank, engine-portable like every sampler here).
 
-    Only temperature=2.0 (quota ∝ sqrt(n_s)) is currently supported:
-    sqrt is correctly-rounded under IEEE 754 in every engine, so the
-    quota arithmetic is bit-reproducible for the oracle; a general
-    pow(n, 1/T) differs in the last ulp between libm implementations
-    and could flip a floor() at a quota boundary. The share is
-    additionally rounded to 6dp before the floor to squash summation-
-    order ulps in Σ√n. Output: sampled rows + (rnk, quota).
+    Any temperature > 0 is supported. Quotas follow the
+    ``temperature_quotas`` fixed-point integer contract: weights are
+    floor(n^(1/T) * 10^30) by exact integer root extraction, quotas
+    floor(budget * w / Σw) by bigint division — bit-reproducible on
+    every platform, no libm pow anywhere (the former T=2-only
+    IEEE-sqrt restriction is gone; its rationale — a float pow could
+    flip a floor at a quota boundary — is answered by doing no float
+    arithmetic at all).
 
-    Scale shape: one count aggregate per source (tiny), the scalar
-    Σ√n broadcast by crossJoin, quotas broadcast into the rank filter,
-    ONE shuffle on source_col for the rank window.
+    Scale shape: one count aggregate per source collected to the
+    driver (sources are a bounded-cardinality dimension — languages /
+    domains / registries, thousands at most; the same scalar-collect
+    discipline as the components fingerprint), quotas broadcast back
+    as literals, ONE shuffle on source_col for the rank window.
+    Output: sampled rows + (rnk, quota).
     """
-    if temperature != 2.0:
-        raise NotImplementedError(
-            "only temperature=2.0 (sqrt weighting) is supported: sqrt is "
-            "correctly rounded per IEEE 754, so quotas are engine-"
-            "reproducible; pow(n, 1/T) is not"
-        )
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     # null-id rows leave BEFORE counting: quotas must be proportional
     # to the DRAWABLE population, or a source with many null ids would
@@ -225,25 +289,21 @@ def sample_temperature_mix(
     # (review finding r8; same filter-first discipline as
     # weighted_reservoir_per_group)
     df = df.where(F.col(id_col).isNotNull())
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    tot = counts.agg(F.sum(F.sqrt(F.col("__n"))).alias("__tw"))
-    quotas = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            source_col,
-            F.floor(
-                F.round(
-                    F.lit(float(budget)) * F.sqrt(F.col("__n")) / F.col("__tw"), 6
-                )
-            )
-            .cast("int")
-            .alias("quota"),
-        )
+    counts = {
+        row[0]: row[1]
+        for row in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    quotas = temperature_quotas(counts, budget, temperature)
+    qdf = df.sparkSession.createDataFrame(
+        [(s, int(k)) for s, k in quotas.items()],
+        T.StructType(
+            [df.schema[source_col], T.StructField("quota", T.IntegerType(), False)]
+        ),
     )
     h = hash32(F.concat(F.lit("temp:"), F.col(id_col).cast("string")), seed=seed)
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .join(F.broadcast(quotas), source_col)
+        .join(F.broadcast(qdf), source_col)
         .where(F.col("rnk") <= F.col("quota"))
     )

@@ -141,6 +141,7 @@ def _load_all() -> None:
     )
     from build_datawarehouse_demo_spark.registry_round9 import (  # noqa
         register_round9_pipeline,
+        register_round9_temperature,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
@@ -176,6 +177,7 @@ def _load_all() -> None:
     register_round8_simhash_scalable()
     register_round8_spans()
     register_round9_pipeline()
+    register_round9_temperature()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -425,15 +425,16 @@ def register_round8_sampling() -> None:
     # lever (T=2: sqrt weighting, the IEEE-exact case)
     # ------------------------------------------------------------------
     _BUDGET = 200
+    from build_datawarehouse_demo_spark.registry_round9 import (
+        _driver_source_counts,
+        _quota_values_sql,
+    )
 
     @register(
         "sample_temperature_mix",
         oracle=f"""
-        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-        tw AS (SELECT sum(sqrt(n)) AS t FROM c),
-        tgt AS (
-          SELECT source, CAST(floor(round({_BUDGET} * sqrt(n) / t, 6)) AS INTEGER) AS quota
-          FROM c, tw
+        WITH tgt(source, quota) AS (
+          {_quota_values_sql(_driver_source_counts("source"), _BUDGET, 2.0)}
         ),
         ranked AS (
           SELECT doc_id, source,
@@ -452,7 +453,11 @@ def register_round8_sampling() -> None:
         sqrt(n_source) (temperature 2): tail sources up-weighted
         relative to natural proportions without flattening the head;
         the draw within each source is the md5-hash rank, so both
-        engines pick the identical docs."""
+        engines pick the identical docs. r9: quotas now come from the
+        exact-integer temperature_quotas contract; the oracle pins
+        them via the SAME function at the fixture counts (the r6
+        pinned-constant discipline), and the T=1 sibling in
+        registry_round9 keeps a fully-SQL-independent quota oracle."""
         from build_datawarehouse_demo_spark.operators.sampling import (
             sample_temperature_mix,
         )

@@ -175,5 +175,96 @@ def test_sample_temperature_mix_quota_law(spark):
         for r in sample_temperature_mix(df, "source", "doc_id", budget=budget).collect()
     }
     assert again == {(r.doc_id, r.source) for r in out}
-    with pytest.raises(NotImplementedError, match="temperature"):
-        sample_temperature_mix(df, "source", "doc_id", budget=budget, temperature=3.0)
+    with pytest.raises(ValueError, match="temperature"):
+        sample_temperature_mix(df, "source", "doc_id", budget=budget, temperature=0.0)
+
+
+def test_temperature_quotas_integer_contract():
+    """The exact-integer quota math (VERDICT r8 item 2), parameterized
+    over T: the former T=2-only IEEE restriction is gone and the
+    contract is pure bigint arithmetic — verify the floor law against
+    arbitrary-precision Fraction references, root exactness, and the
+    temperature limits (T=1 natural, T→∞ uniform)."""
+    from fractions import Fraction
+
+    import pytest
+
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        _TEMP_FP_SCALE,
+        _iroot,
+        temperature_quotas,
+    )
+
+    counts = {"head": 9000, "mid": 640, "tail": 27, "tiny": 1, "empty": 0}
+    budget = 1000
+    for temp in (0.5, 1.0, 1.5, 2.0, 3.0, 7.0):
+        q = temperature_quotas(counts, budget, temp)
+        assert q["empty"] == 0 if "empty" in q else True
+        live = {s: n for s, n in counts.items() if n > 0}
+        assert sum(q.values()) <= budget
+        # floor law against an exact rational reference: the weight is
+        # floor(n^(q/p) * S) by definition of the integer root, so
+        # re-derive it independently with Fraction-exact checks
+        t = Fraction(temp).limit_denominator(1000)
+        p_, q_ = t.numerator, t.denominator
+        w = {}
+        for s, n in live.items():
+            r = _iroot(n**q_ * _TEMP_FP_SCALE**p_, p_)
+            assert r**p_ <= n**q_ * _TEMP_FP_SCALE**p_ < (r + 1) ** p_
+            w[s] = r
+        tot = sum(w.values())
+        for s in live:
+            assert q[s] == (budget * w[s]) // tot
+        # monotone: more rows never means a smaller quota
+        ordered = sorted(live, key=live.__getitem__)
+        for a, b in zip(ordered, ordered[1:]):
+            assert q[a] <= q[b]
+    # T=1 is natural proportions exactly
+    q1 = temperature_quotas(counts, budget, 1.0)
+    tot = sum(n for n in counts.values() if n > 0)
+    for s, n in counts.items():
+        if n > 0:
+            assert q1[s] == budget * n // tot
+    # T→∞ tends to uniform: at T=1000, n^(1/T) is within 1% of 1 even
+    # for the 9000-row head, so every live source sits within 1% of
+    # budget / n_live
+    qinf = temperature_quotas(counts, budget, 1000.0)
+    live_n = sum(1 for n in counts.values() if n > 0)
+    for s, n in counts.items():
+        if n > 0:
+            assert abs(qinf[s] - budget / live_n) <= budget * 0.01
+    with pytest.raises(ValueError):
+        temperature_quotas(counts, budget, -1.0)
+    with pytest.raises(ValueError):
+        _iroot(-1, 2)
+
+
+def test_sample_temperature_mix_general_t(spark):
+    """General-T behavior on a skewed corpus: higher T flattens the
+    mix (tail share rises monotonically with T), and the draw stays
+    deterministic at every T."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_temperature_mix,
+    )
+
+    rows = [(i, "head") for i in range(900)] + [(1000 + i, "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    tail_share = []
+    for temp in (1.0, 2.0, 4.0):
+        out = sample_temperature_mix(
+            df, "source", "doc_id", budget=100, temperature=temp
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.source, set()).add(r.doc_id)
+        tail_share.append(len(by.get("tail", ())) / len(out))
+        again = sample_temperature_mix(
+            df, "source", "doc_id", budget=100, temperature=temp
+        ).collect()
+        assert {(r.doc_id, r.source) for r in again} == {
+            (r.doc_id, r.source) for r in out
+        }
+    assert tail_share[0] < tail_share[1] < tail_share[2]
+    # T=1 natural: ~10% tail; T=4: tail up-weighted past 20%
+    assert abs(tail_share[0] - 0.1) < 0.02
+    assert tail_share[2] > 0.2
