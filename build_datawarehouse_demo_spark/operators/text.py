@@ -69,6 +69,113 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: pinned BPE merge table — produced by tools/train_bpe.py (classic
+#: Sennrich-2016 pair-merge learning) at n_merges=48 over the driver
+#: fixture corpus. Symbols are alphanumeric ONLY (the trainer's
+#: contract), so every rule applies as a LITERAL regex in both Java
+#: regex (Spark) and RE2 (DuckDB) with no escaping differences.
+#: Deterministic: count ties break to the shorter, then lexicographic
+#: merged symbol.
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("p", "a"), ("pa", "r"),
+    ("j", "o"), ("jo", "in"), ("s", "h"), ("h", "a"), ("ha", "sh"),
+    ("r", "ow"), ("c", "h"), ("b", "at"), ("bat", "ch"), ("s", "c"),
+    ("a", "n"), ("sc", "an"), ("m", "n"), ("c", "u"), ("c", "o"),
+    ("st", "o"), ("lu", "mn"), ("cu", "sto"), ("co", "lumn"),
+    ("custo", "mer"), ("l", "t"), ("f", "i"), ("lt", "er"),
+    ("fi", "lter"), ("s", "m"), ("l", "l"), ("sm", "a"), ("sma", "ll"),
+    ("s", "l"), ("g", "e"), ("sl", "ow"), ("mer", "ge"), ("v", "e"),
+    ("c", "t"), ("or", "d"), ("ve", "ct"), ("ord", "er"),
+    ("vect", "or"),
+]
+
+_BPE_SYM_RE = r"^[a-z0-9]+$"
+
+
+def bpe_merged_symbols(toks: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a BPE merge table to a (lowercased) token-array column and
+    return the merged-symbol encoding string — the double-space trick
+    that makes subword merging a chain of LITERAL regex replaces, fully
+    inside whole-stage codegen (VERDICT r8 item 3: no Python in the
+    per-token hot path; merges are compile-time literals, the
+    "broadcast" is the pattern chain itself):
+
+    - every word becomes its characters joined by TWO spaces; words
+      join with a '  |  ' separator (and the '|' char is stripped from
+      words first, so the separator is unambiguous); the whole string
+      is wrapped in double spaces;
+    - merge rule (a, b) is regexp_replace(' a  b ', ' ab '): each
+      match consumes one space per side and the replacement restores
+      it, so the symbols-separated-by->=2-spaces invariant holds after
+      every pass, matches never straddle a '|' word boundary, and the
+      engine's leftmost non-overlapping global replace implements the
+      standard left-to-right merge scan ('a a a' -> 'aa a'). Java
+      regex and RE2 agree exactly on literal patterns (no lookaround
+      anywhere — RE2 has none);
+    - rules apply in TABLE ORDER, each as one global pass (the
+      sequential-rank contract of subword-nmt's apply_bpe), so later
+      rules see earlier rules' merged symbols.
+
+    Token count = symbols remaining = len of the '  '-split minus word
+    separators (see bpe_token_count). Scale shape: a narrow per-row
+    expression chain — no shuffle, no state, linear in corpus size.
+    """
+    import re
+
+    for a, b in merges:
+        if not (re.match(_BPE_SYM_RE, a) and re.match(_BPE_SYM_RE, b)):
+            raise ValueError(
+                f"merge symbols must be lowercase alphanumeric (got {(a, b)!r}); "
+                "non-alnum symbols would need regex escaping, which Java regex "
+                "and RE2 do not agree on"
+            )
+    enc = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda w: F.array_join(F.split(F.translate(w, "|", ""), ""), "  "),
+            ),
+            "  |  ",
+        ),
+        F.lit("  "),
+    )
+    for a, b in merges:
+        enc = F.regexp_replace(enc, f" {a}  {b} ", f" {a}{b} ")
+    return enc
+
+
+def bpe_token_count(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Subword token count under a pinned BPE merge table — the count
+    that mixing quotas and packing budgets should run on (whitespace
+    counts systematically undercount code/CJK; VERDICT r8 item 3).
+    Tokens are lowercased, split to characters, merged per
+    ``bpe_merged_symbols``; the count is the number of surviving
+    symbols across all words. Adds ``out_col`` (bigint) alongside
+    n_ws_tokens for comparison."""
+    merges = DEFAULT_BPE_MERGES if merges is None else merges
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    enc = bpe_merged_symbols(toks, merges)
+    n = F.size(
+        F.filter(
+            F.split(F.trim(enc), "  "),
+            lambda s: (s != "") & (s != "|"),
+        )
+    )
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(tokens(text_col)).cast("bigint"),
+            out_col: n.cast("bigint"),
+        }
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword heuristics -> quality in [0,1].
 
@@ -424,6 +531,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_size: int = 64,
     overlap: int = 16,
+    counter: str = "ws",
 ) -> DataFrame:
     """Sliding-window document chunking: split each document into
     token-window chunks of `chunk_size` whitespace tokens, advancing by
@@ -434,7 +542,15 @@ def chunk_documents(
     start offsets); no shuffle — chunks inherit the parent document's
     partition, so a 100 TB corpus chunks in a single codegen'd scan
     stage. Documents with zero tokens yield no chunks.
+    Chunk BOUNDARIES are always whitespace-token windows (boundary
+    positions must not depend on the counter, or re-counting would
+    re-chunk the corpus); ``counter="bpe"`` additionally reports each
+    chunk's subword cost (``n_chunk_tokens_bpe`` under the pinned
+    merge table) — the number a packing budget actually consumes
+    (VERDICT r8 item 3).
     """
+    if counter not in ("ws", "bpe"):
+        raise ValueError(f"counter must be 'ws' or 'bpe', got {counter!r}")
     if not 0 <= overlap < chunk_size:
         raise ValueError(f"need 0 <= overlap({overlap}) < chunk_size({chunk_size})")
     step = chunk_size - overlap
@@ -444,7 +560,7 @@ def chunk_documents(
         .filter(F.col("__n") > 0)
     )
     starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
-    return staged.select(
+    out = staged.select(
         F.col(id_col), F.col("__toks"), F.col("__n"), F.posexplode(starts).alias("chunk_id", "__s")
     ).select(
         F.col(id_col),
@@ -456,6 +572,11 @@ def chunk_documents(
             "n_chunk_tokens"
         ),
     )
+    if counter == "bpe":
+        out = bpe_token_count(
+            out, text_col="chunk_text", out_col="n_chunk_tokens_bpe"
+        ).drop("n_ws_tokens")
+    return out
 
 
 def pack_sequences(
@@ -464,6 +585,7 @@ def pack_sequences(
     text_col: str = "text",
     ctx: int = 256,
     shards: int = 8,
+    counter: str = "ws",
 ) -> DataFrame:
     """Concat-and-cut sequence packing layout: order documents by id
     within hash shards, lay their token streams end to end, and report
@@ -476,13 +598,26 @@ def pack_sequences(
     by `id % shards` — each shard's running sum is independent and the
     whole layout is one shuffle on the shard key. Empty documents
     occupy their start point (end_seq = start_seq, zero tokens).
+
+    ``counter="bpe"`` lays the stream out in SUBWORD tokens (the pinned
+    merge table via bpe_token_count) instead of whitespace tokens —
+    the budget a real ctx-window batch consumes (VERDICT r8 item 3);
+    offsets/seq numbers then count BPE symbols. Same single shard
+    shuffle either way (the count is a narrow per-row expression).
     """
     from pyspark.sql.window import Window
 
+    if counter not in ("ws", "bpe"):
+        raise ValueError(f"counter must be 'ws' or 'bpe', got {counter!r}")
+    if counter == "bpe":
+        n_tok = F.col("n_bpe_tokens")
+        df = bpe_token_count(df, text_col=text_col)
+    else:
+        n_tok = F.size(tokens(text_col))
     staged = df.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(shards)).cast("bigint").alias("shard"),
-        F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(n_tok, F.lit(0)).cast("bigint").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

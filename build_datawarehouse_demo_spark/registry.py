@@ -140,6 +140,7 @@ def _load_all() -> None:
         register_round8_spans,
     )
     from build_datawarehouse_demo_spark.registry_round9 import (  # noqa
+        register_round9_bpe,
         register_round9_pipeline,
         register_round9_temperature,
     )
@@ -178,6 +179,7 @@ def _load_all() -> None:
     register_round8_spans()
     register_round9_pipeline()
     register_round9_temperature()
+    register_round9_bpe()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -354,3 +354,48 @@ def register_round9_temperature() -> None:
 
     _pinned_temp_entry("sample_temperature_mix_t15", 1.5)
     _pinned_temp_entry("sample_temperature_mix_t3", 3.0)
+
+
+def register_round9_bpe() -> None:
+    # ------------------------------------------------------------------
+    # BPE subword token counting (VERDICT r8 item 3): the pinned merge
+    # table (tools/train_bpe.py over the fixture corpus) applied as a
+    # chain of LITERAL regex replaces — the oracle REPLAYS the same
+    # chain in DuckDB (RE2 and Java regex agree exactly on literal
+    # patterns and global leftmost non-overlapping replacement), so the
+    # whole merge procedure is verified independently, not pinned.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.text import DEFAULT_BPE_MERGES
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
+
+    enc = (
+        "'  ' || array_to_string(list_transform(" + _TOK + ", "
+        "w -> array_to_string(string_split(replace(lower(w), '|', ''), ''), '  ')"
+        "), '  |  ') || '  '"
+    )
+    for a, b in DEFAULT_BPE_MERGES:
+        enc = f"regexp_replace({enc}, ' {a}  {b} ', ' {a}{b} ', 'g')"
+
+    @register(
+        "text_token_count_bpe",
+        oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(list_filter(string_split(trim({enc}), '  '),
+                        x -> x <> '' AND x <> '|')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+        """,
+    )
+    def q_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Subword token count under the pinned 48-rule BPE table:
+        lowercase words -> characters double-space-joined -> one
+        literal regexp_replace per merge rule (table order; each pass
+        is the engine's leftmost non-overlapping global replace = the
+        standard left-to-right merge scan) -> surviving symbol count.
+        Whitespace count rides alongside for the under-count
+        comparison. Pure codegen'd expressions; linear, shuffle-free."""
+        from build_datawarehouse_demo_spark.operators.text import bpe_token_count
+
+        return bpe_token_count(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_ws_tokens", "n_bpe_tokens"
+        )
