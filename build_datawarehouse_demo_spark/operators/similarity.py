@@ -567,6 +567,81 @@ def build_ivf_index(
     return spark.table(table_name), spark.table(f"{table_name}_centroids")
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    table_name: str,
+    gprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 8,
+    dedup_ids: bool = True,
+) -> DataFrame:
+    """Incremental maintenance of a build_ivf_index index (VERDICT r8
+    item 4): assign NEW vectors against the STORED (frozen) centroids
+    and append them to the bucketed lists table — the build-once /
+    search-many story's missing append half. No retraining, no rewrite
+    of existing lists; per-batch cost is the batch's assignment plus a
+    bucketed append.
+
+    EXACT build parity: the two-level routing structure (super-
+    centroids + groups) is REDERIVED from the stored centroids with
+    the same deterministic functions the build used
+    (ivf_group_centroids(n_iter=1, round_to=6) over the same 6dp-
+    rounded centroid vectors — parquet round-trips doubles exactly),
+    so an appended vector lands in the IDENTICAL list it would have
+    landed in had it been present at build time with the same frozen
+    quantizer. The parity pytest asserts appended-index lists ==
+    union-built lists bit-for-bit. ``gprobe`` and ``buckets`` must
+    match the build's values (same defaults).
+
+    ``dedup_ids=True`` anti-joins the incoming batch against stored
+    ids (makes re-delivered batches idempotent); it costs an id-column
+    scan of the lists table per batch — bulk pipelines with
+    guaranteed-fresh ids can disable it.
+
+    STALENESS: the quantizer is frozen, so appends that DRIFT from the
+    build-time distribution skew list occupancy and degrade the
+    nprobe/recall trade (hot lists scan more, sparse lists waste
+    probes). Retrain (rebuild_ivf via build_ivf_index) when the
+    appended fraction passes ~30% of the indexed corpus or the max/
+    mean list-size imbalance exceeds ~4x — both checkable from the
+    lists table with one aggregate.
+
+    Returns the appended (id, centroid_id) assignment (the lists table
+    itself is the durable output)."""
+    import math
+
+    spark = new_vectors.sparkSession
+    cents = spark.table(f"{table_name}_centroids").select(
+        "centroid_id", F.col("vec").alias(vec_col)
+    )
+    nlist = cents.count()
+    ngroups = max(1, math.ceil(math.sqrt(nlist)))
+    sup, groups = ivf_group_centroids(
+        cents, n_groups=ngroups, n_iter=1, vec_col=vec_col, round_to=6
+    )
+    if dedup_ids:
+        existing = spark.table(table_name).select(id_col)
+        new_vectors = new_vectors.join(existing, id_col, "left_anti")
+    assigned = ivf_assign_two_level(
+        new_vectors, cents, sup, groups, gprobe=gprobe, id_col=id_col, vec_col=vec_col
+    )
+    # materialize the batch BEFORE the append: the dedup anti-join
+    # reads the lists table, so a lazy plan re-evaluated after the
+    # write would see its own rows and filter the whole batch out
+    lists = assigned.select(
+        F.col(id_col), "centroid_id", F.col("__v").alias("vec")
+    ).localCheckpoint()
+    (
+        lists.write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .saveAsTable(table_name)
+    )
+    return lists.select(id_col, "centroid_id")
+
+
 def ivf_index_search_topk(
     lists: DataFrame,
     centroids: DataFrame,

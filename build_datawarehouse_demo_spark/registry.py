@@ -141,6 +141,7 @@ def _load_all() -> None:
     )
     from build_datawarehouse_demo_spark.registry_round9 import (  # noqa
         register_round9_bpe,
+        register_round9_ivf_append,
         register_round9_pipeline,
         register_round9_temperature,
     )
@@ -180,6 +181,7 @@ def _load_all() -> None:
     register_round9_pipeline()
     register_round9_temperature()
     register_round9_bpe()
+    register_round9_ivf_append()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -399,3 +399,110 @@ def register_round9_bpe() -> None:
         return bpe_token_count(_t(spark, sf_dir, "documents")).select(
             "doc_id", "n_ws_tokens", "n_bpe_tokens"
         )
+
+
+def register_round9_ivf_append() -> None:
+    # ------------------------------------------------------------------
+    # incremental IVF maintenance (VERDICT r8 item 4): build the index
+    # on the corpus MINUS the last 50 vectors, append those 50 against
+    # the frozen stored quantizer, and hash-verify the final lists
+    # against a DuckDB restatement where the quantizer trains on the
+    # old rows and the two-level route covers ALL rows — exact parity
+    # because append rederives (super-centroids, groups) from the
+    # stored centroid table with the same deterministic functions the
+    # build used (pytest: appended lists == union-built lists).
+    # ------------------------------------------------------------------
+    import math
+
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_sample_modulus,
+    )
+    from build_datawarehouse_demo_spark.registry_round7 import (
+        IVF_GPROBE,
+        _cos_sql,
+        _lloyd_sql,
+    )
+
+    _N_EMB = _driver_rows("embeddings", 500)
+    _SPLIT = _N_EMB - 50
+    _NL = max(2, math.ceil(math.sqrt(_SPLIT)))
+    _SK = ivf_sample_modulus(_SPLIT, _NL)
+    _NG = max(1, math.ceil(math.sqrt(_NL)))
+
+    @register(
+        "sim_ivf_index_append",
+        oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eo AS (SELECT vec_id, v FROM e WHERE vec_id < {_SPLIT}),
+        samp AS (
+          SELECT vec_id, v FROM eo
+          WHERE CAST(('0x' || substr(md5('0:ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % {_SK} = 0
+        ),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM eo WHERE vec_id < {_NL}),
+        {_lloyd_sql("c0", "c1", corpus="samp")},
+        {_lloyd_sql("c1", "c2", corpus="samp")},
+        cc AS (SELECT cid AS vec_id, cv AS v FROM c2),
+        s0 AS (SELECT cid, cv FROM c2 ORDER BY cid LIMIT {_NG}),
+        {_lloyd_sql("s0", "s1", corpus="cc")},
+        grp AS (
+          SELECT cid, gid FROM (
+            SELECT c.cid, s.cid AS gid,
+                   row_number() OVER (PARTITION BY c.cid
+                       ORDER BY {_cos_sql("c.cv", "s.cv")} DESC, s.cid) AS rn
+            FROM c2 c, s1 s
+          ) WHERE rn = 1
+        ),
+        route AS (
+          SELECT vec_id, gid, v FROM (
+            SELECT e.vec_id, s.cid AS gid, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.v", "s.cv")} DESC, s.cid) AS rn
+            FROM e, s1 s
+          ) WHERE rn <= {IVF_GPROBE}
+        ),
+        lists AS (
+          SELECT vec_id, cid FROM (
+            SELECT r.vec_id, g.cid,
+                   row_number() OVER (PARTITION BY r.vec_id
+                       ORDER BY {_cos_sql("r.v", "c.cv")} DESC, g.cid) AS rn
+            FROM route r JOIN grp g ON g.gid = r.gid JOIN c2 c ON c.cid = g.cid
+          ) WHERE rn = 1
+        )
+        SELECT vec_id, cid AS centroid_id FROM lists
+        """,
+    )
+    def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Build the trained-IVF index on the first {_SPLIT} vectors,
+        then ivf_index_append the remaining 50 against the frozen
+        stored quantizer (two-level route rederived from the stored
+        centroid table); return the final lists (vec_id, centroid_id).
+        The oracle trains on the old rows only and routes ALL rows —
+        identical by the frozen-quantizer append contract. Always
+        rebuilds (this entry times build + append)."""
+        from build_datawarehouse_demo_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_append,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        n = emb.count()
+        split = n - 50
+        nlist = max(2, math.ceil(math.sqrt(split)))
+        old = emb.filter(F.col("vec_id") < split)
+        new = emb.filter(F.col("vec_id") >= split)
+        seeds = old.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        build_ivf_index(
+            old,
+            "ivf_app_idx",
+            seeds=seeds,
+            path=f"{_bucketed_scratch_dir()}/ivf_app_idx",
+            n=split,
+        )
+        ivf_index_append(new, "ivf_app_idx")
+        return spark.table("ivf_app_idx").select("vec_id", "centroid_id")
