@@ -143,6 +143,7 @@ def _load_all() -> None:
         register_round9_bpe,
         register_round9_ivf_append,
         register_round9_pipeline,
+        register_round9_streaming_neardup,
         register_round9_temperature,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -182,6 +183,7 @@ def _load_all() -> None:
     register_round9_temperature()
     register_round9_bpe()
     register_round9_ivf_append()
+    register_round9_streaming_neardup()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

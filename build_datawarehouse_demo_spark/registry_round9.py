@@ -506,3 +506,51 @@ def register_round9_ivf_append() -> None:
         )
         ivf_index_append(new, "ivf_app_idx")
         return spark.table("ivf_app_idx").select("vec_id", "centroid_id")
+
+
+def register_round9_streaming_neardup() -> None:
+    # ------------------------------------------------------------------
+    # streaming near-dup dedup (VERDICT r8 item 5): signature-based
+    # dropDuplicatesWithinWatermark — this entry states the
+    # DETERMINISTIC batch twin (min-id survivor per signature) against
+    # the shared signature SQL; the stream ≡ batch property (near-dups
+    # redelivered across micro-batches still collapse) is the
+    # accompanying pytest, which a batch oracle cannot express
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.registry_round8 import _simhash_sig_sql
+
+    @register(
+        "streaming_neardup_collapse_batch",
+        oracle=f"""
+        WITH {_simhash_sig_sql()}
+        SELECT doc_id, simhash,
+               CAST(cnt AS BIGINT) AS cluster_size
+        FROM (
+          SELECT doc_id, simhash,
+                 min(doc_id) OVER (PARTITION BY simhash) AS keep_id,
+                 count(*) OVER (PARTITION BY simhash) AS cnt
+          FROM sigs
+        ) WHERE doc_id = keep_id
+        """,
+    )
+    def q_stream_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch form of the streaming near-dup collapse: the NARROW
+        per-row signature expression (simhash_narrow — the one the
+        stream computes, no explode/groupBy) must reproduce the batch
+        operator's exploded signature bit-for-bit; survivors are the
+        min-id canonical per signature with cluster size. The oracle
+        is the shared exploded-signature SQL — so this entry verifies
+        the narrow/exploded equivalence on the full fixture corpus,
+        on top of the unit pytest."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            simhash_auto_width,
+        )
+        from build_datawarehouse_demo_spark.streaming.dedup import (
+            neardup_document_stream,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        w = simhash_auto_width(docs.count())
+        return neardup_document_stream(docs, bits=4 * w).select(
+            "doc_id", "simhash", "cluster_size"
+        )

@@ -57,3 +57,77 @@ def test_stream_dedup_across_batches_equals_batch(spark):
         n_input = spark.read.parquet(tmpdir).count()
         assert len(want) * 2 == n_input  # every row really was duplicated
         assert got == want and len(got) > 0
+
+
+def test_stream_neardup_across_batches_equals_batch(spark):
+    """Streaming NEAR-dup dedup (VERDICT r8 item 5): near-duplicate
+    documents — same SimHash signature, not necessarily same bytes or
+    id — redelivered in LATER micro-batches still collapse to one
+    survivor per signature, and the surviving signature set equals the
+    deterministic batch twin's. Also pins narrow ≡ exploded signature
+    equivalence against the batch simhash operator."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from build_datawarehouse_demo_spark.operators.dedup import simhash
+    from build_datawarehouse_demo_spark.streaming.dedup import (
+        neardup_document_stream,
+        simhash_narrow,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    # doc 2 = doc 1 word-permuted (same distinct-token set -> identical
+    # signature); doc 4 = doc 3 re-ordered; doc 5 unrelated
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "2024-01-01 10:00:00"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta", "2024-01-01 10:00:30"),
+    ]
+    rows2 = [
+        (2, "quick the brown fox jumps over lazy the dog near river the bank", "2024-01-01 10:01:00"),
+        (4, "theta eta zeta epsilon delta gamma beta alpha", "2024-01-01 10:01:30"),
+        (5, "completely different content about spark streaming state stores", "2024-01-01 10:02:00"),
+    ]
+    schema = "doc_id long, text string, ts string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    # narrow == exploded signature on the union (the contract the
+    # registry entry re-verifies corpus-wide)
+    union = mk(rows1 + rows2)
+    narrow = {r.doc_id: r.simhash for r in simhash_narrow(union).collect()}
+    exploded = {r.doc_id: r.simhash for r in simhash(union).collect()}
+    assert narrow == exploded
+    assert narrow[1] == narrow[2] and narrow[3] == narrow[4]
+    assert len({narrow[1], narrow[3], narrow[5]}) == 3
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        mk(rows1).coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        mk(rows2).coalesce(1).write.mode("append").parquet(tmpdir)
+        sch = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        stream = neardup_document_stream(
+            spark.readStream.format("parquet")
+            .schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .load(tmpdir)
+        )
+        assert stream.isStreaming
+        run_stream_to_memory(stream, "neardup_out", output_mode="append")
+        got = spark.sql("SELECT * FROM neardup_out").collect()
+        batch = neardup_document_stream(spark.read.parquet(tmpdir)).collect()
+        # one survivor per signature on both forms; identical signature
+        # sets; batch survivor is the min id of its cluster
+        assert sorted(r.simhash for r in got) == sorted(r.simhash for r in batch)
+        assert len(got) == 3
+        assert {r.doc_id for r in batch} == {1, 3, 5}
+        assert {(r.simhash, r.cluster_size) for r in batch} == {
+            (narrow[1], 2), (narrow[3], 2), (narrow[5], 1)
+        }
