@@ -202,6 +202,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     if extra := os.environ.get("SPARK_GRAFT_BENCH_EXTRA"):
         names += [n for n in extra.split(",") if n in qs and n not in names]
+    if only := os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        # restrict to a named subset (long-lever scale legs measure the
+        # auto-sized lanes only — a full headline at sf8 would burn the
+        # exclusive bench window on queries whose exponents the sf1->sf4
+        # artifact already pins)
+        keep = {n for n in only.split(",")}
+        names = [n for n in names if n in keep]
 
     # JVM/codegen warmup on the smallest query so q1 doesn't pay it.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -228,7 +235,14 @@ def main() -> None:
         # one calibration sample per run, interleaved with the queries
         # so the anchor sees the same box state they did
         cal_samples.append(_calibration(spark))
-    samples["write_tables_concurrent"] = [_timed_write(spark, sf_dir) for _ in range(runs)]
+    if not only:
+        # the sink-path bench is part of the standard headline only;
+        # restricted (BENCH_ONLY) scale legs measure queries, and a
+        # 4-table materialization per run at sf8 would dominate the
+        # exclusive window
+        samples["write_tables_concurrent"] = [
+            _timed_write(spark, sf_dir) for _ in range(runs)
+        ]
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     cal = round(statistics.median(cal_samples), 3)

@@ -318,42 +318,43 @@ def register_round9_temperature() -> None:
             docs, "lang", "doc_id", budget=_BUDGET, temperature=1.0
         ).select("doc_id", "lang", "rnk", "quota")
 
-    def _pinned_temp_entry(key: str, temperature: float) -> None:
-        @register(
-            key,
-            oracle=f"""
-            WITH tgt(source, quota) AS (
-              {_quota_values_sql(_driver_source_counts("lang"), _BUDGET, temperature)}
-            ),
-            {_rank_sql("lang")}
-            SELECT r.doc_id, r.source AS lang, r.rnk, g.quota
-            FROM ranked r JOIN tgt g ON g.source = r.source
-            WHERE r.rnk <= g.quota
-            """,
-        )
-        def q_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from build_datawarehouse_demo_spark.operators.sampling import (
-                sample_temperature_mix,
-            )
+    def _pinned_oracle(temperature: float) -> str:
+        return f"""
+        WITH tgt(source, quota) AS (
+          {_quota_values_sql(_driver_source_counts("lang"), _BUDGET, temperature)}
+        ),
+        {_rank_sql("lang")}
+        SELECT r.doc_id, r.source AS lang, r.rnk, g.quota
+        FROM ranked r JOIN tgt g ON g.source = r.source
+        WHERE r.rnk <= g.quota
+        """
 
-            docs = _t(spark, sf_dir, "documents", rebalance=False).select(
-                "doc_id", "lang"
-            )
-            return sample_temperature_mix(
-                docs, "lang", "doc_id", budget=_BUDGET, temperature=temperature
-            ).select("doc_id", "lang", "rnk", "quota")
-
-        q_temp.__name__ = f"q_{key}"
-        q_temp.__doc__ = (
-            f"T={temperature} temperature mix over the skewed lang column: "
-            "quotas ∝ n^(1/T) by the exact-integer fixed-point contract "
-            "(temperature_quotas), pinned into the oracle through the same "
-            "function at the fixture counts; the ranked draw and quota "
-            "join/filter are verified in SQL."
+    def _run_temp(spark: SparkSession, sf_dir: str, temperature: float) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            sample_temperature_mix,
         )
 
-    _pinned_temp_entry("sample_temperature_mix_t15", 1.5)
-    _pinned_temp_entry("sample_temperature_mix_t3", 3.0)
+        docs = _t(spark, sf_dir, "documents", rebalance=False).select(
+            "doc_id", "lang"
+        )
+        return sample_temperature_mix(
+            docs, "lang", "doc_id", budget=_BUDGET, temperature=temperature
+        ).select("doc_id", "lang", "rnk", "quota")
+
+    @register("sample_temperature_mix_t15", oracle=_pinned_oracle(1.5))
+    def q_temp_t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """T=1.5 mix over the skewed lang column: quotas ∝ n^(2/3) by
+        the exact-integer fixed-point contract (temperature_quotas),
+        pinned into the oracle through the same function at the fixture
+        counts; ranked draw + quota join/filter verified in SQL."""
+        return _run_temp(spark, sf_dir, 1.5)
+
+    @register("sample_temperature_mix_t3", oracle=_pinned_oracle(3.0))
+    def q_temp_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """T=3 mix over the skewed lang column: quotas ∝ n^(1/3) —
+        strong tail up-weighting — same pinned exact-integer contract
+        as the T=1.5 entry."""
+        return _run_temp(spark, sf_dir, 3.0)
 
 
 def register_round9_bpe() -> None:

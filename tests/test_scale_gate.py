@@ -72,6 +72,14 @@ DESIGNED_CAPS = {
     # signature. (rep-pairs is not headlined: candidate volume is
     # signature-entropy-bound on low-entropy corpora — see bench.py)
     "dedup_simhash_collapse": (1.3, "O(n log n): log2(n)-wide signature"),
+    # r9 composed pipeline: its asymptotically-dominant stage is the
+    # auto-banded MinHash near-dup (O(n log^2 n) signature growth, the
+    # same designed curve as dedup_minhash_lsh_auto); every other stage
+    # is linear (one feature scan, digest exchanges, O(log n) star
+    # rounds over the near-dup pair graph, token-stream span removal),
+    # so the composition inherits the minhash cap (VERDICT r8 item 1:
+    # "sf1->sf4 exponent <= the minhash lane's 1.35 cap")
+    "pipeline_training_data_neardup": (1.35, "O(n log^2 n) minhash stage"),
 }
 
 
