@@ -62,7 +62,8 @@ def _quota_values_sql(counts: dict, budget: int, temperature: float) -> str:
     if not q:
         return "VALUES (NULL, NULL) LIMIT 0"
     return "VALUES " + ", ".join(
-        f"('{s}', {k})" for s, k in sorted(q.items())
+        "('{}', {})".format(str(s).replace("'", "''"), k)
+        for s, k in sorted(q.items())
     )
 
 
