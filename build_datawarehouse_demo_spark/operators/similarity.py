@@ -37,6 +37,16 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+# NOTE (r9 measurement): an element_at-unrolled literal dot chain was
+# tried as a "codegen'd" replacement for the fold and REVERTED — the
+# 64-term chain measured ~6x SLOWER than the zip_with+aggregate fold
+# on identical data (janino refuses the wide expressions, and the
+# per-node interpreted fallback costs more than the HOF evaluator).
+# The fold form is the fastest JVM-exact dot available; when dot cost
+# dominates (plane projections at log-n plane counts), the answer is
+# the Arrow lane in staged_projections, not expression unrolling.
+
+
 def cosine(a: Column, b: Column) -> Column:
     """NULL (not NaN) when either vector has zero norm: 0/0 would give
     NaN, which Spark sorts ABOVE every number in descending order — a
@@ -228,20 +238,58 @@ def staged_projections(
     keeps this non-cheap multi-referenced column staged (the measured
     lesson from embedding_near_dup_pairs_bucketed, ROUND_NOTES r2).
     """
-    # ONE F.expr over a literal SQL string, not nested F.array/F.lit:
-    # 64×64 planes are 4096 Column constructions = 4096 py4j
-    # round-trips ≈ 2-3 s of DRIVER time per call (measured — more
-    # than the query's whole execution); the parser builds the same
-    # constant-folded nested array literal JVM-side in milliseconds.
-    # The D suffix keeps every element a DOUBLE literal (bare 1.0
-    # would parse as DECIMAL and change the fold's arithmetic type).
-    rows = ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")" for p in planes
-    )
-    planes_lit = F.expr(f"array({rows})")
-    return df.withColumn(
-        out_col, F.transform(planes_lit, lambda p: dot(F.col(vec_col), p))
-    )
+    # Arrow-vectorized numpy lane, EXACT fold order (the r9 sf1->sf8
+    # catch): the transform+aggregate fold form evaluates INTERPRETED
+    # — higher-order functions never enter whole-stage codegen — so
+    # planes×dim fold steps per row (planes grow log n) made the
+    # signature stage the dominant cost and drove the embedding
+    # near-dup lane to exponent 1.9 at the 8x lever arm. A literal
+    # add/subtract expression chain was tried first and REJECTED:
+    # janino refuses the ~planes×dim-node method (whole-stage codegen
+    # disables itself) and the interpreted fallback is even slower.
+    # This is the documented pandas-UDF exception: Arrow batches, pure
+    # numpy float64, and the accumulation loops over DIMENSIONS with
+    # elementwise vector adds — every (row, plane) cell accumulates in
+    # exactly the fold's ((0+t1)+t2)+... left-to-right order (numpy
+    # elementwise multiply-then-add, no FMA contraction, IEEE double),
+    # so projections are BIT-IDENTICAL to the fold form (pinned by
+    # test_staged_projections_match_fold) and every signature, oracle,
+    # and recall number is unchanged. Rows with null / wrong-dimension
+    # vectors yield NULL — the same loud empty-result contract as the
+    # fold's zip_with null-padding.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    S = [list(p) for p in planes]
+    dim = len(S[0])
+
+    # annotations set explicitly: `from __future__ import annotations`
+    # stringifies hints module-wide and pandas_udf cannot resolve the
+    # local alias strings
+    def _proj(v):
+        sgn = np.asarray(S, dtype=np.float64)  # (P, dim)
+        vals = v.tolist()
+        valid_idx = [
+            i
+            for i, row in enumerate(vals)
+            if row is not None and len(row) == dim
+        ]
+        out: list = [None] * len(vals)
+        if valid_idx:
+            V = np.asarray([vals[i] for i in valid_idx], dtype=np.float64)
+            acc = np.zeros((V.shape[0], sgn.shape[0]), dtype=np.float64)
+            for d in range(dim):
+                # acc[r, p] += V[r, d] * sgn[p, d]: multiply then add,
+                # dimension-sequential — the fold's exact order
+                acc += V[:, d : d + 1] * sgn[None, :, d].reshape(1, -1)
+            for j, i in enumerate(valid_idx):
+                out[i] = acc[j].tolist()
+        return pd.Series(out)
+
+    _proj.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _proj = pandas_udf("array<double>")(_proj)
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
 
 
 def sign_bit(proj: Column, weight: int) -> Column:
@@ -801,35 +849,50 @@ def embedding_near_dup_pairs_bucketed(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), sig.cast("int").alias("sig"))
         )
+    # unit vectors ride THROUGH the band join (r9 sf1->sf8 catch, part
+    # 2): the former shape generated candidate (id_a, id_b) pairs, ran
+    # a dropDuplicates exchange over them, then TWO shuffle joins to
+    # fetch each side's unit vector — at the 8x leg that was tens of
+    # millions of candidate rows x 64-double payloads (~24 GB of
+    # exchange) and dominated the lane. Carrying the unit vector in
+    # the banding exchange costs bands x n vector rows (~1/occupancy
+    # of the candidate volume — 16x less at the designed occupancy 32),
+    # the per-candidate dot runs INLINE in the join stage (the fold
+    # form — fastest JVM-exact dot, see the note above; no shuffle of
+    # scored rows), and the dedup exchange moves only threshold
+    # SURVIVORS. A pair colliding in k bands is
+    # scored k times with bit-identical results — the dedup after the
+    # filter keeps one; values unchanged, oracles unchanged.
     tagged = (
-        projected.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bs"))
-        .select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    )
-    cand = (
-        tagged.alias("a")
-        .hint("shuffle_hash")
-        .join(
-            tagged.alias("b").hint("shuffle_hash"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    unit = (
-        vecs.withColumn("__n", norm(F.col("__v")))
+        projected.withColumn("__n", norm(F.col("__v")))
         .filter(F.col("__n") > 0)
         .withColumn("__u", F.transform(F.col("__v"), lambda x: x / F.col("__n")))
+        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bs"), F.col("__u"))
+        .select(
+            F.col(id_col),
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+            F.col("__u"),
+        )
     )
-    va = unit.select(F.col(id_col).alias("id_a"), F.col("__u").alias("__a"))
-    vb = unit.select(F.col(id_col).alias("id_b"), F.col("__u").alias("__b"))
+    ta = tagged.select(
+        F.col(id_col).alias("id_a"), "band", "sig", F.col("__u").alias("__ua")
+    )
+    tb = tagged.select(
+        F.col(id_col).alias("id_b"), "band", "sig", F.col("__u").alias("__ub")
+    )
+    cond = (
+        (ta["band"] == tb["band"])
+        & (ta["sig"] == tb["sig"])
+        & (F.col("id_a") < F.col("id_b"))
+    )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", dot(F.col("__a"), F.col("__b")))
+        ta.hint("shuffle_hash")
+        .join(tb.hint("shuffle_hash"), cond)
+        .withColumn("cosine", dot(F.col("__ua"), F.col("__ub")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

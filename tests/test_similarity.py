@@ -607,3 +607,50 @@ def test_ivf_index_append_matches_union_build(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_app_t")
         spark.sql("DROP TABLE IF EXISTS ivf_app_t_centroids")
+
+
+def test_staged_projections_match_fold_bit_for_bit(spark):
+    """The r9 Arrow projection lane's exactness contract: numpy
+    dimension-sequential accumulation (multiply-then-add, float64, no
+    FMA) must reproduce the zip_with+aggregate fold's ((0+t1)+t2)+...
+    values BIT-identically — signatures, oracles and recall pins all
+    ride on it. Also pins the null/wrong-dimension -> NULL contract."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        _as_double,
+        dot,
+        rp_planes,
+        staged_projections,
+    )
+
+    planes = rp_planes(40, 16)
+    rows = [
+        (1, [((i * 37 + j * 11) % 101 - 50) / 7.0 for j in range(16)])
+        for i in range(200)
+    ]
+    rows += [(999, None), (998, [1.0, 2.0])]  # null + wrong-dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = df.select(F.col("vec_id"), _as_double("embedding").alias("__v"))
+    got = {
+        r.vec_id: r.p
+        for r in staged_projections(vecs, "__v", planes, out_col="__p")
+        .select("vec_id", F.col("__p").alias("p"))
+        .collect()
+    }
+    # reference: the fold form, one plane literal at a time
+    import pyspark.sql.functions as sf
+
+    dots = []
+    for p in planes:
+        lit = sf.expr("array(" + ",".join(f"{float(x)!r}D" for x in p) + ")")
+        dots.append(dot(F.col("__v"), lit))
+    want = {
+        r.vec_id: r.p
+        for r in vecs.withColumn("__p", sf.array(*dots))
+        .select("vec_id", F.col("__p").alias("p"))
+        .collect()
+    }
+    assert got[999] is None and got[998] is None
+    for k in want:
+        if k in (998, 999):
+            continue
+        assert got[k] == want[k], k
