@@ -122,6 +122,35 @@ def test_committed_scale_curve_has_no_superlinear_query():
     )
 
 
+def test_long_lever_curve_has_no_superlinear_query():
+    """The r9 lesson: the 4x arm is too short — the embedding lane
+    measured 1.113 at sf1->sf4 while hiding an interpreted-fold +
+    candidate-shuffle blowup that the 8x arm exposed at 1.913
+    (BENCH_SCALE_r09_sf1_sf8_PRECATCH.json, fixed same round). The
+    newest committed sf1->sf8 artifact rides the SAME caps as the 4x
+    gate; pre-fix records carry a suffix that keeps them out of the
+    glob, exactly like r8's _PRELIM."""
+    files = glob.glob(os.path.join(ROOT, "BENCH_SCALE_r*_sf1_sf8.json"))
+    if not files:
+        pytest.skip("no committed sf1->sf8 artifact yet")
+
+    def round_no(p: str) -> int:
+        m = re.search(r"_r(\d+)_", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    with open(max(files, key=round_no)) as f:
+        data = json.load(f)
+    offenders = {
+        name: q["exponent"]
+        for name, q in data["queries"].items()
+        if q["exponent"] > DESIGNED_CAPS.get(name, (MAX_EXPONENT,))[0]
+    }
+    assert not offenders, (
+        f"sf1->sf8 curve records super-linear scaling past the designed "
+        f"caps: {offenders}"
+    )
+
+
 def test_scale_curve_covers_the_auto_lsh_lane():
     """The exact gap that let round 6's quadratic hide: the scale-safe
     lane existed but was never in the measured set. The committed
