@@ -209,6 +209,13 @@ def main() -> None:
         # artifact already pins)
         keep = {n for n in only.split(",")}
         names = [n for n in names if n in keep]
+        if not names:
+            print(
+                f"bench: SPARK_GRAFT_BENCH_ONLY={only!r} matches no headline "
+                "query — check the names against bench.HEADLINE",
+                file=sys.stderr,
+            )
+            sys.exit(2)
 
     # JVM/codegen warmup on the smallest query so q1 doesn't pay it.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()

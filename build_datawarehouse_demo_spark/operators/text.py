@@ -120,6 +120,17 @@ def bpe_merged_symbols(toks: Column, merges: list[tuple[str, str]]) -> Column:
     Token count = symbols remaining = len of the '  '-split minus word
     separators (see bpe_token_count). Scale shape: a narrow per-row
     expression chain — no shuffle, no state, linear in corpus size.
+
+    KNOWN DIVERGENCE LIMIT: the character split is Java's split("") —
+    UTF-16 code units — while DuckDB splits by codepoint, so
+    supplementary-plane characters (emoji, rare CJK) become two
+    half-surrogate symbols on the Spark side and one symbol in the
+    oracle. Merge rules never touch them (alnum-only contract) but
+    raw symbol COUNTS would differ by one per astral char. The driver
+    fixture is ASCII (asserted by test_documents_text_is_ascii); for
+    astral-heavy corpora, count on a codepoint pre-split
+    (split on empty pattern after translate to NFC is not enough —
+    use sentence-split + pandas lane) or accept the documented skew.
     """
     import re
 

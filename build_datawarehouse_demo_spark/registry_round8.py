@@ -441,7 +441,7 @@ def register_round8_sampling() -> None:
                  CAST(row_number() OVER (PARTITION BY source
                      ORDER BY CAST(('0x' || substr(md5('0:temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
                               doc_id) AS INTEGER) AS rnk
-          FROM documents
+          FROM documents WHERE doc_id IS NOT NULL
         )
         SELECT r.doc_id, r.source, r.rnk, g.quota
         FROM ranked r JOIN tgt g ON g.source = r.source
