@@ -191,6 +191,13 @@ def prepare_training_data_neardup(
         .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
         .filter(F.col("component_id") == F.col(id_col))
         .drop("component")
+        # five downstream references (span removal's gram/stream/base
+        # derivations + the final join) would each re-run the
+        # survivors⋈components join — the r9 plan audit measured the
+        # un-checkpointed tail at ~40 SortMergeJoins of repeated
+        # subtrees. Same production note as `survivors`: replace with
+        # a parquet boundary on a real cluster.
+        .localCheckpoint()
     )
     cleaned = remove_duplicate_spans(
         reps.select(id_col, "cleaned"),

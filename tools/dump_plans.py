@@ -54,7 +54,7 @@ AUDITED = {
     "join_interval_overlap": "gridded overlap join — both sides explode to grid cells, ONE equi-join on the cell id, residual overlap + overlap-start-cell claim as filters; the two BroadcastNestedLoopJoin lanes are the r8 long-interval SIDE-CHANNEL (>max_cells-span outliers broadcast against the other side — BY DESIGN, empty at this SF), never the row product",
     "streaming_session_window": "session windows — partial/final SessionWindow aggregation around one Exchange on (user_id); no join, no global window",
     "pipeline_star_schema_build": "full warehouse build — one composite DAG; dims broadcast into every date resolution, surrogate windows only above deduped dim-scale inputs",
-    "pipeline_training_data_neardup": "composed near-dup corpus prep (r9) — the final DAG reads the localCheckpoint'ed survivor/pair tables (features paid once, components' node+edge derivation paid once); the wide ops are the banded signature self-join (ids only), the star-round contractions, the span-removal digest exchanges, and the one per-doc rebuild; documents cross the wire once",
+    "pipeline_training_data_neardup": "composed near-dup corpus prep (r9) — the final DAG reads the localCheckpoint'ed survivor/pair/representative tables (features, components' node+edge derivation and the rep join each paid ONCE; the un-checkpointed tail measured 40 repeated SortMergeJoins, now 12 joins / 13 exchanges at sf0.1); remaining wide ops are the span-removal digest exchanges and the per-doc rebuild",
     "text_token_count_bpe": "BPE subword counting — a single codegen'd projection: 48 chained literal regexp_replace passes over the per-row symbol encoding; zero Exchange anywhere",
     "sim_ivf_index_append": "IVF append — build on the old corpus (sampled training + two-level assignment), then the batch assignment broadcasts the STORED centroids/supers (tiny), anti-joins stored ids, and appends through the bucketed writer; the only corpus-wide exchange is the bucketed write itself",
     "streaming_neardup_collapse_batch": "narrow simhash collapse — per-row signature folds in ONE projection (no explode), then a single exchange on the signature for the min/count window",
