@@ -131,3 +131,26 @@ def test_stream_neardup_across_batches_equals_batch(spark):
         assert {(r.simhash, r.cluster_size) for r in batch} == {
             (narrow[1], 2), (narrow[3], 2), (narrow[5], 1)
         }
+
+
+def test_simhash_narrow_wide_signature_parity(spark):
+    """The narrow signature's hash60 path (bits > 32 — what the
+    auto-width lane uses past ~2M docs) must match the batch exploded
+    operator bit-for-bit, same as the 32-bit path; and widths past the
+    60-bit source hash are rejected on both forms."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from build_datawarehouse_demo_spark.operators.dedup import simhash
+    from build_datawarehouse_demo_spark.streaming.dedup import simhash_narrow
+
+    df = spark.createDataFrame(
+        [(i, f"token{i % 7} alpha beta gamma delta w{i % 13} z{i % 3}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    for bits in (40, 60):
+        narrow = {r.doc_id: r.simhash for r in simhash_narrow(df, bits=bits).collect()}
+        batch = {r.doc_id: r.simhash for r in simhash(df, bits=bits).collect()}
+        assert narrow == batch, bits
+    with pytest.raises(ValueError, match="60"):
+        simhash_narrow(df, bits=61)
