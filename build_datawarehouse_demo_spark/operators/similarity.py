@@ -593,7 +593,16 @@ def build_ivf_index(
         vec_col=vec_col,
         round_to=6,
     )
-    ngroups = max(1, math.ceil(math.sqrt(nlist)))
+    # ngroups derives from the TRAINED survivor count, not the seed
+    # count (ADVICE r9): kmeans_lloyd_step drops centroids that lose
+    # all members, and ivf_index_append can only see the STORED
+    # centroid table — deriving both sides from the same quantity
+    # (count of trained centroids == count of stored rows) makes the
+    # append's frozen-quantizer routing identical to the build's by
+    # construction, even across a Lloyd degeneracy that shrinks the
+    # count past a ceil(sqrt(.)) integer boundary. cents is
+    # localCheckpoint'ed by kmeans_train, so the count is O(nlist).
+    ngroups = max(1, math.ceil(math.sqrt(cents.count())))
     sup, groups = ivf_group_centroids(
         cents, n_groups=ngroups, n_iter=1, vec_col=vec_col, round_to=6
     )

@@ -23,18 +23,33 @@ from build_datawarehouse_demo_spark.registry_round7 import (
 )
 
 
-def _driver_source_counts(col: str) -> dict:
+def _driver_source_counts(col: str, id_col: str = "doc_id") -> dict:
     """Per-value row counts of a driver-fixture documents column —
     the quota-pin input for the temperature-mix oracles (same
     fallback discipline as _driver_rows: only a genuinely absent
-    fixture/capability falls back, loudly)."""
+    fixture/capability falls back, loudly).
+
+    Counts only rows with a non-null ``id_col`` (ADVICE r9):
+    sample_temperature_mix computes quotas from the DRAWABLE
+    population (rows whose rank key — the id — exists), and its
+    sibling T=1 oracle counts WHERE doc_id IS NOT NULL; pinning the
+    quotas from all-rows counts would encode a silently different
+    population the moment the fixture grows a null id."""
     try:
         import collections
 
         import pyarrow.parquet as pq
 
-        t = pq.read_table(f"{_DRIVER_SF_DIR}/documents.parquet", columns=[col])
-        return dict(collections.Counter(t.column(col).to_pylist()))
+        t = pq.read_table(
+            f"{_DRIVER_SF_DIR}/documents.parquet", columns=[col, id_col]
+        )
+        ids = t.column(id_col)
+        vals = t.column(col).to_pylist()
+        return dict(
+            collections.Counter(
+                v for v, ok in zip(vals, ids.is_valid().to_pylist()) if ok
+            )
+        )
     except (ImportError, FileNotFoundError, OSError) as e:
         import warnings
 

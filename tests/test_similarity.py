@@ -609,6 +609,80 @@ def test_ivf_index_append_matches_union_build(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ivf_app_t_centroids")
 
 
+def test_ivf_append_parity_survives_lloyd_degeneracy(spark, tmp_path):
+    """ADVICE r9 (medium): build_ivf_index used to derive ngroups from
+    the SEED count while ivf_index_append rederives it from the STORED
+    centroid count; when Lloyd degeneracy drops centroids across a
+    ceil(sqrt(.)) integer boundary the two groupings diverge and
+    appended vectors silently land in different lists than the build
+    would have put them. Both sides now derive from the trained
+    survivor count. This corpus plants the degeneracy: seeds 1 and 2
+    are exact copies of seed 0, so they never win a max-cosine tie
+    (ties break to the smallest centroid_id) and are dropped —
+    survivors cross the sqrt boundary (11 seeds -> 9 survivors,
+    ceil(sqrt): 4 -> 3)."""
+    import math
+
+    import numpy as np
+
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign_two_level,
+        ivf_group_centroids,
+        ivf_index_append,
+    )
+
+    rng = np.random.default_rng(11)
+    G, per, dim = 11, 14, 8
+    centers = rng.normal(size=(G, dim)) * 3
+    pts = np.vstack([centers[g] + 0.3 * rng.normal(size=(per, dim)) for g in range(G)])
+    pts = pts[np.arange(G * per).reshape(G, per).T.flatten()]
+    pts[1] = pts[0]
+    pts[2] = pts[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    old = df.filter(F.col("vec_id") < 120)
+    new = df.filter(F.col("vec_id") >= 120)
+    n_old = old.count()
+    nlist = max(2, math.ceil(math.sqrt(n_old)))
+    seeds = old.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    try:
+        build_ivf_index(
+            old, "ivf_degen_t", seeds=seeds, path=str(tmp_path / "idx"), n=n_old
+        )
+        cents_stored = spark.table("ivf_degen_t_centroids").select(
+            "centroid_id", F.col("vec").alias("embedding")
+        )
+        n_surv = cents_stored.count()
+        # the scenario is only exercised if degeneracy crossed a
+        # ceil(sqrt) boundary — guard so a fixture drift can't turn
+        # this into a vacuous pass
+        assert n_surv < nlist
+        assert math.ceil(math.sqrt(n_surv)) != math.ceil(math.sqrt(nlist))
+        ivf_index_append(new, "ivf_degen_t")
+        # union parity under the append's own convention (stored count)
+        ngroups = max(1, math.ceil(math.sqrt(n_surv)))
+        sup, groups = ivf_group_centroids(
+            cents_stored, n_groups=ngroups, n_iter=1, round_to=6
+        )
+        union_assigned = ivf_assign_two_level(df, cents_stored, sup, groups, gprobe=2)
+        want = {(r.vec_id, r.centroid_id) for r in union_assigned.collect()}
+        got = {
+            (r.vec_id, r.centroid_id)
+            for r in spark.table("ivf_degen_t")
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_degen_t")
+        spark.sql("DROP TABLE IF EXISTS ivf_degen_t_centroids")
+
+
 def test_staged_projections_match_fold_bit_for_bit(spark):
     """The r9 Arrow projection lane's exactness contract: numpy
     dimension-sequential accumulation (multiply-then-add, float64, no
