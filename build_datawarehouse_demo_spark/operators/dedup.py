@@ -44,6 +44,14 @@ def hash32(col: Column, seed: int = 0) -> Column:
     md5 instead of xxhash/murmur so an external oracle (DuckDB,
     Python) reproduces it bit-for-bit: int(md5(s)[:8], 16).
     """
+    if not isinstance(seed, int):
+        # a Column seed means a higher-order-function lambda leaked its
+        # bound variable in here (pyspark binds EVERY lambda param to a
+        # lambda variable, defaults included) — the f-string below
+        # would silently bake the Column's repr into the hash salt,
+        # changing values per plan build (r10 incremental-pipeline
+        # catch; use a closure factory at the call site)
+        raise TypeError(f"hash32 seed must be an int, got {type(seed).__name__}")
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10).cast("long")
 
 
@@ -108,11 +116,27 @@ def minhash_signatures_from_arrays(
     per-document aggregate. Same md5-derived values bit-for-bit.
     Output is (id, mh_0..mh_{H-1}) only — the wide shingle arrays stay
     behind."""
+    def _mh(h: int):
+        # closure FACTORY, never a default arg: pyspark binds every
+        # lambda parameter — defaults included — to a higher-order
+        # lambda variable, so `lambda s, h=h:` silently made h the
+        # ELEMENT INDEX column and hash32's f-string seed stringified
+        # it into "Column<'y_N'>:" — a literal carrying the session's
+        # lambda-variable counter. Signatures still deduplicated
+        # (distinct y_N per column ≈ distinct hash functions) and every
+        # oracle stayed green because exact-Jaccard verify saturates
+        # recall at fixture scale, but values broke the documented
+        # md5(seed:shingle) contract and CHANGED PER PLAN BUILD — fatal
+        # for r10's incremental pipeline, which joins a new batch's
+        # band keys against band keys persisted by an earlier plan
+        # (caught by test_training_data_incremental; same trap as the
+        # r9 streaming-SimHash note, now also guarded by a hash32
+        # seed-type assert).
+        return lambda s: hash32(s, seed=h)
+
     sigs = sh_arrays.withColumns(
         {
-            f"mh_{h}": F.array_min(
-                F.transform(F.col(shingle_col), lambda s, h=h: hash32(s, seed=h))
-            )
+            f"mh_{h}": F.array_min(F.transform(F.col(shingle_col), _mh(h)))
             for h in range(num_hashes)
         }
     )
@@ -134,16 +158,17 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     signatures: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Band the signature (bands × rows) and emit candidate pairs that
-    collide in ≥1 band. The self-join runs per (band, band_key) bucket —
-    the only pairs materialized are within-bucket ones.
-    """
+    """Band a MinHash signature frame into (id, band, band_key) rows —
+    the reusable half of lsh_candidate_pairs (round 10: the incremental
+    pipeline joins a NEW batch's band keys against a PERSISTED band-key
+    table instead of self-joining, so the banding projection needs to
+    stand alone)."""
     if num_hashes % bands != 0:
         # a remainder would silently drop hash functions from banding;
         # bands > num_hashes would make every band_key '' → O(n²)
@@ -170,9 +195,22 @@ def lsh_candidate_pairs(
         F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
         for b in range(bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature (bands × rows) and emit candidate pairs that
+    collide in ≥1 band. The self-join runs per (band, band_key) bucket —
+    the only pairs materialized are within-bucket ones.
+    """
+    banded = lsh_band_keys(signatures, num_hashes, bands, id_col)
     # shuffle_hash, not broadcast: both children are the identical
     # banding subtree, so ReuseExchange computes shingles+signatures
     # ONCE (a broadcast build recomputes the whole pipeline per side —
@@ -473,10 +511,6 @@ def remove_duplicate_spans(
     pays). Everything keys on digests/ids; documents themselves cross
     the wire once, in the final rebuild.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.col(text_col), " ").alias("__t"),
-    )
     grams = _window_gram_rows(df, id_col, text_col, window)
     owners = (
         grams.groupBy("gram_md5")
@@ -487,7 +521,34 @@ def remove_duplicate_spans(
         .filter(F.col("__nd") >= min_docs)
         .select("gram_md5", "__owner")
     )
-    owned = grams.join(owners, "gram_md5")
+    return remove_spans_given_owners(df, owners, id_col, text_col, window)
+
+
+def remove_spans_given_owners(
+    df: DataFrame,
+    owners: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+) -> DataFrame:
+    """remove_duplicate_spans' rebuild half with the duplicated-gram
+    OWNER table supplied externally: (gram_md5, __owner) rows, one per
+    gram whose content is duplicated corpus-wide. Round 10: the
+    incremental pipeline computes owner stats over the REFRESHED
+    global rep set (old grams ± dropped reps + new docs) but only
+    rebuilds the AFFECTED documents, so detection and rebuild must be
+    separable. ``df`` may be any subset of the corpus; owners must
+    carry the GLOBAL min-id owner so foreign/protected classification
+    matches a full-corpus run on that subset exactly (an owner outside
+    ``df`` classifies every local occurrence as foreign — correct: the
+    owner's copy lives in its own, unrebuilt row). Same output
+    contract as remove_duplicate_spans."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__t"),
+    )
+    grams = _window_gram_rows(df, id_col, text_col, window)
+    owned = grams.join(owners.select("gram_md5", "__owner"), "gram_md5")
     cover = F.explode(
         F.sequence(F.col("pos"), F.col("pos") + (window - 1))
     ).alias("idx")
@@ -539,6 +600,8 @@ def hash60(col: Column, seed: int = 0) -> Column:
     """60-bit md5-derived hash (first 15 hex chars) — same engine
     portability contract as hash32, for signatures wider than 32 bits
     (DuckDB: CAST(('0x' || substr(md5(s),1,15)) AS BIGINT))."""
+    if not isinstance(seed, int):
+        raise TypeError(f"hash60 seed must be an int, got {type(seed).__name__}")
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10).cast(
         "long"
     )

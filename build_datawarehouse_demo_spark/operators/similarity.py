@@ -264,6 +264,17 @@ def staged_projections(
     S = [list(p) for p in planes]
     dim = len(S[0])
 
+    # NO width-gated expression fallback for small plane counts — the
+    # "obvious" fix for the r9 sf0.1 ANN normalized shift was tried in
+    # r10 and MEASURED SLOWER: restoring the fold form for <=12 planes
+    # made the isolated sim_ann_rp_lsh_auto(_directed) bench 1.68/1.70
+    # normalized vs 1.36/1.43 for this Arrow lane (medians of 5,
+    # SPARK_GRAFT_BENCH_ONLY, same box) — the HOF fold re-evaluates per
+    # downstream reference while the UDF is a guaranteed staging
+    # boundary. The r8->r9 in-run shift tracks the bench set growing a
+    # 6.8s co-resident headline, same mechanism as sql_q1 (isolated:
+    # 0.513 vs r8's 0.491). See ROUND_NOTES round 10.
+
     # annotations set explicitly: `from __future__ import annotations`
     # stringifies hints module-wide and pandas_udf cannot resolve the
     # local alias strings

@@ -221,3 +221,383 @@ def prepare_training_data_neardup(
         "n_tokens_removed",
     )
     return train_val_test_split(out, id_col, val_frac=val_frac, test_frac=test_frac)
+
+
+def training_data_neardup_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    span_window: int = 5,
+    span_min_docs: int = 2,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    corpus_n: int | None = None,
+) -> dict:
+    """Run the full near-dup pipeline AND keep the incremental state a
+    corpus-refresh run needs (VERDICT r9 item 3) — the pipeline twin of
+    build_ivf_index's build-once/append-many contract. Same stages,
+    same parameters, same values as prepare_training_data_neardup; the
+    difference is purely which intermediates survive the run:
+
+      bands, rows     frozen banding parameters (sized from THIS run's
+                      raw corpus count — the incremental quantizer)
+      survivors       exact-dedup survivors (id, cleaned, pred_lang,
+                      n_tokens, quality) — the near-dup node set
+      band_keys       (id, band, band_key) LSH banding of every
+                      survivor — REUSED by refresh runs, never
+                      recomputed (the expensive, recall-bearing
+                      artifact)
+      pairs           verified near-dup edges (id_a, id_b, jaccard)
+      rep_ids         (id,) current representatives
+      rep_grams       (id, pos, gram_md5) span windows of the reps'
+                      cleaned text — the span-refresh index
+      output          the pipeline's final rows (reused verbatim for
+                      documents a refresh leaves untouched)
+
+    Every frame is localCheckpoint'ed (this is STATE — multiple
+    consumers, and refresh runs re-read it). On a production cluster
+    each is a bucketed parquet table (band_keys by (band, band_key),
+    rep_grams by gram_md5, survivors/output by id) — same plan,
+    durable blocks; see sources/writers.save_table.
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        lsh_band_keys,
+        minhash_auto_params,
+        minhash_signatures_from_arrays,
+        remove_spans_given_owners,
+        shingle_arrays,
+        _window_gram_rows,
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
+
+    if corpus_n is None:
+        corpus_n = df.count()
+    bands, rows = minhash_auto_params(corpus_n, threshold=jaccard_threshold)
+    survivors = _featured_survivors(
+        df, id_col, text_col, min_tokens, min_quality
+    ).localCheckpoint()
+    sh = shingle_arrays(survivors, id_col, "cleaned", shingle_k)
+    sigs = minhash_signatures_from_arrays(sh, bands * rows, id_col)
+    band_keys = lsh_band_keys(sigs, bands * rows, bands, id_col).localCheckpoint()
+    a = band_keys.alias("a").hint("shuffle_hash")
+    b = band_keys.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+    pairs = _verify_jaccard_pairs(
+        cand, sh, sh, jaccard_threshold, id_col
+    ).localCheckpoint()
+    comp = connected_components_star(pairs)
+    reps = (
+        survivors.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .filter(F.col("component_id") == F.col(id_col))
+        .drop("component")
+        .localCheckpoint()
+    )
+    rep_grams = _window_gram_rows(
+        reps.select(id_col, "cleaned"), id_col, "cleaned", span_window
+    ).localCheckpoint()
+    owners = (
+        rep_grams.groupBy("gram_md5")
+        .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__owner"))
+        .filter(F.col("__nd") >= span_min_docs)
+        .select("gram_md5", "__owner")
+    )
+    cleaned = remove_spans_given_owners(
+        reps.select(id_col, "cleaned"), owners, id_col, "cleaned", span_window
+    ).select(
+        id_col,
+        "cleaned_text",
+        F.col("n_tokens").alias("__span_n_tokens"),
+        "n_tokens_removed",
+    )
+    out = reps.join(cleaned, id_col).select(
+        id_col,
+        "pred_lang",
+        F.col("__span_n_tokens").alias("n_tokens"),
+        "quality",
+        "component_id",
+        "cleaned_text",
+        "n_tokens_removed",
+    )
+    output = train_val_test_split(
+        out, id_col, val_frac=val_frac, test_frac=test_frac
+    ).localCheckpoint()
+    return {
+        "bands": bands,
+        "rows": rows,
+        "survivors": survivors,
+        "band_keys": band_keys,
+        "pairs": pairs,
+        "rep_ids": reps.select(id_col).localCheckpoint(),
+        "rep_grams": rep_grams,
+        "output": output,
+    }
+
+
+def _verify_jaccard_pairs(
+    cand: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (id_a, id_b) pairs against two
+    shingle-array tables (the minhash_dedup_pairs verify stage, with
+    the sides supplied so incremental runs can mix new-batch and
+    persisted-corpus arrays)."""
+    a = sh_a.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    b = sh_b.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "__n_inter", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__n_inter").cast("double")
+            / (F.size("__sa") + F.size("__sb") - F.col("__n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def training_data_neardup_apply(
+    new_df: DataFrame,
+    state: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    span_window: int = 5,
+    span_min_docs: int = 2,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> dict:
+    """Corpus refresh WITHOUT recompute (VERDICT r9 item 3): fold a new
+    document batch into an existing training_data_neardup_state and
+    return the refreshed state — the operation a 100 TB pipeline runs
+    daily, where re-running the full chain over the whole corpus per
+    batch is the thing that doesn't scale.
+
+    EXACT rebuild parity (the ivf_index_append discipline, proven by
+    the pipeline_training_data_neardup_incremental oracle and
+    tests/test_training_data_incremental.py): with the state's FROZEN
+    banding parameters, the refreshed output is IDENTICAL to running
+    prepare_training_data_neardup over old ∪ new with those same
+    parameters. The argument, stage by stage:
+
+    - exact dedup: a new doc whose cleaned digest matches any stored
+      survivor digest is dropped (the union run would keep the
+      earlier copy: survivors carry the min id per digest, and any
+      old exact-dropped doc's digest is its old survivor's digest);
+      within the batch, min id per digest survives — both identical
+      to the union run's min-per-digest. (Ids may interleave: a NEW
+      doc with a smaller id than an old survivor of the same digest
+      would swap the keeper in a union run — callers appending
+      batches must use monotone ids, the same append contract every
+      log-structured system has; asserted in the pytest fixture.)
+    - near-dup graph: union-run candidates = old-old ∪ new-new ∪
+      new-old band collisions. Old-old collisions verify to exactly
+      the state's stored pairs (same frozen banding, same exact
+      verify). New-new and new-old are generated here from the new
+      batch's signatures joined against itself and against the STORED
+      band-key table — signatures of old documents are REUSED, never
+      recomputed. Verify is the same exact-Jaccard stage; the old
+      side's shingle arrays come from the stored survivor text via an
+      id-equi-join (at scale: a bucketed-by-id table — only candidate
+      buckets are read).
+    - components/reps: star contraction over stored ∪ new edges is
+      the union run's component set by construction. Old non-reps can
+      never become reps (components only grow, min ids only fall);
+      old reps CAN be dropped — a new doc bridging two old components
+      (or a smaller-id near-dup) lowers the component min below them.
+    - span removal: gram stats change ONLY for digests touched by new
+      reps' grams or by dropped reps' grams. Affected documents (any
+      refreshed rep sharing a digest with those, plus every new rep)
+      are rebuilt with remove_spans_given_owners against stats
+      computed over the REFRESHED global gram table restricted to the
+      digests those documents contain; untouched documents reuse
+      their stored output rows verbatim — their grams' dup status and
+      owner provably did not change (counts change only via new or
+      dropped docs' grams; owners only via drops — new ids are
+      larger, see the monotone-id contract — and drops mark the gram
+      affected).
+    - split: pure per-id hash — identical either way.
+
+    Returns the same dict shape as training_data_neardup_state.
+    Redelivery is idempotent: re-applying a batch against the
+    refreshed state exact-drops every document (digests now stored)
+    and changes nothing.
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        lsh_band_keys,
+        minhash_signatures_from_arrays,
+        remove_spans_given_owners,
+        shingle_arrays,
+        _window_gram_rows,
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
+
+    bands, rows = state["bands"], state["rows"]
+    old_surv = state["survivors"]
+    old_keys = state["band_keys"]
+    old_pairs = state["pairs"]
+    old_rep_ids = state["rep_ids"]
+    old_grams = state["rep_grams"]
+    old_output = state["output"]
+
+    # -- exact stage: batch-internal dedup, then digest anti-join
+    #    against the stored survivor digests (16-byte keys only)
+    batch = _featured_survivors(new_df, id_col, text_col, min_tokens, min_quality)
+    old_digests = old_surv.select(F.md5(F.col("cleaned")).alias("__digest")).distinct()
+    new_surv = (
+        batch.withColumn("__digest", F.md5(F.col("cleaned")))
+        .join(old_digests, "__digest", "left_anti")
+        .drop("__digest")
+        .localCheckpoint()
+    )
+
+    # -- near-dup: FROZEN banding; new signatures only
+    new_sh = shingle_arrays(new_surv, id_col, "cleaned", shingle_k)
+    new_sigs = minhash_signatures_from_arrays(new_sh, bands * rows, id_col)
+    new_keys = lsh_band_keys(new_sigs, bands * rows, bands, id_col).localCheckpoint()
+    a = new_keys.alias("a").hint("shuffle_hash")
+    b = new_keys.alias("b").hint("shuffle_hash")
+    nn = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    o = old_keys.alias("o").hint("shuffle_hash")
+    no = (
+        new_keys.alias("n")
+        .hint("shuffle_hash")
+        .join(o, ["band", "band_key"])
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+    )
+    cand = nn.union(no).dropDuplicates()
+    # verify sides: either id of a candidate may be old or new, so both
+    # sides read the union of the batch arrays and the stored-text
+    # arrays (id-equi-join; bucketed by id at scale)
+    arrays = new_sh.union(shingle_arrays(old_surv, id_col, "cleaned", shingle_k))
+    new_pairs = _verify_jaccard_pairs(
+        cand, arrays, arrays, jaccard_threshold, id_col
+    ).localCheckpoint()
+    pairs_all = old_pairs.union(new_pairs).localCheckpoint()
+
+    # -- components over the refreshed edge set (pair-graph volume)
+    comp = connected_components_star(pairs_all)
+    dropped_old = (
+        old_rep_ids.join(comp.withColumnRenamed("node", id_col), id_col)
+        .filter(F.col("component") != F.col(id_col))
+        .select(id_col)
+        .localCheckpoint()
+    )
+    kept_old_rep_ids = old_rep_ids.join(dropped_old, id_col, "left_anti")
+    new_rep_ids = (
+        new_surv.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .filter(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
+        .select(id_col)
+        .localCheckpoint()
+    )
+
+    # -- span refresh: delta the gram stats, rebuild only affected docs
+    new_grams = _window_gram_rows(
+        new_surv.join(new_rep_ids, id_col).select(id_col, "cleaned"),
+        id_col,
+        "cleaned",
+        span_window,
+    ).localCheckpoint()
+    dropped_grams = old_grams.join(dropped_old, id_col)
+    kept_old_grams = old_grams.join(dropped_old, id_col, "left_anti")
+    grams_union = kept_old_grams.union(new_grams).localCheckpoint()
+    changed_digests = (
+        new_grams.select("gram_md5").union(dropped_grams.select("gram_md5")).distinct()
+    )
+    affected_ids = (
+        grams_union.join(changed_digests, "gram_md5")
+        .select(id_col)
+        .union(new_rep_ids)
+        .distinct()
+        .localCheckpoint()
+    )
+    # stats for every digest an affected doc contains, over the
+    # REFRESHED global gram table (two digest-keyed semi-joins)
+    digests_needed = (
+        grams_union.join(affected_ids, id_col).select("gram_md5").distinct()
+    )
+    owners = (
+        grams_union.join(digests_needed, "gram_md5")
+        .groupBy("gram_md5")
+        .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__owner"))
+        .filter(F.col("__nd") >= span_min_docs)
+        .select("gram_md5", "__owner")
+    )
+    all_rep_feats = old_surv.join(kept_old_rep_ids, id_col).unionByName(
+        new_surv.join(new_rep_ids, id_col)
+    )
+    affected_docs = all_rep_feats.join(affected_ids, id_col).localCheckpoint()
+    rebuilt = remove_spans_given_owners(
+        affected_docs.select(id_col, "cleaned"), owners, id_col, "cleaned", span_window
+    )
+    recomputed = (
+        affected_docs.select(id_col, "pred_lang", "quality")
+        .join(rebuilt, id_col)
+        .select(
+            id_col,
+            "pred_lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            F.col(id_col).alias("component_id"),
+            "cleaned_text",
+            "n_tokens_removed",
+        )
+    )
+    recomputed_out = train_val_test_split(
+        recomputed, id_col, val_frac=val_frac, test_frac=test_frac
+    )
+    reused = old_output.join(kept_old_rep_ids, id_col, "left_semi").join(
+        affected_ids, id_col, "left_anti"
+    )
+    output = reused.unionByName(recomputed_out).localCheckpoint()
+    return {
+        "bands": bands,
+        "rows": rows,
+        "survivors": old_surv.unionByName(new_surv).localCheckpoint(),
+        "band_keys": old_keys.union(new_keys).localCheckpoint(),
+        "pairs": pairs_all,
+        "rep_ids": kept_old_rep_ids.union(new_rep_ids).localCheckpoint(),
+        "rep_grams": grams_union,
+        "output": output,
+    }
+
+
+def prepare_training_data_neardup_incremental(
+    new_df: DataFrame,
+    state: dict,
+    **params,
+) -> DataFrame:
+    """The refreshed pipeline OUTPUT after folding ``new_df`` into an
+    existing state (training_data_neardup_apply's dict, output frame
+    only) — identical rows to a full prepare_training_data_neardup
+    rebuild over old ∪ new at the state's frozen banding parameters."""
+    return training_data_neardup_apply(new_df, state, **params)["output"]

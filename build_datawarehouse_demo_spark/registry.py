@@ -146,6 +146,9 @@ def _load_all() -> None:
         register_round9_streaming_neardup,
         register_round9_temperature,
     )
+    from build_datawarehouse_demo_spark.registry_round10 import (  # noqa
+        register_round10_incremental,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -184,6 +187,7 @@ def _load_all() -> None:
     register_round9_bpe()
     register_round9_ivf_append()
     register_round9_streaming_neardup()
+    register_round10_incremental()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -82,25 +82,23 @@ def _quota_values_sql(counts: dict, budget: int, temperature: float) -> str:
     )
 
 
-def register_round9_pipeline() -> None:
-    # ------------------------------------------------------------------
-    # the composed near-dup training pipeline (VERDICT r8 item 1): the
-    # reference-class corpus-prep deliverable end-to-end — every stage
-    # the same individually-oracle-checked operator, restated here as
-    # ONE DuckDB chain so the composition itself is hash-verified
-    # ------------------------------------------------------------------
-    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+def neardup_full_chain_sql(mb: int, mr: int) -> str:
+    """The full near-dup corpus-prep chain (clean → langid → quality →
+    filter → exact dedup → MinHash pairs → components → reps → span
+    removal → split) as ONE DuckDB query over ``documents``, with the
+    banding parameters supplied — shared by the r9 full-rebuild oracle
+    (banding auto-sized at the fixture count) and the r10 incremental
+    oracle (banding FROZEN at the OLD-subset count: incremental ≡ full
+    rebuild holds at the state's parameters, exactly like
+    ivf_index_append's frozen-quantizer parity)."""
     from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
 
-    _N_DOCS = _driver_rows("documents", 500)
-    _MB, _MR = minhash_auto_params(_N_DOCS)
-    _MNH = _MB * _MR
+    _MNH = mb * mr
+    _MR = mr
     _W = 5
     _CTOK = r"list_filter(regexp_split_to_array(trim(cleaned), '\s+'), x -> x <> '')"
 
-    @register(
-        "pipeline_training_data_neardup",
-        oracle=rf"""
+    return rf"""
         WITH RECURSIVE base AS (
           SELECT doc_id,
                  lower(trim(regexp_replace(
@@ -258,7 +256,24 @@ def register_round9_pipeline() -> None:
         FROM reps rp
         JOIN rtoks rt ON rt.doc_id = rp.doc_id
         LEFT JOIN rebuilt rb ON rb.doc_id = rp.doc_id
-        """,
+        """
+
+
+def register_round9_pipeline() -> None:
+    # ------------------------------------------------------------------
+    # the composed near-dup training pipeline (VERDICT r8 item 1): the
+    # reference-class corpus-prep deliverable end-to-end — every stage
+    # the same individually-oracle-checked operator, restated here as
+    # ONE DuckDB chain so the composition itself is hash-verified
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _MB, _MR = minhash_auto_params(_N_DOCS)
+
+    @register(
+        "pipeline_training_data_neardup",
+        oracle=neardup_full_chain_sql(_MB, _MR),
     )
     def q_training_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The full corpus-prep chain as one pipeline: clean -> langid

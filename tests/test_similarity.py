@@ -696,7 +696,27 @@ def test_staged_projections_match_fold_bit_for_bit(spark):
         staged_projections,
     )
 
-    planes = rp_planes(40, 16)
+    return _assert_projections_match_fold(spark, n_planes=40)
+
+
+def test_staged_projections_match_fold_at_ann_width(spark):
+    """Pins the Arrow lane's bit-identity at the SMALL widths the
+    auto-sized ANN lanes actually run (8 planes at bench scale) — r10
+    measured a <=12-plane fold fallback SLOWER than the Arrow lane
+    (see staged_projections inline note), so the narrow widths stay on
+    the Arrow path and deserve their own identity pin."""
+    return _assert_projections_match_fold(spark, n_planes=8)
+
+
+def _assert_projections_match_fold(spark, n_planes):
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        _as_double,
+        dot,
+        rp_planes,
+        staged_projections,
+    )
+
+    planes = rp_planes(n_planes, 16)
     rows = [
         (1, [((i * 37 + j * 11) % 101 - 50) / 7.0 for j in range(16)])
         for i in range(200)
