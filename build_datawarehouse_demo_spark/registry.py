@@ -147,7 +147,9 @@ def _load_all() -> None:
         register_round9_temperature,
     )
     from build_datawarehouse_demo_spark.registry_round10 import (  # noqa
+        register_round10_fetch,
         register_round10_incremental,
+        register_round10_streaming_front,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
@@ -188,6 +190,8 @@ def _load_all() -> None:
     register_round9_ivf_append()
     register_round9_streaming_neardup()
     register_round10_incremental()
+    register_round10_fetch()
+    register_round10_streaming_front()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

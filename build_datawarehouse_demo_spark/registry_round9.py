@@ -82,24 +82,14 @@ def _quota_values_sql(counts: dict, budget: int, temperature: float) -> str:
     )
 
 
-def neardup_full_chain_sql(mb: int, mr: int) -> str:
-    """The full near-dup corpus-prep chain (clean → langid → quality →
-    filter → exact dedup → MinHash pairs → components → reps → span
-    removal → split) as ONE DuckDB query over ``documents``, with the
-    banding parameters supplied — shared by the r9 full-rebuild oracle
-    (banding auto-sized at the fixture count) and the r10 incremental
-    oracle (banding FROZEN at the OLD-subset count: incremental ≡ full
-    rebuild holds at the state's parameters, exactly like
-    ivf_index_append's frozen-quantizer parity)."""
-    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+def neardup_front_sql() -> str:
+    """The pipeline FRONT HALF (clean → langid → quality → filter) as a
+    DuckDB CTE block ending with ``kept`` (doc_id, cleaned, n_tokens,
+    quality, pred_lang) — shared by the full/incremental chain oracles
+    below and the r10 streaming front-half batch-twin oracle."""
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
 
-    _MNH = mb * mr
-    _MR = mr
-    _W = 5
-    _CTOK = r"list_filter(regexp_split_to_array(trim(cleaned), '\s+'), x -> x <> '')"
-
-    return rf"""
-        WITH RECURSIVE base AS (
+    return rf"""base AS (
           SELECT doc_id,
                  lower(trim(regexp_replace(
                    regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
@@ -139,10 +129,30 @@ def neardup_full_chain_sql(mb: int, mr: int) -> str:
           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) = 1
         ),
         kept AS (
-          SELECT q.doc_id, q.cleaned, q.quality, l.pred_lang
+          SELECT q.doc_id, q.cleaned, q.n_tokens, q.quality, l.pred_lang
           FROM qual q JOIN lang l ON q.doc_id = l.doc_id
           WHERE q.n_tokens >= 5 AND q.quality >= 0.3 AND l.pred_lang <> 'und'
-        ),
+        )"""
+
+
+def neardup_full_chain_sql(mb: int, mr: int) -> str:
+    """The full near-dup corpus-prep chain (clean → langid → quality →
+    filter → exact dedup → MinHash pairs → components → reps → span
+    removal → split) as ONE DuckDB query over ``documents``, with the
+    banding parameters supplied — shared by the r9 full-rebuild oracle
+    (banding auto-sized at the fixture count) and the r10 incremental
+    oracle (banding FROZEN at the OLD-subset count: incremental ≡ full
+    rebuild holds at the state's parameters, exactly like
+    ivf_index_append's frozen-quantizer parity)."""
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32
+
+    _MNH = mb * mr
+    _MR = mr
+    _W = 5
+    _CTOK = r"list_filter(regexp_split_to_array(trim(cleaned), '\s+'), x -> x <> '')"
+
+    return rf"""
+        WITH RECURSIVE {neardup_front_sql()},
         surv AS (
           SELECT doc_id, cleaned, quality, pred_lang
           FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(cleaned)) AS keeper FROM kept)

@@ -125,7 +125,23 @@ def neardup_document_stream(
     micro-batches); survivor IDENTITY differs by design (min-id vs
     first-arrival)."""
     sigs = simhash_narrow(docs, text_col=text_col, bits=bits)
-    if docs.isStreaming:
+    return _collapse_signatures(
+        sigs, docs.isStreaming, id_col, event_time_col, watermark_delay
+    )
+
+
+def _collapse_signatures(
+    sigs: DataFrame,
+    streaming: bool,
+    id_col: str,
+    event_time_col: str,
+    watermark_delay: str,
+) -> DataFrame:
+    """One survivor per signature: watermark-bounded first-arrival on a
+    stream, deterministic min-id + cluster_size in batch (the shared
+    back half of neardup_document_stream and
+    prepare_document_stream)."""
+    if streaming:
         return sigs.withWatermark(
             event_time_col, watermark_delay
         ).dropDuplicatesWithinWatermark(["simhash"])
@@ -137,4 +153,60 @@ def neardup_document_stream(
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__keep")
+    )
+
+
+def prepare_document_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "ts",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    bits: int = 32,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """The training-data pipeline's FRONT HALF as ONE streaming query
+    (VERDICT r9 item 4): clean → language ID → quality score → filter →
+    near-dup collapse, per arriving document.
+
+    Every feature stage is the same operator the batch pipeline runs
+    (operators/text.py: clean_normalize / lang_id / quality_score —
+    pure per-row codegen expressions, so they compose into a stream
+    with no stateful stage), the filter is the batch pipeline's
+    survivor predicate, and the collapse is neardup_document_stream's
+    signature state over the CLEANED text (radius-0 SimHash — a
+    redelivered or lightly-reworded copy arriving in a later
+    micro-batch still drops, inside the watermark horizon).
+
+    Streaming output: first-arrival survivor rows carrying
+    (id, cleaned, pred_lang, n_tokens, quality, simhash). Batch input
+    gets the deterministic twin — min-id survivor per signature plus
+    cluster_size — which is what the registry oracle states
+    (streaming_pipeline_front_batch); stream ≡ batch on the surviving
+    signature set is the accompanying pytest.
+
+    State story at scale: per-signature keyed state bounded by
+    distinct signatures per watermark horizon; the feature stages add
+    ZERO state. This is exactly the ingest topology a 100 TB/day
+    corpus pipeline runs in front of the (batch) exact/near-dup
+    refresh: the stream pre-collapses the redelivery and boilerplate
+    storm, the nightly training_data_neardup_apply folds survivors
+    into the corpus state.
+    """
+    from build_datawarehouse_demo_spark.operators.text import (
+        clean_normalize,
+        lang_id,
+        quality_score,
+    )
+
+    featured = quality_score(lang_id(clean_normalize(docs, text_col), text_col), text_col)
+    kept = featured.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.col("pred_lang") != "und")
+    )
+    sigs = simhash_narrow(kept, text_col="cleaned", bits=bits)
+    return _collapse_signatures(
+        sigs, docs.isStreaming, id_col, event_time_col, watermark_delay
     )

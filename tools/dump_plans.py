@@ -59,6 +59,7 @@ AUDITED = {
     "sim_ivf_index_append": "IVF append — build on the old corpus (sampled training + two-level assignment), then the batch assignment broadcasts the STORED centroids/supers (tiny), anti-joins stored ids, and appends through the bucketed writer; the only corpus-wide exchange is the bucketed write itself",
     "streaming_neardup_collapse_batch": "narrow simhash collapse — per-row signature folds in ONE projection (no explode), then a single exchange on the signature for the min/count window",
     "sample_temperature_mix_t3": "general-T mixing — quotas are driver-side bigint literals broadcast into the rank filter; ONE exchange on the source column for the rank window",
+    "pipeline_training_data_neardup_incremental": "incremental corpus refresh (r10) — ONLY the batch takes the feature scan; exact stage anti-joins 16-byte digests against stored survivors; new band keys equi-join the STORED band-key table (old signatures reused, never recomputed); components contract stored+new pairs; span refresh recomputes gram stats only for digests touched by new or dropped reps and rebuilds only affected documents — untouched output rows are reused verbatim",
 }
 
 
@@ -95,7 +96,18 @@ def main() -> None:
         # double-reports every shuffle)
         exchanges = len(set(re.findall(r"Exchange(?:\w*)? \((\d+)\)", formatted)))
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
-        wscg = len(set(re.findall(r"codegen id : (\d+)", formatted)))
+        # codegen spans from the EXECUTED plan's *(N) markers — the
+        # formatted dump renders the pre-AQE tree, whose codegen ids
+        # vanish once AQE re-plans, so it under-reported spans as 0 on
+        # fully-codegen'd projections (VERDICT r9 item 7: an audit that
+        # under-reports codegen can't catch a codegen regression, e.g.
+        # a janino width rejection silently de-optimizing a literal
+        # chain). The formatted count is kept as a floor for plans
+        # where AQE is absent and the executed string elides markers.
+        wscg = max(
+            len(set(re.findall(r"\*\((\d+)\)", plan))),
+            len(set(re.findall(r"codegen id : (\d+)", formatted))),
+        )
         out.write(f"\n## {name}\n\n*{why}*\n\n")
         out.write(f"- joins: {joins or 'none'}\n")
         out.write(f"- exchanges: {exchanges}\n")
@@ -105,7 +117,6 @@ def main() -> None:
         out.write("\n```\n")
         out.write(formatted[:6000])
         out.write("\n```\n")
-        _ = plan
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(out.getvalue())
     print("PLANS.md written")
