@@ -493,11 +493,23 @@ def training_data_neardup_apply(
             F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
         )
     )
-    cand = nn.union(no).dropDuplicates()
-    # verify sides: either id of a candidate may be old or new, so both
-    # sides read the union of the batch arrays and the stored-text
-    # arrays (id-equi-join; bucketed by id at scale)
-    arrays = new_sh.union(shingle_arrays(old_surv, id_col, "cleaned", shingle_k))
+    cand = nn.union(no).dropDuplicates().localCheckpoint()
+    # verify sides: either id of a candidate may be old or new. The old
+    # side's shingle arrays are recomputed ONLY for candidate ids —
+    # semi-joining the (tiny) candidate id set into the stored survivor
+    # text before shingling keeps the batch-only-scan contract: the old
+    # corpus contributes one pruned scan of candidate rows, never a
+    # full-corpus shingle + shuffle (at scale: survivors bucketed by
+    # id, candidate ids broadcast into the semi-join)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    old_cand_sh = shingle_arrays(
+        old_surv.join(cand_ids, id_col, "left_semi"), id_col, "cleaned", shingle_k
+    )
+    arrays = new_sh.union(old_cand_sh)
     new_pairs = _verify_jaccard_pairs(
         cand, arrays, arrays, jaccard_threshold, id_col
     ).localCheckpoint()
