@@ -81,10 +81,15 @@ def main() -> None:
     )
     for name, why in AUDITED.items():
         df = qs[name](spark, sf_dir)
-        # execute first so AQE's FINAL plan (runtime join selection,
-        # coalesced exchanges, codegen ids) is what we audit — the
-        # pre-execution plan still shows unconverted placeholders.
-        df.write.format("noop").mode("overwrite").save()
+        # execute THE DATAFRAME'S OWN QueryExecution first so AQE's
+        # FINAL plan (runtime join selection, coalesced exchanges,
+        # codegen ids) is what we audit. A noop write — the r9 shape —
+        # executes a SEPARATE QueryExecution: df's own plan stays
+        # isFinalPlan=false with zero *(N) markers, which is exactly
+        # how the codegen counter under-reported (VERDICT r9 item 7).
+        # collect() runs df._jdf itself; audited outputs are at most
+        # ~10^5 rows at sf0.1.
+        df.collect()
         jdf = df._jdf.queryExecution()
         plan = jdf.executedPlan().toString()
         formatted = jdf.explainString(
