@@ -1120,3 +1120,54 @@ def dedup_keep_representatives(
         .withColumn("component_id", F.coalesce(F.col("component_id"), F.col(id_col)))
         .withColumn("is_kept", F.col("component_id") == F.col(id_col))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Containment near-dup pairs: C(A,B) = |tok(A) ∩ tok(B)| /
+    min(|tok(A)|, |tok(B)|) >= threshold — the asymmetric companion to
+    Jaccard (Broder 1997's "containment"). Jaccard misses
+    subset-shaped duplication (a document quoted whole inside a much
+    longer one scores |A|/|B| ≈ 0 Jaccard but 1.0 containment); this
+    is the signal dedup pipelines use to drop near-supersets and
+    boilerplate-wrapped copies. Same blocked self-join shape as
+    ngram_jaccard_pairs: pass block_cols (e.g. (lang, source)) so the
+    quadratic candidate term is per-block; the division is
+    integer/integer so the score is bit-identical cross-engine with
+    no rounding step.
+    """
+    toked = spread(df, id_col).select(
+        F.col(id_col),
+        *block_cols,
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    sizes = toked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toked.select(*block_cols, F.col(id_col).alias("id_a"), F.col("tok"))
+    b = toked.select(*block_cols, F.col(id_col).alias("id_b"), F.col("tok"))
+    inter = (
+        a.join(b, [*block_cols, "tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

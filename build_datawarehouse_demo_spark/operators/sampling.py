@@ -307,3 +307,95 @@ def sample_temperature_mix(
         .join(F.broadcast(qdf), source_col)
         .where(F.col("rnk") <= F.col("quota"))
     )
+
+
+def importance_resample_dsir(
+    df: DataFrame,
+    target_pred: Column,
+    k: int,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023):
+    select the k raw documents that look most like a TARGET
+    distribution, by importance weight under hashed bag-of-words
+    models plus Gumbel top-k — the published recipe for "give me
+    pretraining data shaped like my high-quality set" at corpus scale.
+
+    - features: lowercased whitespace tokens hashed into ``n_buckets``
+      buckets (hash32, engine-portable md5 — the same portability
+      contract as the dedup family);
+    - models: add-1-smoothed multinomials over the buckets, fit on the
+      target subset (rows where ``target_pred``) and the full corpus;
+    - weight: log w(x) = sum over x's tokens of
+      ln p_target(bucket) - ln p_raw(bucket);
+    - sampling: Gumbel top-k = top k by (log w + g_i) with
+      g_i = -ln(-ln(u_i)) and u_i a deterministic id-hash uniform —
+      a without-replacement draw from the softmax of the weights
+      (Gumbel-max trick), reproducible anywhere.
+
+    Scale shape: one token explode -> ONE partial-aggregated groupBy
+    over at most n_buckets keys; the bucket-weight table (n_buckets
+    rows) broadcasts back onto the token stream; the per-doc sum is a
+    partial-aggregated groupBy on the id. The only full-width ordering
+    is the final top-k, which TakeOrderedAndProject bounds at k rows
+    per partition. Zero-token documents have no rows and are never
+    drawn (log w undefined), matching the paper's n-gram feature
+    domain. Scores are rounded to 6dp before the top-k so the selected
+    set is engine-portable (ties break on the id).
+    """
+    from build_datawarehouse_demo_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_t"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("__tok"),
+    ).select(
+        F.col(id_col),
+        F.col("__is_t"),
+        F.pmod(
+            hash32(F.concat(F.lit("dsir:"), F.col("__tok")), seed=seed),
+            F.lit(n_buckets),
+        ).alias("__bucket"),
+    )
+    per_bucket = toks.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    )
+    totals = per_bucket.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    weights = per_bucket.crossJoin(F.broadcast(totals)).select(
+        F.col("__bucket"),
+        (
+            F.log((F.col("__ct") + 1.0) / (F.col("__nt") + F.lit(float(n_buckets))))
+            - F.log((F.col("__cr") + 1.0) / (F.col("__nr") + F.lit(float(n_buckets))))
+        ).alias("__wb"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__wb").alias("__logw"),
+        )
+    )
+    u = (
+        hash32(F.concat(F.lit("dsirg:"), F.col(id_col).cast("string")), seed=seed)
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.withColumn("score", F.round(F.col("__logw") + gumbel, 6))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round("__logw", 6).alias("log_weight"),
+            F.col("score"),
+        )
+    )

@@ -1139,3 +1139,86 @@ def ivf_assign_two_level(
         .filter(F.col("rn") == 1)
         .select(id_col, "centroid_id", "__v")
     )
+
+
+def semdedup_prune(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    semantic dedup by pruning, within each k-means cluster, every
+    embedding whose cosine to a HIGHER-PRIORITY cluster member is
+    >= eps. Priority follows the paper's best-performing setting —
+    LOW similarity to the cluster centroid is kept preferentially
+    (the example farthest from the centroid is the most "informative"
+    representative of its duplicate neighborhood); ties break on id.
+    The keep rule is the paper's pseudocode exactly: after ordering a
+    cluster, an item survives iff its max cosine to any EARLIER item
+    is below eps — one pair join + left anti, no iteration (unlike
+    connected-component dedup, a chain a~b~c with cos(a,c) < eps keeps
+    both a and c: SemDeDup is a pruning rule, not a clustering).
+
+    ``assigned`` is the (id, centroid_id, __v) frame produced by
+    ivf_assign / ivf_assign_two_level; ``centroids`` the trained
+    quantizer (centroid_id, vec_col).
+
+    Scale shape: cent_sim is a broadcast join + narrow projection;
+    ranking is a per-cluster window (cluster-sized partitions); the
+    pair stage is a self-equi-join on centroid_id costing
+    O(sum |c|^2) = O(n^2 / nlist) comparisons. Production sizing:
+    nlist = Theta(n^(2/3)) with the two-level assignment makes train
+    (O(ppc*nlist^2)), assign (O(n*sqrt(nlist))) and prune all
+    O(n^(4/3)) — the same designed-cap regime as the banded-LSH lanes;
+    with a FIXED target cluster size (nlist = n/c) the prune is
+    linear and training cost dominates. cent_sim is rounded to 6dp
+    BEFORE ranking so the per-cluster order (and thus the kept set)
+    is engine-portable; pair cosines are rounded 6dp before the eps
+    comparison for the same reason.
+    """
+    cvecs = centroids.select(
+        F.col(centroid_id_col), _as_double(vec_col).alias("__c")
+    )
+    base = assigned.join(F.broadcast(cvecs), centroid_id_col).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        F.col("__v"),
+        F.round(cosine(F.col("__v"), F.col("__c")), 6).alias("cent_sim"),
+    )
+    w = Window.partitionBy(centroid_id_col).orderBy(
+        F.col("cent_sim").asc(), F.col(id_col)
+    )
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    a = ranked.select(
+        F.col(centroid_id_col),
+        F.col("__rk").alias("__rk_a"),
+        F.col("__v").alias("__va"),
+    )
+    b = ranked.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("__id_b"),
+        F.col("__rk").alias("__rk_b"),
+        F.col("__v").alias("__vb"),
+    )
+    covered = (
+        a.join(b, centroid_id_col)
+        .filter(F.col("__rk_a") < F.col("__rk_b"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(eps))
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            covered.withColumn("__cov", F.lit(True)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col(centroid_id_col),
+            F.col("cent_sim"),
+            F.col("__cov").isNull().alias("kept"),
+        )
+    )

@@ -697,3 +697,55 @@ def decontaminate(
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020): score every document with a language-model perplexity
+    and split the corpus into head / middle / tail terciles — the
+    standard quality-stratification step before sampling pretraining
+    data (head = most fluent, tail = noisiest).
+
+    The LM is the corpus's own MLE bigram model (lm_bigram_logprob);
+    perplexity = exp(-mean bigram log-prob), computed from the 6dp-
+    ROUNDED mean so both engines exponentiate the identical double.
+    Bucket boundaries are the exact interpolated 1/3 and 2/3
+    percentiles of the perplexity distribution — a two-value scalar
+    aggregate broadcast back onto the stream (CCNet itself computes
+    cutoffs once and assigns by comparison), NOT a corpus-wide ntile:
+    a global ntile window would single-partition the fact stream,
+    which the no-global-window invariant
+    (tests/test_star_schema.py) exists to prevent. Documents with
+    fewer than 2 tokens have no bigrams and are absent, matching
+    lm_bigram_logprob's domain.
+    """
+    lm = lm_bigram_logprob(df, text_col=text_col, id_col=id_col)
+    ppl = lm.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("avg_logprob"),
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("perplexity"),
+    )
+    # cutoffs rounded 6dp: the two engines' linear interpolation can
+    # differ in the last ulp (agg_percentile_exact's precedent), and an
+    # unrounded cutoff would make the <= comparisons engine-dependent
+    cuts = ppl.agg(
+        F.round(F.percentile(F.col("perplexity"), F.lit(1.0 / 3.0)), 6).alias("__p33"),
+        F.round(F.percentile(F.col("perplexity"), F.lit(2.0 / 3.0)), 6).alias("__p66"),
+    )
+    return (
+        ppl.crossJoin(F.broadcast(cuts))
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.col("avg_logprob"),
+            F.col("perplexity"),
+            F.when(F.col("perplexity") <= F.col("__p33"), F.lit("head"))
+            .when(F.col("perplexity") <= F.col("__p66"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -510,3 +510,48 @@ def test_simhash_auto_width_law_and_bucket_saturation(spark):
 
     with _pytest.raises(ValueError):
         simhash(df, bits=64)
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted whole inside a much longer one: containment
+    = 1.0 but Jaccard = |A|/|B| ≈ 0.3 — the asymmetric signal is the
+    point of the operator (Broder 1997)."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma"
+    long = short + " " + " ".join(f"w{i}" for i in range(7))
+    df = spark.createDataFrame(
+        [(0, short), (1, long), (2, "x y z")], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(df, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in cont] == [(0, 1, 1.0)]
+    jac = ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == []  # Jaccard 3/10 misses it
+
+
+def test_ngram_containment_matches_quadratic_truth(spark):
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = {
+        i: " ".join(f"t{(i * j) % 11}" for j in range(1, 8)) for i in range(20)
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    truth = {}
+    toksets = {i: set(t.split()) for i, t in docs.items()}
+    for a in docs:
+        for b in docs:
+            if a < b:
+                inter = len(toksets[a] & toksets[b])
+                c = inter / min(len(toksets[a]), len(toksets[b]))
+                if c >= 0.5:
+                    truth[(a, b)] = c
+    assert got == truth

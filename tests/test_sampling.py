@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from build_datawarehouse_demo_spark.operators.sampling import (
     sample_by_hash,
@@ -268,3 +269,60 @@ def test_sample_temperature_mix_general_t(spark):
     # T=1 natural: ~10% tail; T=4: tail up-weighted past 20%
     assert abs(tail_share[0] - 0.1) < 0.02
     assert tail_share[2] > 0.2
+
+
+def test_dsir_selects_target_vocabulary(spark):
+    """Planted corpora with DISJOINT vocabularies: the target half
+    writes with vocab A, the raw-only half with vocab B — importance
+    weights then dwarf the Gumbel noise, so the top-k must be exactly
+    the vocab-A lookalikes (the driver fixture shares one global
+    vocabulary across langs, so the behavioral tilt lives here)."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        importance_resample_dsir,
+    )
+
+    a_text = "alpha beta gamma delta " * 10
+    b_text = "omega psi chi phi " * 10
+    rows = []
+    for i in range(30):
+        rows.append((i, a_text, True))            # target examples
+    for i in range(30, 60):
+        rows.append((i, a_text, False))           # raw docs shaped like target
+    for i in range(60, 120):
+        rows.append((i, b_text, False))           # raw docs unlike target
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    sel = importance_resample_dsir(
+        df, target_pred=F.col("is_tgt"), k=55, n_buckets=64, id_col="doc_id"
+    ).toPandas()
+    assert len(sel) == 55
+    # every selected doc is vocab-A (ids < 60): the ~40-nat weight gap
+    # cannot be flipped by Gumbel noise (std ~1.28)
+    assert (sel.doc_id < 60).all()
+
+
+def test_dsir_deterministic_under_repartition(spark):
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        importance_resample_dsir,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{i % 5} tok{i % 3}", i % 2 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    r1 = importance_resample_dsir(
+        df, F.col("is_tgt"), k=20, n_buckets=32
+    ).toPandas()
+    r2 = importance_resample_dsir(
+        df.repartition(13), F.col("is_tgt"), k=20, n_buckets=32
+    ).toPandas()
+    assert sorted(r1.doc_id) == sorted(r2.doc_id)
+    assert list(r1.sort_values("doc_id").score) == list(r2.sort_values("doc_id").score)
+
+
+def test_dsir_zero_token_docs_never_drawn(spark):
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        importance_resample_dsir,
+    )
+
+    rows = [(0, "a b c", True), (1, "   ", False), (2, "a b", False), (3, "", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    sel = importance_resample_dsir(df, F.col("is_tgt"), k=10, n_buckets=16).toPandas()
+    assert set(sel.doc_id) == {0, 2}

@@ -748,3 +748,93 @@ def _assert_projections_match_fold(spark, n_planes):
         if k in (998, 999):
             continue
         assert got[k] == want[k], k
+
+
+def _semdedup_truth(vecs, assign, eps):
+    """Quadratic python SemDeDup: per cluster, order by (round(cos to
+    centroid,6) asc, id); an item is removed iff its rounded cosine to
+    ANY earlier item is >= eps (the paper's max-to-earlier rule)."""
+    import numpy as np
+
+    kept = {}
+    by_cluster = {}
+    for vid, (cid, cvec) in assign.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    for cid, vids in by_cluster.items():
+        cvec = assign[vids[0]][1]
+        def csim(v, w):
+            v, w = np.asarray(v, float), np.asarray(w, float)
+            return round(float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w))), 6)
+        order = sorted(vids, key=lambda i: (csim(vecs[i], cvec), i))
+        for pos, vid in enumerate(order):
+            removed = any(
+                csim(vecs[vid], vecs[order[e]]) >= eps for e in range(pos)
+            )
+            kept[vid] = not removed
+    return kept
+
+
+def test_semdedup_prune_matches_quadratic_truth(spark):
+    """Two planted clusters with internal near-duplicates plus spread
+    members; prune rule checked vector-by-vector against the quadratic
+    python restatement of the paper's pseudocode."""
+    import numpy as np
+
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_assign,
+        semdedup_prune,
+    )
+
+    rng = np.random.default_rng(7)
+    c0 = rng.normal(size=8)
+    c1 = rng.normal(size=8)
+    vecs = {}
+    for i in range(12):  # cluster around c0, several tight dups
+        base = c0 + (0.01 if i < 6 else 1.0) * rng.normal(size=8)
+        vecs[i] = [round(float(x), 3) for x in base]
+    for i in range(12, 24):
+        base = c1 + (0.01 if i < 18 else 1.0) * rng.normal(size=8)
+        vecs[i] = [round(float(x), 3) for x in base]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in c0]), (1, [float(x) for x in c1])],
+        "centroid_id long, embedding array<double>",
+    )
+    assigned = ivf_assign(corpus, cents, top_n=1)
+    got = {
+        r.vec_id: r.kept
+        for r in semdedup_prune(assigned, cents, eps=0.98).collect()
+    }
+    cent_map = {0: [float(x) for x in c0], 1: [float(x) for x in c1]}
+    flat_assign = {
+        r.vec_id: (r.centroid_id, cent_map[r.centroid_id])
+        for r in assigned.select("vec_id", "centroid_id").collect()
+    }
+    truth = _semdedup_truth(vecs, flat_assign, eps=0.98)
+    assert got == truth
+    assert not all(got.values())  # the planted dups actually pruned
+    assert any(got.values())
+
+
+def test_semdedup_exact_duplicate_removed_once(spark):
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_assign,
+        semdedup_prune,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(0, v), (1, v), (2, far)], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, v)], "centroid_id long, embedding array<double>"
+    )
+    assigned = ivf_assign(corpus, cents, top_n=1)
+    rows = {r.vec_id: r.kept for r in semdedup_prune(assigned, cents, eps=0.95).collect()}
+    # exactly one of the identical pair survives; the orthogonal vector
+    # is below eps to everything and survives
+    assert rows[2] is True
+    assert sorted([rows[0], rows[1]]) == [False, True]

@@ -606,3 +606,48 @@ def test_chunk_and_pack_accept_bpe_counter(spark):
         pack_sequences(df, counter="nope")
     with pytest.raises(ValueError, match="counter"):
         chunk_documents(df, counter="nope")
+
+
+def test_perplexity_buckets_terciles_and_order(spark):
+    """Buckets are contiguous in perplexity (head <= middle <= tail at
+    the cutoffs) and cover every doc with >= 2 tokens; sizes are
+    near-equal terciles."""
+    from build_datawarehouse_demo_spark.operators.text import perplexity_buckets
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 9}" for j in range(12))) for i in range(60)
+    ] + [(100, "solo"), (101, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df).toPandas()
+    assert set(out.doc_id) == set(range(60))  # <2-token docs absent
+    by = {b: g for b, g in out.groupby("bucket")}
+    assert set(by) <= {"head", "middle", "tail"}
+    if "head" in by and "middle" in by:
+        assert by["head"].perplexity.max() <= by["middle"].perplexity.min()
+    if "middle" in by and "tail" in by:
+        assert by["middle"].perplexity.max() <= by["tail"].perplexity.min()
+    # sizes are NOT asserted near-equal here: this corpus has heavy
+    # perplexity ties and tied docs legitimately fall to the lower
+    # bucket together (the driver fixture, distinct-valued, splits
+    # 167/166/167 — pinned by the text_perplexity_buckets oracle)
+    assert len(by) == 3
+
+
+def test_perplexity_buckets_low_ppl_is_fluent(spark):
+    """Three planted fluency levels (deterministic transitions ->
+    10-way-branching starts -> 50-way-branching starts) land in head /
+    middle / tail respectively. Note a bigram whose CONTEXT is unique
+    self-scores P=1 under the MLE model, so "noisy" docs must share
+    their context token across docs to actually score low."""
+    from build_datawarehouse_demo_spark.operators.text import perplexity_buckets
+
+    rows = [(i, "a b " * 10) for i in range(10)]  # P=1 everywhere, ppl 1
+    # 'c' starts 50 bigrams corpus-wide, 5 per continuation: P(c->mi)=0.1
+    rows += [(10 + i, f"c m{i} " * 5) for i in range(10)]
+    # 'q' starts 50 bigrams, each continuation unique: P(q->xij)=1/50
+    rows += [(20 + i, " ".join(f"q x{i}{j}" for j in range(5))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df).toPandas().set_index("doc_id")
+    assert (out.loc[range(10)].bucket == "head").all()
+    assert (out.loc[range(10, 20)].bucket == "middle").all()
+    assert (out.loc[range(20, 30)].bucket == "tail").all()
