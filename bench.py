@@ -125,6 +125,19 @@ HEADLINE = [
     # deliverable end-to-end, every stage already individually
     # headlined/capped above
     "pipeline_training_data_neardup",
+    # round-10 curation lanes, both linear by shape: DSIR importance
+    # resampling (one token explode -> bounded-key agg -> broadcast
+    # weight join -> TakeOrdered top-k) and CCNet perplexity terciles
+    # (the bigram-LM shape + a two-value percentile comparator).
+    # dedup_semantic_semdedup is NOT headlined: its k-means training
+    # term is O(ppc*nlist^2) and the prune term O(n^2/nlist) — the
+    # balanced nlist=Theta(n^(2/3)) law gives O(n^(4/3)) total with a
+    # heavy interpreted-cosine constant (see the operator docstring and
+    # the targeted sf1->sf4->sf8 measurement in ROUND_NOTES.md); the
+    # registered entry pins the sqrt(n) quantizer the IVF family
+    # shares, which is correctness-scale only.
+    "sample_importance_dsir",
+    "text_perplexity_buckets",
 ]
 
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")

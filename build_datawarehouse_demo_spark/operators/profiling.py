@@ -237,3 +237,43 @@ def histogram_equidepth(df: DataFrame, col: str, buckets: int = 8) -> DataFrame:
             F.round(F.max(col), 6).alias("hi_value"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Per-(lang, source) corpus health report — the first thing a
+    data curator asks of a new crawl slice: how many documents, how
+    many tokens, how long are they, and how much of the slice is
+    verbatim duplication. One scan, one partial-aggregated groupBy
+    over the bounded (langs x sources) key space; the exact-duplicate
+    rate rides the same aggregate as a count-distinct over the text
+    digest (md5 — the exact_dedup digest contract), so no second pass
+    and no join. avg_tokens is rounded 6dp for engine portability;
+    dup_rate is integer/integer and needs no rounding.
+    """
+    from build_datawarehouse_demo_spark.operators.text import tokens
+
+    staged = df.select(
+        *[F.col(c) for c in group_cols],
+        F.size(tokens(text_col)).cast("long").alias("__n_tok"),
+        F.length(F.col(text_col)).cast("long").alias("__n_chars"),
+        F.md5(F.col(text_col)).alias("__digest"),
+    )
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_tokens"),
+            F.round(F.avg("__n_tok"), 6).alias("avg_tokens"),
+            F.sum("__n_chars").alias("n_chars"),
+            F.count_distinct(F.col("__digest")).alias("n_distinct_texts"),
+        )
+        .withColumn(
+            "dup_rate",
+            (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+    )

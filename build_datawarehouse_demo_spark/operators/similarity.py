@@ -1222,3 +1222,41 @@ def semdedup_prune(
             F.col("__cov").isNull().alias("kept"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    item whose max cosine to ANY benchmark item is >= tau — the
+    semantic twin of the n-gram overlap filter (text.decontaminate),
+    catching paraphrased or re-worded eval leakage that exact n-gram
+    matching misses (the contamination appendix of GPT-3, Brown et
+    al. 2020, pairs both checks for exactly this reason).
+
+    Scale shape: the benchmark set broadcasts (eval suites are
+    thousands of items, not billions); each corpus partition scores
+    its rows locally and the per-id max is map-side partial-aggregated
+    before the (id-sized, not pair-sized) exchange — the corpus never
+    re-shuffles and the pair volume never crosses the wire, the
+    brute_force_topk discipline. Cosines round to 6dp before the max
+    / threshold so verdicts are engine-portable. For benchmark sets
+    too large to broadcast, pre-filter candidates with the banded
+    RP-LSH lane and run this as the exact verify on survivors.
+    """
+    b = benchmark.select(_as_double(vec_col).alias("__b"))
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    return (
+        c.join(F.broadcast(b))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.round(cosine(F.col("__v"), F.col("__b")), 6)).alias(
+                "max_benchmark_cos"
+            )
+        )
+        .withColumn("contaminated", F.col("max_benchmark_cos") >= F.lit(tau))
+    )

@@ -436,3 +436,70 @@ def register_round10_training_ops() -> None:
             block_cols=("lang", "source"),
             threshold=0.8,
         )
+
+
+def register_round10_curation() -> None:
+    # ------------------------------------------------------------------
+    # second r10 curation batch: embedding-space benchmark
+    # decontamination (the semantic twin of text_decontaminate) and the
+    # per-slice corpus health report.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
+    from build_datawarehouse_demo_spark.registry_round7 import _cos_sql
+
+    _DC_TAU, _DC_BENCH = 0.4, 20
+
+    @register(
+        "sim_decontaminate_embedding",
+        oracle=f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        b AS (SELECT v AS bv FROM e WHERE vec_id < {_DC_BENCH}),
+        c AS (SELECT vec_id, v FROM e WHERE vec_id >= {_DC_BENCH})
+        SELECT c.vec_id,
+               max(round({_cos_sql("c.v", "b.bv")}, 6)) AS max_benchmark_cos,
+               max(round({_cos_sql("c.v", "b.bv")}, 6)) >= {_DC_TAU} AS contaminated
+        FROM c, b
+        GROUP BY 1
+        """,
+    )
+    def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-space decontamination (GPT-3 appendix C pairs this
+        with the n-gram check): the first {_DC_BENCH} fixture vectors
+        stand in as the benchmark set, broadcast against the rest;
+        per-doc max cosine + flag at tau={_DC_TAU}
+        (operators/similarity.py:semantic_decontaminate — the corpus
+        never re-shuffles, pair volume never crosses the wire)."""
+        from build_datawarehouse_demo_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        bench = emb.filter(F.col("vec_id") < _DC_BENCH)
+        corpus = emb.filter(F.col("vec_id") >= _DC_BENCH)
+        return semantic_decontaminate(corpus, bench, tau=_DC_TAU)
+
+    @register(
+        "profile_corpus_report",
+        oracle=f"""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens,
+               round(avg(len({_TOK})), 6) AS avg_tokens,
+               CAST(sum(len(text)) AS BIGINT) AS n_chars,
+               count(DISTINCT md5(text)) AS n_distinct_texts,
+               CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                 / count(*) AS dup_rate
+        FROM documents
+        GROUP BY 1, 2
+        """,
+    )
+    def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-(lang, source) corpus health report
+        (operators/profiling.py:corpus_report): doc/token/char volumes,
+        mean length, and the exact-duplicate rate off the md5 digest —
+        one scan, one bounded-key aggregate."""
+        from build_datawarehouse_demo_spark.operators.profiling import corpus_report
+
+        return corpus_report(_t(spark, sf_dir, "documents"))

@@ -838,3 +838,32 @@ def test_semdedup_exact_duplicate_removed_once(spark):
     # is below eps to everything and survives
     assert rows[2] is True
     assert sorted([rows[0], rows[1]]) == [False, True]
+
+
+def test_semantic_decontaminate_flags_and_max(spark):
+    """Exact copy and near-copy of benchmark items flag; orthogonal
+    stays clean; max is over ALL benchmark items."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    b1 = [1.0, 0.0, 0.0]
+    b2 = [0.0, 1.0, 0.0]
+    bench = spark.createDataFrame(
+        [(100, b1), (101, b2)], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, [2.0, 0.0, 0.0]),      # exact direction of b1 -> cos 1
+            (1, [0.1, 1.0, 0.0]),      # near b2
+            (2, [0.0, 0.0, 1.0]),      # orthogonal to both
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.max_benchmark_cos, r.contaminated)
+        for r in semantic_decontaminate(corpus, bench, tau=0.9).collect()
+    }
+    assert out[0] == (1.0, True)
+    assert out[1][1] is True and out[1][0] > 0.99
+    assert out[2] == (0.0, False)

@@ -651,3 +651,25 @@ def test_perplexity_buckets_low_ppl_is_fluent(spark):
     assert (out.loc[range(10)].bucket == "head").all()
     assert (out.loc[range(10, 20)].bucket == "middle").all()
     assert (out.loc[range(20, 30)].bucket == "tail").all()
+
+
+def test_corpus_report_counts_and_dup_rate(spark):
+    from build_datawarehouse_demo_spark.operators.profiling import corpus_report
+
+    rows = [
+        (0, "en", "s0", "a b c"),
+        (1, "en", "s0", "a b c"),     # exact dup of 0
+        (2, "en", "s0", "d e"),
+        (3, "fr", "s1", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    out = {
+        (r.lang, r.source): r
+        for r in corpus_report(df).collect()
+    }
+    en = out[("en", "s0")]
+    assert (en.n_docs, en.n_tokens, en.n_distinct_texts) == (3, 8, 2)
+    assert abs(en.dup_rate - 1 / 3) < 1e-9
+    assert abs(en.avg_tokens - round(8 / 3, 6)) < 1e-9
+    fr = out[("fr", "s1")]
+    assert (fr.n_docs, fr.n_tokens, fr.dup_rate) == (1, 1, 0.0)
