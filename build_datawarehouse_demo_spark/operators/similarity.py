@@ -1034,7 +1034,7 @@ def ivf_train_sampled(
     (operators/sampling.py's purpose-salt discipline). K=1 (small
     corpora) degrades to full-corpus Lloyd, so driver-scale results
     are unchanged by the sampling."""
-    from build_datawarehouse_demo_spark.operators.dedup import hash32
+    from build_datawarehouse_demo_spark.operators.dedup import hash32, spread
 
     k = ivf_sample_modulus(n, nlist, points_per_centroid)
     sample = corpus
@@ -1046,6 +1046,19 @@ def ivf_train_sampled(
             )
             == 0
         )
+    # The sample is a compute-amplifying input (each row scores every
+    # centroid per Lloyd iteration — x nlist work amplification), and a
+    # single-row-group parquet corpus arrives as ONE split: measured at
+    # production sizing (nlist = n^(2/3), sf1 local fixture) the whole
+    # 2.4M-cosine training cross-join ran on 2 tasks — 106s of a 121s
+    # chain (r10 targeted bench). spread() restores full parallelism;
+    # localCheckpoint materializes the sample once so both Lloyd
+    # iterations reuse it instead of re-scanning + re-filtering the
+    # corpus (the training set is ~ppc*nlist rows — bounded, the thing
+    # one deliberately iterates over). Row partitioning changes partial
+    # float-sum order only below the round_to guard (see
+    # kmeans_lloyd_step's round_to note).
+    sample = spread(sample).localCheckpoint()
     return kmeans_train(
         sample, seeds, n_iter=n_iter, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
