@@ -309,6 +309,74 @@ def sample_temperature_mix(
     )
 
 
+def sample_token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_col: str,
+    token_budget: int,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget corpus mixing: like ``sample_temperature_mix`` but
+    quotas and fills are measured in TOKENS, not documents — the unit
+    production LLM mixes are actually specified in ("500B tokens, 30%
+    code, temperature-rebalanced multilingual"). A document-count
+    quota over-draws sources with long documents; this operator gives
+    source s a token quota ∝ tok_s^(1/T) of ``token_budget`` (tok_s =
+    the source's total tokens; the same exact-bigint
+    ``temperature_quotas`` contract — T=1 is natural token
+    proportions) and fills it with the GREEDY PREFIX of the
+    deterministic per-source hash order: a document is kept iff the
+    running token total INCLUDING it stays <= the quota. The kept set
+    is therefore always a prefix of the rank order (a document larger
+    than the remaining budget ends the source's fill — nothing after
+    it sneaks in), which is what makes the draw a pure function of
+    (data, budget, T, seed): re-runnable anywhere, joinable later,
+    oracle-checkable in SQL as a windowed running sum.
+
+    Rows with a NULL id or NULL token count leave before the totals
+    are taken (drawable-population discipline, ADVICE r9). Zero-token
+    documents cost nothing and are kept wherever they land in the
+    prefix. Purpose salt 'tokmix:' keeps the order independent of the
+    document-quota mixer's at the same seed.
+
+    Scale shape: identical to sample_temperature_mix — one bounded-
+    cardinality aggregate collected (sources are languages/domains,
+    thousands at most), quotas broadcast back, ONE shuffle on
+    source_col for the running-sum window. Output: sampled rows +
+    (tok_cum, token_quota).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    df = df.where(F.col(id_col).isNotNull() & F.col(token_col).isNotNull())
+    totals = {
+        row[0]: int(row[1])
+        for row in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__t"))
+        .collect()
+    }
+    quotas = temperature_quotas(totals, token_budget, temperature)
+    qdf = df.sparkSession.createDataFrame(
+        [(s, int(k)) for s, k in quotas.items()],
+        T.StructType(
+            [df.schema[source_col], T.StructField("token_quota", T.LongType(), False)]
+        ),
+    )
+    h = hash32(F.concat(F.lit("tokmix:"), F.col(id_col).cast("string")), seed=seed)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("tok_cum", F.sum(F.col(token_col).cast("bigint")).over(w))
+        .join(F.broadcast(qdf), source_col)
+        .where(F.col("tok_cum") <= F.col("token_quota"))
+    )
+
+
 def importance_resample_dsir(
     df: DataFrame,
     target_pred: Column,

@@ -151,6 +151,7 @@ def _load_all() -> None:
         register_round10_incremental,
         register_round10_streaming_front,
         register_round10_curation,
+        register_round10_token_budget,
         register_round10_training_ops,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -196,6 +197,7 @@ def _load_all() -> None:
     register_round10_streaming_front()
     register_round10_training_ops()
     register_round10_curation()
+    register_round10_token_budget()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

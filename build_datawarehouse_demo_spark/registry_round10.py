@@ -438,6 +438,141 @@ def register_round10_training_ops() -> None:
         )
 
 
+def _driver_source_token_sums(
+    source_col: str = "lang", id_col: str = "doc_id"
+) -> dict:
+    """Per-source whitespace-token totals of the driver documents
+    fixture — the quota-pin input for the token-budget mix oracle.
+    Tokenization matches operators/text.tokens exactly: ASCII \\s+
+    split of the trimmed text, empty tokens removed (re.ASCII pins the
+    same whitespace class Java regex uses by default — the round-6
+    UDTF lesson). Counts only rows with non-null id AND non-null text
+    token count, the operator's drawable population."""
+    try:
+        import collections
+        import re
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{_DRIVER_SF_DIR}/documents.parquet",
+            columns=[source_col, id_col, "text"],
+        )
+        ids = t.column(id_col).is_valid().to_pylist()
+        srcs = t.column(source_col).to_pylist()
+        texts = t.column("text").to_pylist()
+        sums: dict = collections.defaultdict(int)
+        for ok, s, x in zip(ids, srcs, texts):
+            if not ok or x is None:
+                continue
+            sums[s] += len([w for w in re.split(r"\s+", x.strip(), flags=re.ASCII) if w])
+        return dict(sums)
+    except (ImportError, FileNotFoundError, OSError) as e:
+        import warnings
+
+        warnings.warn(
+            f"_driver_source_token_sums: fixture unreadable "
+            f"({type(e).__name__}: {e}) — token-mix oracle pins may diverge",
+            stacklevel=2,
+        )
+        return {}
+
+
+def register_round10_token_budget() -> None:
+    # ------------------------------------------------------------------
+    # token-budget corpus mixing: production mixes are specified in
+    # TOKENS ("500B tokens, temperature-rebalanced"),
+    # not documents — quota ∝ tok_s^(1/T), filled by the greedy prefix
+    # of the deterministic hash order (running token sum <= quota).
+    # T=1's oracle re-derives the quotas INDEPENDENTLY in integer SQL
+    # (the 10^30 fixed-point scale cancels exactly under floor
+    # division); T=2 pins quotas through temperature_quotas at
+    # fixture-derived token totals — the same two-tier verification
+    # the document-quota family uses (registry_round9).
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    _TBUDGET = 5000
+    _rank_hash = _HASH32.format(expr="'0:tokmix:' || CAST(doc_id AS VARCHAR)")
+    _ranked = f"""
+        d AS (
+          SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens
+          FROM documents WHERE doc_id IS NOT NULL
+        ),
+        r AS (
+          SELECT doc_id, lang, n_ws_tokens,
+                 CAST(sum(n_ws_tokens) OVER (PARTITION BY lang
+                     ORDER BY {_rank_hash}, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tok_cum
+          FROM d
+        )"""
+
+    def _run_tokmix(
+        spark: SparkSession, sf_dir: str, temperature: float
+    ) -> DataFrame:
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            sample_token_budget_mix,
+        )
+        from build_datawarehouse_demo_spark.operators.text import token_count
+
+        docs = token_count(
+            _t(spark, sf_dir, "documents", rebalance=False).select("doc_id", "lang", "text")
+        ).select("doc_id", "lang", "n_ws_tokens")
+        return sample_token_budget_mix(
+            docs, "lang", "doc_id", "n_ws_tokens",
+            token_budget=_TBUDGET, temperature=temperature,
+        ).select("doc_id", "lang", "n_ws_tokens", "tok_cum", "token_quota")
+
+    @register(
+        "sample_token_budget_mix_t1",
+        oracle=f"""
+        WITH {_ranked},
+        c AS (SELECT lang, sum(n_ws_tokens) AS tok FROM d GROUP BY lang),
+        tot AS (SELECT sum(tok) AS t FROM c),
+        tgt AS (
+          SELECT lang, CAST(({_TBUDGET} * tok) // t AS BIGINT) AS token_quota
+          FROM c, tot
+        )
+        SELECT r.doc_id, r.lang, r.n_ws_tokens, r.tok_cum, g.token_quota
+        FROM r JOIN tgt g ON g.lang = r.lang
+        WHERE r.tok_cum <= g.token_quota
+        """,
+    )
+    def q_tokmix_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """T=1 token-budget mix over the skewed lang column — natural
+        token proportions: quota_s = floor(budget * tok_s / Σtok),
+        re-derived independently in integer SQL (the fixed-point scale
+        cancels exactly at T=1), then the greedy-prefix fill verified
+        as a windowed running sum
+        (operators/sampling.py:sample_token_budget_mix)."""
+        return _run_tokmix(spark, sf_dir, 1.0)
+
+    from build_datawarehouse_demo_spark.registry_round9 import _quota_values_sql
+
+    @register(
+        "sample_token_budget_mix_t2",
+        oracle=f"""
+        WITH {_ranked},
+        tgt(lang, token_quota) AS (
+          {_quota_values_sql(_driver_source_token_sums(), _TBUDGET, 2.0)}
+        )
+        SELECT r.doc_id, r.lang, r.n_ws_tokens, r.tok_cum,
+               CAST(g.token_quota AS BIGINT) AS token_quota
+        FROM r JOIN tgt g ON g.lang = r.lang
+        WHERE r.tok_cum <= g.token_quota
+        """,
+    )
+    def q_tokmix_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """T=2 token-budget mix: token quotas ∝ sqrt(tok_s) by the
+        exact-integer fixed-point contract, pinned into the oracle
+        through temperature_quotas at fixture-derived per-lang token
+        totals (_driver_source_token_sums replays
+        operators/text.tokens' ASCII whitespace split); the ranked
+        greedy-prefix fill is verified in SQL."""
+        return _run_tokmix(spark, sf_dir, 2.0)
+
+
 def register_round10_curation() -> None:
     # ------------------------------------------------------------------
     # second r10 curation batch: embedding-space benchmark

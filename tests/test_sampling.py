@@ -326,3 +326,98 @@ def test_dsir_zero_token_docs_never_drawn(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
     sel = importance_resample_dsir(df, F.col("is_tgt"), k=10, n_buckets=16).toPandas()
     assert set(sel.doc_id) == {0, 2}
+
+
+def _tokmix_reference(rows, budget, temperature, seed=0):
+    """Brute Python reference for sample_token_budget_mix: quotas via
+    temperature_quotas over per-source token totals, fill by greedy
+    prefix of the md5 rank order (same hash the engine uses)."""
+    import collections
+    import hashlib
+
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        temperature_quotas,
+    )
+
+    totals: dict = collections.defaultdict(int)
+    for doc_id, src, tok in rows:
+        if doc_id is None or tok is None:
+            continue
+        totals[src] += tok
+    quotas = temperature_quotas(dict(totals), budget, temperature)
+
+    def rank_key(doc_id):
+        h = hashlib.md5(f"{seed}:tokmix:{doc_id}".encode()).hexdigest()[:8]
+        return (int(h, 16), doc_id)
+
+    kept = set()
+    by_src: dict = collections.defaultdict(list)
+    for doc_id, src, tok in rows:
+        if doc_id is None or tok is None:
+            continue
+        by_src[src].append((doc_id, tok))
+    for src, docs in by_src.items():
+        cum = 0
+        for doc_id, tok in sorted(docs, key=lambda d: rank_key(d[0])):
+            cum += tok
+            if cum > quotas.get(src, 0):
+                break
+            kept.add(doc_id)
+    return kept, quotas
+
+
+@pytest.mark.parametrize("temperature", [1.0, 1.5, 2.0, 3.0])
+def test_sample_token_budget_mix_matches_reference(spark, temperature):
+    """Token-budget mixing at several temperatures equals the brute
+    Python reference (quota law + greedy-prefix fill), is
+    deterministic, and every kept row's running sum respects the
+    quota."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_token_budget_mix,
+    )
+
+    rows = (
+        [(i, "head", 10 + (i * 7) % 90) for i in range(300)]
+        + [(1000 + i, "tail", 5 + (i * 11) % 200) for i in range(40)]
+        + [(2000, "mid", 0), (2001, "mid", 3), (None, "mid", 50), (2002, "mid", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budget = 4000
+    out = sample_token_budget_mix(
+        df, "source", "doc_id", "n_tok", token_budget=budget, temperature=temperature
+    ).collect()
+    ref_kept, ref_quotas = _tokmix_reference(rows, budget, temperature)
+    assert {r.doc_id for r in out} == ref_kept
+    for r in out:
+        assert r.tok_cum <= r.token_quota == ref_quotas[r.source]
+    again = sample_token_budget_mix(
+        df, "source", "doc_id", "n_tok", token_budget=budget, temperature=temperature
+    ).collect()
+    assert {r.doc_id for r in again} == ref_kept
+
+
+def test_sample_token_budget_mix_prefix_property(spark):
+    """A first-ranked document larger than its source's whole quota
+    empties that source (the kept set is a PREFIX of the rank order —
+    nothing after an over-budget document sneaks in), and a zero-token
+    document costs nothing."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_token_budget_mix,
+    )
+
+    rows = [(i, "a", 50) for i in range(10)] + [(100 + i, "b", 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    # budget 60 at T=1: totals a=500, b=100 -> quotas a=50, b=10 — each
+    # source can afford exactly its first-ranked document
+    out = sample_token_budget_mix(df, "source", "doc_id", "n_tok", token_budget=60)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src.get("a", [])) == 1 and len(by_src.get("b", [])) == 1
+    # shrink a's quota below any single document: source a vanishes,
+    # nothing later in its rank order is promoted
+    tiny = sample_token_budget_mix(
+        df, "source", "doc_id", "n_tok", token_budget=20
+    ).collect()
+    assert all(r.source == "b" for r in tiny)
