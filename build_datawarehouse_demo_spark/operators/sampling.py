@@ -467,3 +467,122 @@ def importance_resample_dsir(
             F.col("score"),
         )
     )
+
+
+def shard_token_balanced(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + token-balanced sharding:
+    order the corpus by an md5 hash of the id (the "shuffle the
+    training set once, reproducibly" step every pipeline runs before
+    writing shards), then cut the token stream into ``n_shards``
+    contiguous ranges of ~equal TOKEN mass:
+
+        shard = min(n_shards-1, prev_cum_tokens * n_shards div total)
+
+    where prev_cum_tokens is the running token total of all documents
+    BEFORE this one in the global hash order. Every shard's token mass
+    lands within one document of total/n_shards — the guarantee
+    hash-mod sharding (pack_sequences' id % shards) only gives in
+    expectation, and the one that matters when n_shards is small or
+    document sizes are heavy-tailed. The assignment is a pure function
+    of (data, n_shards, seed): re-runnable anywhere, and the hash
+    order doubles as the reproducible shuffle (pos = prev_cum).
+
+    Scale shape — the global running sum WITHOUT a global window:
+    range-repartition on the hash key (global order across partitions,
+    uniform because the key is a hash), localCheckpoint the narrow
+    (id, tokens, key) projection ONCE so the two passes below read the
+    same materialized rows (range bounds come from sampling; pinning
+    the rows makes the partition ids stable between passes — at
+    production scale swap the checkpoint for a parquet boundary, the
+    training_data.py discipline), then (1) one bounded collect of
+    per-partition token totals -> offsets on the driver (one row per
+    partition, the merge.py scalar-collect discipline), (2) a
+    per-partition cumsum window + broadcast offset join. No stage ever
+    sees more than its partition; the only full exchanges are the
+    range repartition and the window's hash exchange on pid.
+
+    Rows with NULL id leave first (drawable-population discipline);
+    NULL token counts cost 0. The output is (id, n_tokens, prev_cum,
+    shard) — join back to the payload by id to write, e.g.
+    ``df.write.partitionBy("shard")``.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    spark = df.sparkSession
+    staged = (
+        df.where(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(token_col).cast("bigint"), F.lit(0)).alias("n_tokens"),
+            hash32(
+                F.concat(F.lit("shardord:"), F.col(id_col).cast("string")), seed=seed
+            ).alias("__hkey"),
+        )
+    )
+    p = spark.sparkContext.defaultParallelism
+    ranged = (
+        staged.repartitionByRange(p, F.col("__hkey"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        row[0]: row[1]
+        for row in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__t")).collect()
+    }
+    grand = sum(totals.values())
+    if grand <= 0:
+        # nothing to balance: every document (all zero-token) goes to
+        # shard 0 in hash order
+        return ranged.select(
+            id_col, "n_tokens", F.lit(0).cast("bigint").alias("prev_cum"),
+            F.lit(0).cast("int").alias("shard"),
+        )
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    from pyspark.sql import types as T
+
+    odf = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType(), False),
+                T.StructField("__off", T.LongType(), False),
+            ]
+        ),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__hkey").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        ranged.withColumn("__prev_local", prev_local)
+        .join(F.broadcast(odf), "__pid")
+        .withColumn(
+            "prev_cum", (F.col("__off") + F.col("__prev_local")).cast("bigint")
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("prev_cum"),
+            F.least(
+                F.lit(n_shards - 1),
+                # `div`, not floor(/): exact integer math on both
+                # engines at petabyte offsets (the pack_sequences note)
+                F.expr(f"(prev_cum * {int(n_shards)}) div {int(grand)}").cast("int"),
+            )
+            .cast("int")
+            .alias("shard"),
+        )
+    )

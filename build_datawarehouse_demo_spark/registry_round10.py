@@ -572,6 +572,50 @@ def register_round10_token_budget() -> None:
         greedy-prefix fill is verified in SQL."""
         return _run_tokmix(spark, sf_dir, 2.0)
 
+    _N_SHARDS = 8
+    _ord_hash = _HASH32.format(expr="'0:shardord:' || CAST(doc_id AS VARCHAR)")
+
+    @register(
+        "shard_token_balanced",
+        oracle=f"""
+        WITH d AS (
+          SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                 {_ord_hash} AS hkey
+          FROM documents WHERE doc_id IS NOT NULL
+        ),
+        tot AS (SELECT sum(n_tokens) AS t FROM d),
+        r AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY hkey, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prev_cum
+          FROM d
+        )
+        SELECT r.doc_id, r.n_tokens, r.prev_cum,
+               CAST(least({_N_SHARDS - 1}, (r.prev_cum * {_N_SHARDS}) // t)
+                 AS INTEGER) AS shard
+        FROM r, tot
+        """,
+    )
+    def q_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token-balanced corpus sharding: global md5-hash shuffle
+        order, shard = prev-cum-tokens * N div total — every shard's
+        token mass within one document of total/N
+        (operators/sampling.py:shard_token_balanced). The oracle
+        recomputes the GLOBAL running sum as one SQL window; the
+        engine builds the same sum scalably from range-partitioned
+        per-partition prefix sums + a bounded offsets collect — a hash
+        match proves the distributed cumsum ≡ the global window."""
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            shard_token_balanced,
+        )
+        from build_datawarehouse_demo_spark.operators.text import token_count
+
+        docs = token_count(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        ).select("doc_id", F.col("n_ws_tokens"))
+        return shard_token_balanced(docs, "doc_id", "n_ws_tokens", _N_SHARDS)
+
 
 def register_round10_curation() -> None:
     # ------------------------------------------------------------------

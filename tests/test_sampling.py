@@ -421,3 +421,73 @@ def test_sample_token_budget_mix_prefix_property(spark):
         df, "source", "doc_id", "n_tok", token_budget=20
     ).collect()
     assert all(r.source == "b" for r in tiny)
+
+
+def test_shard_token_balanced_matches_global_cumsum(spark):
+    """The distributed prefix-sum construction (range partition +
+    per-partition cumsum + offsets) equals a brute global cumsum in
+    hash order; shard token masses land within one document of
+    total/N; the assignment is deterministic under input
+    repartitioning."""
+    import hashlib
+
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        shard_token_balanced,
+    )
+
+    rows = [(i, 1 + (i * 13) % 97) for i in range(500)] + [(None, 40), (900, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    n_shards = 7
+    out = shard_token_balanced(df, "doc_id", "n_tok", n_shards).collect()
+
+    def hkey(doc_id):
+        return int(hashlib.md5(f"0:shardord:{doc_id}".encode()).hexdigest()[:8], 16)
+
+    ordered = sorted(
+        [(i, t if t is not None else 0) for i, t in rows if i is not None],
+        key=lambda r: (hkey(r[0]), r[0]),
+    )
+    total, cum, ref = sum(t for _, t in ordered), 0, {}
+    for doc_id, tok in ordered:
+        ref[doc_id] = (cum, min(n_shards - 1, cum * n_shards // total))
+        cum += tok
+    assert {r.doc_id: (r.prev_cum, r.shard) for r in out} == ref
+
+    # balance: every shard's token mass within one max document of fair
+    by_shard = {}
+    for r in out:
+        by_shard[r.shard] = by_shard.get(r.shard, 0) + r.n_tokens
+    fair, max_doc = total / n_shards, max(t for _, t in ordered)
+    assert set(by_shard) == set(range(n_shards))
+    for mass in by_shard.values():
+        assert abs(mass - fair) <= max_doc
+
+    # deterministic under a different input partitioning
+    again = shard_token_balanced(
+        df.repartition(13), "doc_id", "n_tok", n_shards
+    ).collect()
+    assert {r.doc_id: (r.prev_cum, r.shard) for r in again} == ref
+
+
+def test_shard_token_balanced_edges(spark):
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        shard_token_balanced,
+    )
+
+    # all-zero token corpus: everything in shard 0, prev_cum 0
+    zero = spark.createDataFrame(
+        [(i, 0) for i in range(5)], "doc_id long, n_tok long"
+    )
+    got = shard_token_balanced(zero, "doc_id", "n_tok", 4).collect()
+    assert len(got) == 5
+    assert all(r.shard == 0 and r.prev_cum == 0 for r in got)
+    # n_shards=1 puts everything in shard 0 but keeps the cumsum
+    one = shard_token_balanced(
+        spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, n_tok long"),
+        "doc_id", "n_tok", 1,
+    ).collect()
+    assert all(r.shard == 0 for r in one)
+    # the later doc's prev_cum is the earlier doc's token count
+    assert sorted(r.prev_cum for r in one) in ([0, 5], [0, 7])
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_token_balanced(zero, "doc_id", "n_tok", 0)
