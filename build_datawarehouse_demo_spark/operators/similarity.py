@@ -1237,6 +1237,97 @@ def semdedup_prune(
     )
 
 
+def semdedup_prune_incremental(
+    assigned_new: DataFrame,
+    assigned_old: DataFrame,
+    centroids: DataFrame,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Fold a NEW batch into an existing SemDeDup run without
+    recomputing the corpus — the corpus-refresh twin of
+    ``semdedup_prune``, under the same frozen-parameter discipline as
+    ``ivf_index_append`` (the quantizer is NOT retrained; both inputs
+    are (id, centroid_id, __v) frames assigned by the STORED
+    centroids, e.g. via ivf_assign_two_level).
+
+    Semantics — append-only priority: the combined cluster order is
+    "every stored member BEFORE every new member, new members in their
+    own (cent_sim asc, id) order", and the paper's rule is applied to
+    the new members under that order. Equivalently: a new item is
+    pruned iff cosine >= eps to ANY stored member of its cluster (kept
+    or pruned — the batch rule's 'earlier member' is not 'earlier KEPT
+    member') or to any earlier NEW member. This keeps every stored
+    verdict frozen (a refresh never un-prunes yesterday's corpus —
+    what a production pipeline requires of an append), at the
+    documented cost of NOT being rebuild-parity: a full rebuild could
+    rank a new far-from-centroid item earlier than a stored one and
+    flip the stored verdict. Exact rebuild parity under append-only
+    verdicts is structurally impossible for SemDeDup (unlike
+    ivf_index_append, where assignment is order-free), so the contract
+    is the two-phase order itself — restated verbatim by the oracle.
+
+    Scale shape: same as the batch prune — broadcast centroid join for
+    cent_sim, per-cluster rank window over the NEW batch only, and two
+    cluster-key equi-joins (new x stored, new x earlier-new) whose
+    cost is O(|new| * cluster_size), never corpus-quadratic. Output
+    schema matches semdedup_prune (id, centroid_id, cent_sim, kept)
+    for the new batch, so states union cleanly across refreshes.
+    """
+    cvecs = centroids.select(
+        F.col(centroid_id_col), _as_double(vec_col).alias("__c")
+    )
+    base = assigned_new.join(F.broadcast(cvecs), centroid_id_col).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        F.col("__v"),
+        F.round(cosine(F.col("__v"), F.col("__c")), 6).alias("cent_sim"),
+    )
+    w = Window.partitionBy(centroid_id_col).orderBy(
+        F.col("cent_sim").asc(), F.col(id_col)
+    )
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    stored = assigned_old.select(
+        F.col(centroid_id_col), F.col("__v").alias("__va")
+    )
+    nb = ranked.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("__id_b"),
+        F.col("__rk").alias("__rk_b"),
+        F.col("__v").alias("__vb"),
+    )
+    cov_stored = (
+        stored.join(nb, centroid_id_col)
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(eps))
+        .select(F.col("__id_b").alias(id_col))
+    )
+    na = ranked.select(
+        F.col(centroid_id_col),
+        F.col("__rk").alias("__rk_a"),
+        F.col("__v").alias("__va"),
+    )
+    cov_new = (
+        na.join(nb, centroid_id_col)
+        .filter(F.col("__rk_a") < F.col("__rk_b"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(eps))
+        .select(F.col("__id_b").alias(id_col))
+    )
+    covered = cov_stored.unionByName(cov_new).distinct()
+    return (
+        ranked.join(
+            covered.withColumn("__cov", F.lit(True)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col(centroid_id_col),
+            F.col("cent_sim"),
+            F.col("__cov").isNull().alias("kept"),
+        )
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -20,16 +20,19 @@ from build_datawarehouse_demo_spark.registry_round7 import (
 )
 
 
-def _driver_old_subset_count(split_at: int) -> int:
-    """Rows of the driver documents fixture with doc_id < split_at —
-    the OLD-corpus count that pins the incremental entry's frozen
-    banding (same fixture-derived-pin discipline as _driver_rows)."""
+def _driver_old_subset_count(
+    split_at: int, table: str = "documents", id_col: str = "doc_id"
+) -> int:
+    """Rows of a driver fixture table with id < split_at — the
+    OLD-corpus count that pins the incremental entries' frozen
+    banding/quantizer (same fixture-derived-pin discipline as
+    _driver_rows)."""
     try:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        t = pq.read_table(f"{_DRIVER_SF_DIR}/documents.parquet", columns=["doc_id"])
-        return pc.sum(pc.less(t.column("doc_id"), split_at)).as_py() or 0
+        t = pq.read_table(f"{_DRIVER_SF_DIR}/{table}.parquet", columns=[id_col])
+        return pc.sum(pc.less(t.column(id_col), split_at)).as_py() or 0
     except (ImportError, FileNotFoundError, OSError) as e:
         import warnings
 
@@ -284,6 +287,107 @@ def register_round10_training_ops() -> None:
         sup, groups = ivf_group_centroids(cents, n_groups=ngroups, n_iter=1, round_to=6)
         assigned = ivf_assign_two_level(emb, cents, sup, groups, gprobe=IVF_GPROBE)
         return semdedup_prune(assigned, cents, eps=_SD_EPS)
+
+    # ------------------------------------------------------------------
+    # incremental SemDeDup (r10 theme applied to the semantic lane):
+    # fold a new vector batch into an existing run — frozen quantizer,
+    # stored verdicts never flip (append-only priority: every stored
+    # member outranks every new one; new members keep the paper's
+    # order among themselves). The oracle restates the WHOLE two-phase
+    # rule: trains the quantizer on the OLD subset only (the
+    # parameterized ivf_trained_with_block), assigns BOTH subsets with
+    # it, and re-derives the stored-covers-new ∪ earlier-new-covers-new
+    # prune set.
+    # ------------------------------------------------------------------
+    _N_EMB = _driver_rows("embeddings", 500)
+    _EMB_SPLIT = (3 * _N_EMB) // 4
+    _N_EMB_OLD = _driver_old_subset_count(_EMB_SPLIT, "embeddings", "vec_id")
+
+    @register(
+        "dedup_semdedup_incremental",
+        oracle=f"""
+        {ivf_trained_with_block(f"vec_id < {_EMB_SPLIT}", _N_EMB_OLD)},
+        en AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id >= {_EMB_SPLIT}
+        ),
+        route_n AS (
+          SELECT vec_id, gid, v FROM (
+            SELECT e.vec_id, s.cid AS gid, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.v", "s.cv")} DESC, s.cid) AS rn
+            FROM en e, s1 s
+          ) WHERE rn <= {IVF_GPROBE}
+        ),
+        lists_n AS (
+          SELECT vec_id, cid, v FROM (
+            SELECT r.vec_id, g.cid, r.v,
+                   row_number() OVER (PARTITION BY r.vec_id
+                       ORDER BY {_cos_sql("r.v", "c.cv")} DESC, g.cid) AS rn
+            FROM route_n r JOIN grp g ON g.gid = r.gid JOIN c2 c ON c.cid = g.cid
+          ) WHERE rn = 1
+        ),
+        rk AS (
+          SELECT l.vec_id, l.cid, l.v,
+                 round({_cos_sql("l.v", "c.cv")}, 6) AS cent_sim,
+                 row_number() OVER (PARTITION BY l.cid
+                     ORDER BY round({_cos_sql("l.v", "c.cv")}, 6), l.vec_id) AS rk
+          FROM lists_n l JOIN c2 c ON c.cid = l.cid
+        ),
+        cov AS (
+          SELECT b.vec_id
+          FROM lists a JOIN rk b ON a.cid = b.cid
+          WHERE round({_cos_sql("a.v", "b.v")}, 6) >= {_SD_EPS}
+          UNION
+          SELECT b.vec_id
+          FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk
+          WHERE round({_cos_sql("a.v", "b.v")}, 6) >= {_SD_EPS}
+        )
+        SELECT r.vec_id, r.cid AS centroid_id, r.cent_sim,
+               (c.vec_id IS NULL) AS kept
+        FROM rk r LEFT JOIN cov c ON c.vec_id = r.vec_id
+        """,
+    )
+    def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental SemDeDup over a 75/25 vec_id split: quantizer
+        trained on the OLD subset only, both subsets assigned with the
+        frozen two-level quantizer, then the new batch pruned under
+        append-only priority (stored members cover new ones regardless
+        of rank; new members follow the paper's order among
+        themselves — operators/similarity.py:semdedup_prune_incremental,
+        which documents why exact rebuild-parity is structurally
+        impossible for an append-only SemDeDup)."""
+        from build_datawarehouse_demo_spark.operators.similarity import (
+            ivf_assign_two_level,
+            ivf_group_centroids,
+            ivf_train_sampled,
+            semdedup_prune_incremental,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") < _EMB_SPLIT)
+        new = emb.filter(F.col("vec_id") >= _EMB_SPLIT)
+        n_old = old.count()
+        nlist = max(2, math.ceil(math.sqrt(n_old)))
+        seeds = old.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        cents = ivf_train_sampled(
+            old, seeds, n=n_old, nlist=nlist, n_iter=2, round_to=6
+        )
+        ngroups = max(1, math.ceil(math.sqrt(nlist)))
+        sup, groups = ivf_group_centroids(
+            cents, n_groups=ngroups, n_iter=1, round_to=6
+        )
+        assigned_old = ivf_assign_two_level(
+            old, cents, sup, groups, gprobe=IVF_GPROBE
+        )
+        assigned_new = ivf_assign_two_level(
+            new, cents, sup, groups, gprobe=IVF_GPROBE
+        )
+        return semdedup_prune_incremental(
+            assigned_new, assigned_old, cents, eps=_SD_EPS
+        )
 
     _DSIR_B, _DSIR_K = 1024, 100
 

@@ -104,15 +104,30 @@ def _lloyd_sql(prev: str, out: str, corpus: str = "e") -> str:
     )"""
 
 
-def ivf_trained_with_block() -> str:
+def ivf_trained_with_block(
+    corpus_where: str = "TRUE", n_corpus: int | None = None
+) -> str:
     """The shared WITH block of the LINEARIZED trained-IVF build
     (sampled training -> super-centroid grouping -> two-level
     assignment), ending with the ``lists`` (vec_id, cid, v) and ``c2``
-    (centroids) CTEs — reused by sim_ivf_trained (r7/r8) and the
-    persisted-index entries (r8)."""
-    nlist, sample_k, ngroups = _ivf_pins()
+    (centroids) CTEs — reused by sim_ivf_trained (r7/r8), the
+    persisted-index entries (r8), and (r10, via ``corpus_where``/
+    ``n_corpus``) the incremental-SemDeDup entry, whose quantizer
+    trains on the OLD corpus subset only. Defaults reproduce the
+    original full-corpus block (WHERE TRUE) with the same pins."""
+    if n_corpus is None:
+        nlist, sample_k, ngroups = _ivf_pins()
+    else:
+        from build_datawarehouse_demo_spark.operators.similarity import (
+            ivf_sample_modulus,
+        )
+
+        nlist = max(2, math.ceil(math.sqrt(n_corpus)))
+        sample_k = ivf_sample_modulus(n_corpus, nlist)
+        ngroups = max(1, math.ceil(math.sqrt(nlist)))
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE {corpus_where}),
     samp AS (
       SELECT vec_id, v FROM e
       WHERE CAST(('0x' || substr(md5('0:ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)

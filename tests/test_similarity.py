@@ -867,3 +867,81 @@ def test_semantic_decontaminate_flags_and_max(spark):
     assert out[0] == (1.0, True)
     assert out[1][1] is True and out[1][0] > 0.99
     assert out[2] == (0.0, False)
+
+
+def test_semdedup_incremental_matches_two_phase_reference(spark):
+    """semdedup_prune_incremental equals a brute Python restatement of
+    its append-only contract (stored members cover new ones regardless
+    of rank; new members follow the paper's order among themselves),
+    and degrades to the batch operator exactly when the stored set is
+    empty."""
+    import numpy as np
+
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        semdedup_prune,
+        semdedup_prune_incremental,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, eps = 8, 0.85
+    cents = rng.normal(size=(3, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def make(ids):
+        rows = []
+        for i in ids:
+            c = i % 3
+            v = cents[c] + 0.35 * rng.normal(size=dim)
+            if i % 7 == 0 and rows:  # plant near-duplicates
+                v = np.array(rows[-1][2]) + 0.01 * rng.normal(size=dim)
+            rows.append((i, c, [float(x) for x in v]))
+        return rows
+
+    old_rows, new_rows = make(range(40)), make(range(100, 160))
+    schema = "vec_id long, centroid_id long, __v array<double>"
+    a_old = spark.createDataFrame(old_rows, schema)
+    a_new = spark.createDataFrame(new_rows, schema)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(3)],
+        "centroid_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.cent_sim, r.kept)
+        for r in semdedup_prune_incremental(a_new, a_old, cdf, eps=eps).collect()
+    }
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / (na * nb)), 6) if na > 0 and nb > 0 else None
+
+    # brute two-phase reference
+    ranked = sorted(
+        [(i, c, v, cos(v, cents[c])) for i, c, v in new_rows],
+        key=lambda r: (r[1], r[3], r[0]),
+    )
+    expect = {}
+    for idx, (i, c, v, cs) in enumerate(ranked):
+        covered = any(
+            cos(vo, v) >= eps for _, co, vo in old_rows if co == c
+        ) or any(
+            cos(va, v) >= eps
+            for (ja, ca, va, _) in ranked[:idx]
+            if ca == c
+        )
+        expect[i] = (cs, not covered)
+    assert got == expect
+    # sanity: the reference actually exercises both phases
+    assert any(not k for _, k in got.values())
+
+    # empty stored set: incremental == batch prune of the new batch
+    empty = spark.createDataFrame([], schema)
+    inc = {
+        r.vec_id: (r.cent_sim, r.kept)
+        for r in semdedup_prune_incremental(a_new, empty, cdf, eps=eps).collect()
+    }
+    batch = {
+        r.vec_id: (r.cent_sim, r.kept)
+        for r in semdedup_prune(a_new, cdf, eps=eps).collect()
+    }
+    assert inc == batch
