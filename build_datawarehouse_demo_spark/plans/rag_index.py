@@ -1,0 +1,151 @@
+"""RAG-style retrieval index pipeline.
+
+Composes the chunking, featurization, and IVF operator families into
+the index-build + query pass a retrieval-augmented-generation corpus
+actually runs:
+
+    chunk (sliding token windows) -> hash-embed each chunk (feature
+    hashing, the HashingTF shape, as a DENSE vector) -> train the IVF
+    coarse quantizer on the chunk vectors -> two-level assignment
+    (the inverted lists) -> nprobe top-k search
+
+Each stage is the SAME operator registered (and oracle-checked)
+individually — chunk_documents, the hash32 featurizer family,
+ivf_train_sampled / ivf_group_centroids / ivf_assign_two_level /
+ivf_topk_assigned; this module only wires them. The embedder is the
+deterministic stand-in this environment supports (no model weights in
+the sandbox — the multimodal-decode discipline): the Spark-side
+plumbing (chunk ids, dense-vector schema, quantizer training, index
+shape, search) is real and the whole chain is restated in DuckDB by
+the `pipeline_rag_index_search` oracle. Swapping in a real encoder is
+one `withColumn` on the same (vec_id, embedding) contract.
+
+Scale shape: chunking + embedding are ONE codegen'd scan (posexplode
+windows, then a transform/filter HOF per chunk — no Python, no
+shuffle; chunks stay on the parent document's partition). Training
+samples ~ppc*nlist chunk vectors (spread + checkpointed once), the
+two-level assignment is the linearized r8 path, and search scores
+only the probed inverted lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.operators.dedup import hash32
+from build_datawarehouse_demo_spark.operators.text import chunk_documents, tokens
+
+#: chunk-uid stride: uid = doc_id * STRIDE + chunk_id. Collision-free
+#: while every document chunks to < STRIDE windows — at the default
+#: 24-token step that is documents under ~24k tokens; raise for book-
+#: length corpora (the uid only needs to be a stable unique int).
+CHUNK_UID_STRIDE = 1000
+
+
+def hash_embed_chunks(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stride: int = CHUNK_UID_STRIDE,
+) -> DataFrame:
+    """Chunk documents and hash-embed every chunk as a dense
+    ``dim``-bucket token-count vector (feature hashing — the
+    ml_feature_hashing operator's buckets, assembled densely):
+    vec[i] = |{tokens t in chunk : hash32(t) mod dim = i}|.
+
+    Entirely inside one codegen'd scan: chunking is a posexplode of
+    window starts, the vector a transform-over-sequence HOF whose
+    inner filter counts the chunk's tokens per bucket — no shuffle,
+    no UDF, engine-portable (md5 bucket hash). Output:
+    (vec_id, embedding array<double>) on the ivf_* contract, with
+    vec_id = doc_id * stride + chunk_id."""
+    chunks = chunk_documents(
+        docs, id_col=id_col, text_col=text_col,
+        chunk_size=chunk_size, overlap=overlap,
+    )
+    toks = tokens("chunk_text")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(
+            F.filter(toks, lambda t: F.pmod(hash32(t), F.lit(dim)) == i)
+        ).cast("double"),
+    )
+    return chunks.select(
+        (F.col(id_col) * stride + F.col("chunk_id")).cast("bigint").alias("vec_id"),
+        vec.alias("embedding"),
+    )
+
+
+def build_rag_index(
+    chunk_vecs: DataFrame,
+    n_chunks: int,
+    gprobe: int = 2,
+    stride: int = CHUNK_UID_STRIDE,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse quantizer on the chunk vectors and build the
+    inverted lists (the r8 linearized path: sampled Lloyd ->
+    super-centroid grouping -> two-level assignment). Seeds are the
+    first chunk of documents 0..nlist-1 (vec_id % stride = 0 —
+    deterministic and dense even though chunk uids are sparse).
+    Returns (assigned inverted lists, trained centroids)."""
+    import math
+
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_assign_two_level,
+        ivf_group_centroids,
+        ivf_train_sampled,
+    )
+
+    nlist = max(2, math.ceil(math.sqrt(n_chunks)))
+    seeds = chunk_vecs.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < nlist * stride)
+    ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    cents = ivf_train_sampled(
+        chunk_vecs, seeds, n=n_chunks, nlist=nlist, n_iter=2, round_to=6
+    )
+    ngroups = max(1, math.ceil(math.sqrt(nlist)))
+    sup, groups = ivf_group_centroids(
+        cents, n_groups=ngroups, n_iter=1, round_to=6
+    )
+    assigned = ivf_assign_two_level(
+        chunk_vecs, cents, sup, groups, gprobe=gprobe
+    )
+    return assigned, cents
+
+
+def rag_index_search(
+    docs: DataFrame,
+    n_probe_docs: int = 5,
+    k: int = 5,
+    nprobe: int = 4,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    dim: int = 16,
+) -> DataFrame:
+    """The full pipeline: chunk + hash-embed the corpus, build the
+    trained IVF index over the chunk vectors, then query it with the
+    FIRST chunk of documents 0..n_probe_docs-1 (self-matches
+    excluded) — top-``k`` nearest chunks per probe.
+
+    n_chunks is counted once (a scalar aggregate over the narrow
+    chunk frame — the sizing collect every auto-sized lane performs);
+    the chunk vectors feed both the index build and the probe filter
+    from the same frame."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_topk_assigned,
+    )
+
+    chunk_vecs = hash_embed_chunks(
+        docs, chunk_size=chunk_size, overlap=overlap, dim=dim
+    )
+    n_chunks = chunk_vecs.count()
+    assigned, cents = build_rag_index(chunk_vecs, n_chunks)
+    probes = chunk_vecs.filter(
+        (F.col("vec_id") % CHUNK_UID_STRIDE == 0)
+        & (F.col("vec_id") < n_probe_docs * CHUNK_UID_STRIDE)
+    ).select(F.col("vec_id").alias("probe_id"), "embedding")
+    return ivf_topk_assigned(assigned, cents, probes, k=k, nprobe=nprobe)

@@ -151,6 +151,7 @@ def _load_all() -> None:
         register_round10_incremental,
         register_round10_streaming_front,
         register_round10_curation,
+        register_round10_rag,
         register_round10_token_budget,
         register_round10_training_ops,
     )
@@ -198,6 +199,7 @@ def _load_all() -> None:
     register_round10_training_ops()
     register_round10_curation()
     register_round10_token_budget()
+    register_round10_rag()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

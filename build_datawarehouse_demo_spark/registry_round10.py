@@ -721,6 +721,137 @@ def register_round10_token_budget() -> None:
         return shard_token_balanced(docs, "doc_id", "n_ws_tokens", _N_SHARDS)
 
 
+def _driver_chunk_count(step: int) -> int:
+    """Chunks of the driver documents fixture at the given window
+    step: a document with n > 0 whitespace tokens yields
+    (n-1)//step + 1 sliding windows (chunk_documents' sequence()).
+    ASCII split, same class as operators/text.tokens."""
+    try:
+        import re
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{_DRIVER_SF_DIR}/documents.parquet", columns=["text"])
+        total = 0
+        for x in t.column("text").to_pylist():
+            if x is None:
+                continue
+            n = len([w for w in re.split(r"\s+", x.strip(), flags=re.ASCII) if w])
+            if n > 0:
+                total += (n - 1) // step + 1
+        return total
+    except (ImportError, FileNotFoundError, OSError) as e:
+        import warnings
+
+        warnings.warn(
+            f"_driver_chunk_count: fixture unreadable "
+            f"({type(e).__name__}: {e}) — RAG-index oracle pins may diverge",
+            stacklevel=2,
+        )
+        return 0
+
+
+def register_round10_rag() -> None:
+    # ------------------------------------------------------------------
+    # composed RAG retrieval-index pipeline: chunk -> hash-embed ->
+    # train IVF quantizer on chunk vectors -> inverted lists -> nprobe
+    # top-k search, all in one entry (plans/rag_index.py — every stage
+    # is an individually-registered operator). The oracle restates the
+    # WHOLE chain: the chunk+featurize SQL becomes the parameterized
+    # ivf_trained_with_block's SOURCE subquery, so DuckDB re-runs the
+    # training, assignment, and search over the same derived vectors.
+    # ------------------------------------------------------------------
+    import math
+
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
+    from build_datawarehouse_demo_spark.registry_round7 import (
+        IVF_NPROBE,
+        _cos_sql,
+        ivf_trained_with_block,
+    )
+    from build_datawarehouse_demo_spark.plans.rag_index import CHUNK_UID_STRIDE
+
+    _RAG_CHUNK, _RAG_OVL, _RAG_DIM = 32, 8, 16
+    _RAG_STEP = _RAG_CHUNK - _RAG_OVL
+    _RAG_PROBE_DOCS, _RAG_K = 5, 5
+    _N_CHUNKS = _driver_chunk_count(_RAG_STEP)
+    _RAG_NLIST = max(2, math.ceil(math.sqrt(max(1, _N_CHUNKS))))
+    _h32_tok = "CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT)"
+    _chunkvec_src = f"""(
+      WITH tk AS (SELECT doc_id, {_TOK} AS w FROM documents),
+      st AS (
+        SELECT doc_id, w, unnest(range(0, len(w), {_RAG_STEP})) AS s
+        FROM tk WHERE len(w) > 0
+      )
+      SELECT CAST(doc_id * {CHUNK_UID_STRIDE} + (s // {_RAG_STEP}) AS BIGINT)
+               AS vec_id,
+             list_transform(range(0, {_RAG_DIM}), i ->
+               CAST(len(list_filter(w[s + 1 : s + {_RAG_CHUNK}],
+                    t -> {_h32_tok} % {_RAG_DIM} = i)) AS DOUBLE)) AS embedding
+      FROM st) src"""
+
+    @register(
+        "pipeline_rag_index_search",
+        oracle=f"""
+        {ivf_trained_with_block(
+            "TRUE",
+            _N_CHUNKS,
+            source_sql=_chunkvec_src,
+            seed_where=(
+                f"vec_id % {CHUNK_UID_STRIDE} = 0 "
+                f"AND vec_id < {_RAG_NLIST * CHUNK_UID_STRIDE}"
+            ),
+            dim=_RAG_DIM,
+        )},
+        p AS (
+          SELECT vec_id AS probe_id, v AS pv FROM e
+          WHERE vec_id % {CHUNK_UID_STRIDE} = 0
+            AND vec_id < {_RAG_PROBE_DOCS * CHUNK_UID_STRIDE}
+        ),
+        pa AS (
+          SELECT probe_id, pv, cid FROM (
+            SELECT p.probe_id, p.pv, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY {_cos_sql("p.pv", "c.cv")} DESC, c.cid) AS rn
+            FROM p, c2 c
+          ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+          SELECT pa.probe_id, l.vec_id, {_cos_sql("pa.pv", "l.v")} AS cos
+          FROM pa JOIN lists l ON l.cid = pa.cid AND l.vec_id <> pa.probe_id
+        ),
+        ranked AS (
+          SELECT probe_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {_RAG_K}
+        """,
+    )
+    def q_rag_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """RAG index pipeline end to end (plans/rag_index.py): sliding
+        token-window chunking, dense hash-embedding per chunk (one
+        codegen'd scan — transform/filter HOFs, no UDF), sampled-Lloyd
+        quantizer trained on the chunk vectors, two-level inverted
+        lists, nprobe top-k search probed with the first chunk of the
+        first {_RAG_PROBE_DOCS} documents. The oracle re-derives the
+        chunk vectors as the training block's source subquery and
+        replays the entire train/assign/search chain in SQL."""
+        from build_datawarehouse_demo_spark.plans.rag_index import rag_index_search
+
+        return rag_index_search(
+            _t(spark, sf_dir, "documents"),
+            n_probe_docs=_RAG_PROBE_DOCS,
+            k=_RAG_K,
+            nprobe=IVF_NPROBE,
+            chunk_size=_RAG_CHUNK,
+            overlap=_RAG_OVL,
+            dim=_RAG_DIM,
+        )
+
+
 def register_round10_curation() -> None:
     # ------------------------------------------------------------------
     # second r10 curation batch: embedding-space benchmark

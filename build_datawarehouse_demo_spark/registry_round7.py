@@ -82,7 +82,7 @@ def _ivf_pins() -> tuple[int, int, int]:
     return nlist, sample_k, ngroups
 
 
-def _lloyd_sql(prev: str, out: str, corpus: str = "e") -> str:
+def _lloyd_sql(prev: str, out: str, corpus: str = "e", dim: int = _IVF_DIM) -> str:
     """One Lloyd iteration in SQL over ``corpus`` (vec_id, v): assign
     every vector to its max-cosine centroid of `prev` (cid, cv),
     re-pack per-dim 6dp-rounded means as the new centroid list `out`."""
@@ -98,14 +98,18 @@ def _lloyd_sql(prev: str, out: str, corpus: str = "e") -> str:
     {out} AS (
       SELECT cid, list(m ORDER BY dim) AS cv FROM (
         SELECT cid, i AS dim, round(avg(v[i]), 6) AS m
-        FROM a_{out}, unnest(generate_series(1, {_IVF_DIM})) AS g(i)
+        FROM a_{out}, unnest(generate_series(1, {dim})) AS g(i)
         GROUP BY 1, 2
       ) GROUP BY cid
     )"""
 
 
 def ivf_trained_with_block(
-    corpus_where: str = "TRUE", n_corpus: int | None = None
+    corpus_where: str = "TRUE",
+    n_corpus: int | None = None,
+    source_sql: str = "embeddings",
+    seed_where: str | None = None,
+    dim: int = _IVF_DIM,
 ) -> str:
     """The shared WITH block of the LINEARIZED trained-IVF build
     (sampled training -> super-centroid grouping -> two-level
@@ -125,20 +129,22 @@ def ivf_trained_with_block(
         nlist = max(2, math.ceil(math.sqrt(n_corpus)))
         sample_k = ivf_sample_modulus(n_corpus, nlist)
         ngroups = max(1, math.ceil(math.sqrt(nlist)))
+    if seed_where is None:
+        seed_where = f"vec_id < {nlist}"
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source_sql}
                WHERE {corpus_where}),
     samp AS (
       SELECT vec_id, v FROM e
       WHERE CAST(('0x' || substr(md5('0:ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % {sample_k} = 0
     ),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist}),
-    {_lloyd_sql("c0", "c1", corpus="samp")},
-    {_lloyd_sql("c1", "c2", corpus="samp")},
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE {seed_where}),
+    {_lloyd_sql("c0", "c1", corpus="samp", dim=dim)},
+    {_lloyd_sql("c1", "c2", corpus="samp", dim=dim)},
     cc AS (SELECT cid AS vec_id, cv AS v FROM c2),
     s0 AS (SELECT cid, cv FROM c2 ORDER BY cid LIMIT {ngroups}),
-    {_lloyd_sql("s0", "s1", corpus="cc")},
+    {_lloyd_sql("s0", "s1", corpus="cc", dim=dim)},
     grp AS (
       SELECT cid, gid FROM (
         SELECT c.cid, s.cid AS gid,
