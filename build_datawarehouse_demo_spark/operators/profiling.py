@@ -277,3 +277,56 @@ def corpus_report(
             / F.col("n_docs").cast("double"),
         )
     )
+
+
+def source_overlap_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every ordered source
+    pair (a, b), the number of DISTINCT word n-grams of a that also
+    appear in b, and the containment ratio |grams(a) ∩ grams(b)| /
+    |grams(a)| — the corpus-governance question "how much of source A
+    is already inside source B" (scraped mirrors, vendor re-sells,
+    wiki forks) asked at the slice level instead of the document level
+    (dedup_ngram_containment). Exact-duplicate overlap misses
+    near-mirrors that differ by boilerplate; n-grams catch them.
+
+    Scale shape: one distinct over (source, gram) — the gram exchange;
+    the gram self-join fans out at most n_sources rows per gram AFTER
+    the distinct (sources are a bounded dimension), so pair volume is
+    <= distinct_grams * n_sources^2 and the output is n_sources^2
+    rows. Zero-overlap pairs are absent (inner-join semantics). The
+    containment is an exact integer-over-integer double division — no
+    rounding step needed (the dedup_ngram_containment discipline).
+    """
+    from build_datawarehouse_demo_spark.operators.text import ngram_array, tokens
+
+    g = (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("__toks", tokens(text_col))
+        .select(
+            F.col(source_col), F.explode(ngram_array(F.col("__toks"), n)).alias("__gram")
+        )
+        .distinct()
+    )
+    sizes = g.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_grams_a"))
+    a = g.select(F.col(source_col).alias("source_a"), "__gram")
+    b = g.select(F.col(source_col).alias("source_b"), "__gram")
+    pairs = (
+        a.join(b, "__gram")
+        .where(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.join(
+        sizes.withColumnRenamed(source_col, "source_a"), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_grams_a",
+        (F.col("n_shared").cast("double") / F.col("n_grams_a")).alias("containment"),
+    )

@@ -749,3 +749,84 @@ def perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def default_classifier_weights(dim: int, seed: int = 0) -> list[float]:
+    """Deterministic stand-in weight vector for
+    quality_classifier_score: w_i = (hash32("qclf:i") mod 2001 - 1000)
+    / 1000 ∈ [-1, 1]. A trained model ships its real weights through
+    the same argument — this default exists so the classifier's
+    plumbing (hashed features, dot, sigmoid, threshold) is exercised
+    and oracle-checked without model weights in the sandbox (the
+    multimodal-decode discipline). Computed in plain Python with the
+    hash32 convention (md5 of 'seed:value') so any engine pins the
+    same literals."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{seed}:qclf:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Linear quality classifier over hashed bag-of-words features —
+    the fastText/logistic-regression document filter every major LLM
+    corpus ran (GPT-3's LR quality filter, CCNet's fastText stage):
+
+        z = bias + w · (bucket_counts / n_tokens)
+        clf_score = sigmoid(z),  kept = clf_score >= threshold
+
+    Features are the ml_feature_hashing buckets (md5 token hash mod
+    ``dim``), assembled densely and length-normalized so the score is
+    scale-free in document length. Entirely inside one codegen'd scan:
+    a transform/filter HOF for the counts, the zip_with+aggregate fold
+    for the dot (the measured-fastest JVM-exact form — see the r9 note
+    at operators/similarity.dot), built-in exp for the sigmoid. Scores
+    round to 6dp before the threshold so verdicts are engine-portable.
+    Zero-token documents score NULL (no features = no verdict — kept
+    null, like the samplers' null-id discipline).
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import hash32
+
+    if weights is None:
+        weights = default_classifier_weights(dim)
+    if len(weights) != dim:
+        raise ValueError(f"need {dim} weights, got {len(weights)}")
+    toks = tokens(text_col)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(
+            F.filter(F.col("__toks"), lambda t: F.pmod(hash32(t), F.lit(dim)) == i)
+        ).cast("double"),
+    )
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col("__feat"), wlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    staged = (
+        df.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks").cast("double"))
+        .withColumn("__feat", counts)
+    )
+    z = F.lit(float(bias)) + dot / F.col("__n")
+    score = F.when(
+        F.col("__n") > 0, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__n").cast("bigint").alias("n_ws_tokens"),
+        score.alias("clf_score"),
+        (score >= F.lit(float(threshold))).alias("kept"),
+    )

@@ -150,6 +150,7 @@ def _load_all() -> None:
         register_round10_fetch,
         register_round10_incremental,
         register_round10_streaming_front,
+        register_round10_classifier,
         register_round10_curation,
         register_round10_rag,
         register_round10_token_budget,
@@ -200,6 +201,7 @@ def _load_all() -> None:
     register_round10_curation()
     register_round10_token_budget()
     register_round10_rag()
+    register_round10_classifier()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

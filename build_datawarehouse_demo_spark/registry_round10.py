@@ -852,6 +852,65 @@ def register_round10_rag() -> None:
         )
 
 
+def register_round10_classifier() -> None:
+    # ------------------------------------------------------------------
+    # linear quality classifier (the fastText/LR document filter of
+    # GPT-3 / CCNet): hashed bag-of-words features, length-normalized,
+    # dot with a pinned weight vector, sigmoid, threshold. The weights
+    # are the documented deterministic stand-in (no model weights in
+    # the sandbox); the oracle replays features, dot, sigmoid and
+    # verdict in SQL at the same literals.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.text import (
+        default_classifier_weights,
+    )
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
+
+    _QC_DIM, _QC_THRESH = 64, 0.5
+    _QC_W = default_classifier_weights(_QC_DIM)
+    _w_sql = "[" + ", ".join(repr(w) for w in _QC_W) + "]"
+    _h32_tok = "CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT)"
+
+    @register(
+        "text_quality_classifier",
+        oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOK} AS w FROM documents),
+        f AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_ws_tokens,
+                 list_transform(range(0, {_QC_DIM}), i ->
+                   CAST(len(list_filter(w, t -> {_h32_tok} % {_QC_DIM} = i))
+                     AS DOUBLE)) AS feat
+          FROM d
+        ),
+        s AS (
+          SELECT doc_id, n_ws_tokens,
+                 CASE WHEN n_ws_tokens > 0 THEN
+                   round(1.0 / (1.0 + exp(-(
+                     list_dot_product(feat, {_w_sql}) / n_ws_tokens))), 6)
+                 END AS clf_score
+          FROM f
+        )
+        SELECT doc_id, n_ws_tokens, clf_score,
+               clf_score >= {_QC_THRESH} AS kept
+        FROM s
+        """,
+    )
+    def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Linear quality classifier
+        (operators/text.py:quality_classifier_score): md5-hashed
+        bag-of-words buckets, length-normalized, pinned stand-in
+        weights, sigmoid + 0.5 threshold — features, dot, sigmoid and
+        verdict all replayed by the oracle at the same literals.
+        Zero-token documents score NULL (no features = no verdict)."""
+        from build_datawarehouse_demo_spark.operators.text import (
+            quality_classifier_score,
+        )
+
+        return quality_classifier_score(
+            _t(spark, sf_dir, "documents"), dim=_QC_DIM, threshold=_QC_THRESH
+        )
+
+
 def register_round10_curation() -> None:
     # ------------------------------------------------------------------
     # second r10 curation batch: embedding-space benchmark
@@ -917,3 +976,44 @@ def register_round10_curation() -> None:
         from build_datawarehouse_demo_spark.operators.profiling import corpus_report
 
         return corpus_report(_t(spark, sf_dir, "documents"))
+
+    _SO_N = 8
+
+    @register(
+        "profile_source_overlap",
+        oracle=f"""
+        WITH tok AS (
+          SELECT source, {_TOK} AS w FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT DISTINCT source,
+                 array_to_string(w[i.i : i.i + {_SO_N - 1}], ' ') AS gram
+          FROM tok, unnest(range(1, len(w) - {_SO_N} + 2)) AS i(i)
+          WHERE len(w) >= {_SO_N}
+        ),
+        sizes AS (SELECT source, count(*) AS n_grams_a FROM g GROUP BY source),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared
+          FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+          GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, p.n_shared, s.n_grams_a,
+               CAST(p.n_shared AS DOUBLE) / s.n_grams_a AS containment
+        FROM pairs p JOIN sizes s ON s.source = p.source_a
+        """,
+    )
+    def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-source {_SO_N}-gram containment matrix
+        (operators/profiling.py:source_overlap_report): how much of
+        each source's distinct n-gram content appears in every other
+        source — the slice-level duplication governance view. Exact
+        cross-source duplicate TEXTS are zero at this fixture (texts
+        are corpus-unique), which is exactly why the report measures
+        n-gram containment: shared boilerplate grams across sources
+        are real and nonzero."""
+        from build_datawarehouse_demo_spark.operators.profiling import (
+            source_overlap_report,
+        )
+
+        return source_overlap_report(_t(spark, sf_dir, "documents"), n=_SO_N)

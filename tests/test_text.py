@@ -673,3 +673,69 @@ def test_corpus_report_counts_and_dup_rate(spark):
     assert abs(en.avg_tokens - round(8 / 3, 6)) < 1e-9
     fr = out[("fr", "s1")]
     assert (fr.n_docs, fr.n_tokens, fr.dup_rate) == (1, 1, 0.0)
+
+
+def test_quality_classifier_matches_reference(spark):
+    """Hashed-feature linear classifier equals a brute Python replay
+    (features, length-normalized dot, sigmoid, threshold); zero-token
+    documents get NULL score and NULL verdict."""
+    import hashlib
+    import math
+    import re
+
+    from build_datawarehouse_demo_spark.operators.text import (
+        default_classifier_weights,
+        quality_classifier_score,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark spark spark shuffle"),
+        (2, "   "),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 16
+    w = default_classifier_weights(dim)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.clf_score, r.kept)
+        for r in quality_classifier_score(df, dim=dim).collect()
+    }
+
+    def h32(s):
+        return int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:8], 16)
+
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"\s+", text.strip(), flags=re.ASCII) if t]
+        if not toks:
+            assert got[doc_id] == (0, None, None)
+            continue
+        feat = [0.0] * dim
+        for t in toks:
+            feat[h32(t) % dim] += 1.0
+        z = sum(x * y for x, y in zip(feat, w)) / len(toks)
+        score = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert got[doc_id] == (len(toks), score, score >= 0.5)
+
+
+def test_source_overlap_report_counts_shared_grams(spark):
+    """Planted shared n-grams across sources produce the expected
+    asymmetric containment; disjoint sources are absent."""
+    from build_datawarehouse_demo_spark.operators.profiling import (
+        source_overlap_report,
+    )
+
+    shared = "one two three four"  # a single shared 4-gram
+    rows = [
+        ("a", shared + " alpha beta"),   # grams(a): 3 distinct 4-grams
+        ("b", shared),                   # grams(b): 1
+        ("c", "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r.source_a, r.source_b): (r.n_shared, r.n_grams_a, r.containment)
+        for r in source_overlap_report(df, n=4).collect()
+    }
+    assert out[("a", "b")] == (1, 3, 1.0 / 3)
+    assert out[("b", "a")] == (1, 1, 1.0)
+    assert not any("c" in k for k in out)
