@@ -60,6 +60,13 @@ AUDITED = {
     "streaming_neardup_collapse_batch": "narrow simhash collapse — per-row signature folds in ONE projection (no explode), then a single exchange on the signature for the min/count window",
     "sample_temperature_mix_t3": "general-T mixing — quotas are driver-side bigint literals broadcast into the rank filter; ONE exchange on the source column for the rank window",
     "pipeline_training_data_neardup_incremental": "incremental corpus refresh (r10) — ONLY the batch takes the feature scan; exact stage anti-joins 16-byte digests against stored survivors; new band keys equi-join the STORED band-key table (old signatures reused, never recomputed); components contract stored+new pairs; span refresh recomputes gram stats only for digests touched by new or dropped reps and rebuilds only affected documents — untouched output rows are reused verbatim",
+    "dedup_semantic_semdedup": "SemDeDup prune — trained-quantizer chain (broadcast cross-scores BY DESIGN, the sim_ivf_trained pattern), then ONE rank window per cluster and a cluster-key self equi-join for the pair stage (O(n²/nlist) comparisons — the balanced production sizing makes it n^(4/3), measured in BENCH_SEMDEDUP_SCALE_r10.json); never a corpus nested-loop",
+    "dedup_semdedup_incremental": "incremental SemDeDup — frozen quantizer broadcast into BOTH subset assignments; the new batch takes the rank window; two cluster-key equi-joins (new×stored, new×earlier-new) bound pair volume by |new|·cluster_size; stored verdicts never recomputed",
+    "sample_token_budget_mix_t1": "token-budget mixing — tiny per-source token-total agg collected, quotas broadcast back, ONE exchange on source for the running-sum window; the greedy-prefix filter is a narrow comparison",
+    "shard_token_balanced": "token-balanced sharding — range repartition on the hash key (the ONE corpus exchange), narrow projection checkpointed once, per-partition totals collected (one row per partition), cumsum window + broadcast offset join; NO global single-task window",
+    "pipeline_rag_index_search": "RAG index pipeline — chunking + dense hash-embedding fuse into ONE scan-side projection (posexplode + HOFs, no UDF); quantizer training scores only the hash sample; assignment routes through broadcast super-centroids; search joins probe routes to inverted lists on the centroid id (equi-join), top-k window on scored rows",
+    "text_quality_classifier": "linear quality classifier — a single codegen'd projection (hashed bucket counts via HOFs, fold dot, sigmoid); zero Exchange anywhere",
+    "profile_source_overlap": "cross-source overlap — gram explode + ONE distinct exchange on (source, gram); self equi-join on the gram with fanout bounded by the source dimension; bounded-key aggs",
 }
 
 
