@@ -803,11 +803,15 @@ def quality_classifier_score(
     if len(weights) != dim:
         raise ValueError(f"need {dim} weights, got {len(weights)}")
     toks = tokens(text_col)
+    # stage per-token buckets first (ONE md5 per token), then count
+    # buckets with int comparisons: the direct transform-over-buckets/
+    # filter-over-tokens form recomputes the md5 `dim` times per token
+    # (HOFs are outside codegen subexpression elimination — the
+    # quality_score staging lesson; measured as the dominant term of
+    # the RAG lane's pre-fix 1.827 scale exponent, same shape).
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(
-            F.filter(F.col("__toks"), lambda t: F.pmod(hash32(t), F.lit(dim)) == i)
-        ).cast("double"),
+        lambda i: F.size(F.filter(F.col("__cb"), lambda b: b == i)).cast("double"),
     )
     wlit = F.array(*[F.lit(float(w)) for w in weights])
     dot = F.aggregate(
@@ -818,6 +822,10 @@ def quality_classifier_score(
     staged = (
         df.withColumn("__toks", toks)
         .withColumn("__n", F.size("__toks").cast("double"))
+        .withColumn(
+            "__cb",
+            F.transform(F.col("__toks"), lambda t: F.pmod(hash32(t), F.lit(dim))),
+        )
         .withColumn("__feat", counts)
     )
     z = F.lit(float(bias)) + dot / F.col("__n")

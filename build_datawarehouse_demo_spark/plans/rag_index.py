@@ -67,14 +67,22 @@ def hash_embed_chunks(
         docs, id_col=id_col, text_col=text_col,
         chunk_size=chunk_size, overlap=overlap,
     )
-    toks = tokens("chunk_text")
+    # stage the per-token BUCKETS first (one md5 per token), then count
+    # buckets with cheap int comparisons. The direct form — an outer
+    # transform over buckets whose inner filter hashes every token —
+    # recomputes the md5 dim times per token (HOFs sit outside codegen
+    # subexpression elimination, the quality_score staging lesson);
+    # measured as the dominant term of the r10 pre-fix 1.827 scale
+    # exponent (BENCH_SCALE_RAG_r10_sf1_sf8_PRECATCH.json).
+    staged = chunks.withColumn(
+        "__cb",
+        F.transform(tokens("chunk_text"), lambda t: F.pmod(hash32(t), F.lit(dim))),
+    )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(
-            F.filter(toks, lambda t: F.pmod(hash32(t), F.lit(dim)) == i)
-        ).cast("double"),
+        lambda i: F.size(F.filter(F.col("__cb"), lambda b: b == i)).cast("double"),
     )
-    return chunks.select(
+    return staged.select(
         (F.col(id_col) * stride + F.col("chunk_id")).cast("bigint").alias("vec_id"),
         vec.alias("embedding"),
     )
@@ -139,9 +147,19 @@ def rag_index_search(
         ivf_topk_assigned,
     )
 
-    chunk_vecs = hash_embed_chunks(
-        docs, chunk_size=chunk_size, overlap=overlap, dim=dim
-    )
+    from build_datawarehouse_demo_spark.operators.dedup import spread
+
+    # spread + materialize the embedded chunks ONCE: the narrow chunk
+    # projection inherits the document scan's splits (a single-file
+    # corpus arrives as 1-2 — the r10 pre-fix 8x leg ran the embed +
+    # quantizer chain at ~3-core parallelism), and every downstream
+    # stage (training sample, assignment, probes) would otherwise
+    # RE-DERIVE the embedding pass. A production pipeline persists the
+    # embedded corpus at exactly this boundary (swap the checkpoint
+    # for a parquet write at scale — the training_data.py discipline).
+    chunk_vecs = spread(
+        hash_embed_chunks(docs, chunk_size=chunk_size, overlap=overlap, dim=dim)
+    ).localCheckpoint()
     n_chunks = chunk_vecs.count()
     assigned, cents = build_rag_index(chunk_vecs, n_chunks)
     probes = chunk_vecs.filter(
