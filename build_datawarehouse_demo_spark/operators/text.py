@@ -838,3 +838,146 @@ def quality_classifier_score(
         score.alias("clf_score"),
         (score >= F.lit(float(threshold))).alias("kept"),
     )
+
+
+#: Gopher stopword list (Rae et al. 2021, Appendix A1.1.3): a document
+#: must contain at least 2 of these to pass the stop-word rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A1.1.3 — the published
+    heuristics most large-corpus pipelines start from; defaults are
+    the paper's thresholds):
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [min_mean_word_len, max_mean_word_len]
+      3. (hash-char + ellipsis occurrences) / words <= max_symbol_word_ratio
+      4. fraction of lines starting with a bullet ('-' or '*')
+         <= max_bullet_line_ratio
+      5. fraction of lines ending with an ellipsis ('...')
+         <= max_ellipsis_line_ratio
+      6. fraction of words containing >= 1 alphabetic character
+         >= min_alpha_word_ratio
+      7. >= min_stopword_hits DISTINCT stopwords from GOPHER_STOPWORDS
+
+    One codegen'd scan, zero UDFs: words are the shared whitespace
+    tokenization, per-word predicates are filter/size HOFs over the
+    STAGED token array (the quality_score staging lesson — HOFs sit
+    outside codegen subexpression elimination, so the array is
+    materialized once per row), line stats come from a '\\n' split.
+    Every ratio is an exact integer/integer division rounded to 6dp
+    (engine-portable). Zero-word documents get NULL word metrics and
+    kept = false.
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    stopword_hits, kept) plus one boolean per rule."""
+    txt = F.col(text_col)
+    staged = (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__n", F.size("__toks").cast("double"))
+        .withColumn(
+            "__lines",
+            F.filter(F.split(txt, r"\n"), lambda l: F.trim(l) != ""),
+        )
+        .withColumn(
+            "__nl", F.greatest(F.size("__lines"), F.lit(1)).cast("double")
+        )
+    )
+    n = F.col("__n")
+    # division denominator clamped to 1: the has_words WHEN-guards null
+    # the n=0 rows out anyway, but Spark's subexpression elimination
+    # hoists shared ratio expressions OUT of the conditional, so a bare
+    # /n would hit ANSI divide-by-zero on empty documents.
+    n_safe = F.greatest(n, F.lit(1.0))
+    toks = F.col("__toks")
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_safe,
+        6,
+    )
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / n_safe, 6)
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(
+                F.col("__lines"),
+                lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+            )
+        ).cast("double")
+        / F.col("__nl"),
+        6,
+    )
+    ellipsis_line_ratio = F.round(
+        F.size(
+            F.filter(F.col("__lines"), lambda l: F.rtrim(l).endswith("..."))
+        ).cast("double")
+        / F.col("__nl"),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_safe,
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    has_words = n > 0
+    metrics = {
+        "n_words": F.col("__n").cast("bigint"),
+        "mean_word_len": F.when(has_words, mean_len),
+        "symbol_word_ratio": F.when(has_words, symbol_ratio),
+        "bullet_line_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ellipsis_line_ratio,
+        "alpha_word_ratio": F.when(has_words, alpha_ratio),
+        "stopword_hits": stop_hits.cast("bigint"),
+    }
+    rules = {
+        "rule_word_count": has_words
+        & n.between(float(min_words), float(max_words)),
+        "rule_mean_word_len": has_words
+        & mean_len.between(float(min_mean_word_len), float(max_mean_word_len)),
+        "rule_symbol_ratio": has_words
+        & (symbol_ratio <= F.lit(float(max_symbol_word_ratio))),
+        "rule_bullet_lines": bullet_ratio <= F.lit(float(max_bullet_line_ratio)),
+        "rule_ellipsis_lines": ellipsis_line_ratio
+        <= F.lit(float(max_ellipsis_line_ratio)),
+        "rule_alpha_words": has_words
+        & (alpha_ratio >= F.lit(float(min_alpha_word_ratio))),
+        "rule_stopwords": stop_hits >= F.lit(int(min_stopword_hits)),
+    }
+    kept = None
+    for c in rules.values():
+        kept = c if kept is None else (kept & c)
+    return staged.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in metrics.items()],
+        *[v.alias(k) for k, v in rules.items()],
+        kept.alias("kept"),
+    )

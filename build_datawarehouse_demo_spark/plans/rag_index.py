@@ -125,6 +125,97 @@ def build_rag_index(
     return assigned, cents
 
 
+def rag_index_build_persisted(
+    docs: DataFrame,
+    table_name: str,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    dim: int = 16,
+    path: str | None = None,
+) -> int:
+    """Build the PERSISTED trained-IVF index over a document corpus's
+    chunk vectors (the build half of the incremental RAG lane): chunk +
+    hash-embed, train the sampled-Lloyd quantizer seeded with the first
+    chunk of documents 0..nlist-1, persist bucketed inverted lists +
+    centroids as catalog tables (build_ivf_index). Returns n_chunks."""
+    import math
+
+    from build_datawarehouse_demo_spark.operators.dedup import spread
+    from build_datawarehouse_demo_spark.operators.similarity import build_ivf_index
+
+    vecs = spread(
+        hash_embed_chunks(docs, chunk_size=chunk_size, overlap=overlap, dim=dim)
+    ).localCheckpoint()
+    n = vecs.count()
+    nlist = max(2, math.ceil(math.sqrt(n)))
+    seeds = vecs.filter(
+        (F.col("vec_id") % CHUNK_UID_STRIDE == 0)
+        & (F.col("vec_id") < nlist * CHUNK_UID_STRIDE)
+    ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    build_ivf_index(vecs, table_name, seeds=seeds, n=n, path=path)
+    return n
+
+
+def rag_index_append_search(
+    docs_old: DataFrame,
+    docs_new: DataFrame,
+    table_name: str,
+    n_probe_docs: int = 5,
+    k: int = 5,
+    nprobe: int = 4,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    dim: int = 16,
+    path: str | None = None,
+) -> DataFrame:
+    """Incremental RAG index refresh — the daily operation of a
+    production retrieval corpus: the persisted index is built ONCE
+    over the existing documents, and each new document batch is
+    chunked, embedded, and folded into the stored inverted lists via
+    the frozen-quantizer append (`ivf_index_append`: assignment
+    rederived from the STORED centroids with the build's own
+    deterministic functions — no retraining, no rewrite of existing
+    lists; the training-pipeline incremental discipline applied to the
+    retrieval index). Search then runs over the union lists exactly as
+    if the whole corpus had been indexed at build time with the same
+    quantizer.
+
+    Per-refresh cost is the NEW batch's chunk+embed scan plus its
+    two-level assignment and a bucketed append — the old corpus is
+    touched only through the stored centroid table (nlist rows) and
+    the id anti-join that makes redelivered batches idempotent.
+    Retrain guidance lives at ivf_index_append (~30% appended or 4x
+    list imbalance).
+
+    Returns top-``k`` search results probed with the first chunk of
+    documents 0..n_probe_docs-1 of the COMBINED corpus."""
+    from build_datawarehouse_demo_spark.operators.dedup import spread
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_search_topk,
+    )
+
+    rag_index_build_persisted(
+        docs_old, table_name,
+        chunk_size=chunk_size, overlap=overlap, dim=dim, path=path,
+    )
+    new_vecs = spread(
+        hash_embed_chunks(docs_new, chunk_size=chunk_size, overlap=overlap, dim=dim)
+    )
+    ivf_index_append(new_vecs, table_name)
+    spark = docs_old.sparkSession
+    lists = spark.table(table_name)
+    cents = spark.table(f"{table_name}_centroids")
+    probes = lists.filter(
+        (F.col("vec_id") % CHUNK_UID_STRIDE == 0)
+        & (F.col("vec_id") < n_probe_docs * CHUNK_UID_STRIDE)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vec").cast("array<double>").alias("embedding"),
+    )
+    return ivf_index_search_topk(lists, cents, probes, k=k, nprobe=nprobe)
+
+
 def rag_index_search(
     docs: DataFrame,
     n_probe_docs: int = 5,

@@ -153,6 +153,8 @@ def _load_all() -> None:
         register_round10_classifier,
         register_round10_curation,
         register_round10_rag,
+        register_round10_rag_append,
+        register_round10_gopher,
         register_round10_token_budget,
         register_round10_training_ops,
     )
@@ -201,6 +203,8 @@ def _load_all() -> None:
     register_round10_curation()
     register_round10_token_budget()
     register_round10_rag()
+    register_round10_rag_append()
+    register_round10_gopher()
     register_round10_classifier()
 
     rank = _rotation_rank()

@@ -721,20 +721,26 @@ def register_round10_token_budget() -> None:
         return shard_token_balanced(docs, "doc_id", "n_ws_tokens", _N_SHARDS)
 
 
-def _driver_chunk_count(step: int) -> int:
+def _driver_chunk_count(step: int, max_doc_id: int | None = None) -> int:
     """Chunks of the driver documents fixture at the given window
     step: a document with n > 0 whitespace tokens yields
     (n-1)//step + 1 sliding windows (chunk_documents' sequence()).
-    ASCII split, same class as operators/text.tokens."""
+    ASCII split, same class as operators/text.tokens. ``max_doc_id``
+    restricts to doc_id < max_doc_id (the OLD-subset chunk count that
+    pins the incremental RAG entry's frozen quantizer — the
+    _driver_old_subset_count discipline)."""
     try:
         import re
 
         import pyarrow.parquet as pq
 
-        t = pq.read_table(f"{_DRIVER_SF_DIR}/documents.parquet", columns=["text"])
+        t = pq.read_table(
+            f"{_DRIVER_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
         total = 0
-        for x in t.column("text").to_pylist():
-            if x is None:
+        ids = t.column("doc_id").to_pylist()
+        for doc_id, x in zip(ids, t.column("text").to_pylist()):
+            if x is None or (max_doc_id is not None and doc_id >= max_doc_id):
                 continue
             n = len([w for w in re.split(r"\s+", x.strip(), flags=re.ASCII) if w])
             if n > 0:
@@ -751,6 +757,37 @@ def _driver_chunk_count(step: int) -> int:
         return 0
 
 
+#: shared RAG-lane parameters (chunking, embedding width, probe/search
+#: sizes) — pinned once so the base pipeline entry and the incremental
+#: append entry derive their oracles from the same constants.
+_RAG_CHUNK, _RAG_OVL, _RAG_DIM = 32, 8, 16
+_RAG_STEP = _RAG_CHUNK - _RAG_OVL
+_RAG_PROBE_DOCS, _RAG_K = 5, 5
+
+
+def _rag_chunkvec_src() -> str:
+    """DuckDB subquery deriving the chunk hash-embedding vectors
+    (vec_id, embedding) from the documents table — the SQL twin of
+    plans/rag_index.hash_embed_chunks, used as the parameterized
+    ivf_trained_with_block's SOURCE subquery by both RAG entries."""
+    from build_datawarehouse_demo_spark.plans.rag_index import CHUNK_UID_STRIDE
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
+
+    h32_tok = "CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT)"
+    return f"""(
+      WITH tk AS (SELECT doc_id, {_TOK} AS w FROM documents),
+      st AS (
+        SELECT doc_id, w, unnest(range(0, len(w), {_RAG_STEP})) AS s
+        FROM tk WHERE len(w) > 0
+      )
+      SELECT CAST(doc_id * {CHUNK_UID_STRIDE} + (s // {_RAG_STEP}) AS BIGINT)
+               AS vec_id,
+             list_transform(range(0, {_RAG_DIM}), i ->
+               CAST(len(list_filter(w[s + 1 : s + {_RAG_CHUNK}],
+                    t -> {h32_tok} % {_RAG_DIM} = i)) AS DOUBLE)) AS embedding
+      FROM st) src"""
+
+
 def register_round10_rag() -> None:
     # ------------------------------------------------------------------
     # composed RAG retrieval-index pipeline: chunk -> hash-embed ->
@@ -763,7 +800,6 @@ def register_round10_rag() -> None:
     # ------------------------------------------------------------------
     import math
 
-    from build_datawarehouse_demo_spark.registry_extensions import _TOK
     from build_datawarehouse_demo_spark.registry_round7 import (
         IVF_NPROBE,
         _cos_sql,
@@ -771,24 +807,9 @@ def register_round10_rag() -> None:
     )
     from build_datawarehouse_demo_spark.plans.rag_index import CHUNK_UID_STRIDE
 
-    _RAG_CHUNK, _RAG_OVL, _RAG_DIM = 32, 8, 16
-    _RAG_STEP = _RAG_CHUNK - _RAG_OVL
-    _RAG_PROBE_DOCS, _RAG_K = 5, 5
     _N_CHUNKS = _driver_chunk_count(_RAG_STEP)
     _RAG_NLIST = max(2, math.ceil(math.sqrt(max(1, _N_CHUNKS))))
-    _h32_tok = "CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT)"
-    _chunkvec_src = f"""(
-      WITH tk AS (SELECT doc_id, {_TOK} AS w FROM documents),
-      st AS (
-        SELECT doc_id, w, unnest(range(0, len(w), {_RAG_STEP})) AS s
-        FROM tk WHERE len(w) > 0
-      )
-      SELECT CAST(doc_id * {CHUNK_UID_STRIDE} + (s // {_RAG_STEP}) AS BIGINT)
-               AS vec_id,
-             list_transform(range(0, {_RAG_DIM}), i ->
-               CAST(len(list_filter(w[s + 1 : s + {_RAG_CHUNK}],
-                    t -> {_h32_tok} % {_RAG_DIM} = i)) AS DOUBLE)) AS embedding
-      FROM st) src"""
+    _chunkvec_src = _rag_chunkvec_src()
 
     @register(
         "pipeline_rag_index_search",
@@ -852,6 +873,136 @@ def register_round10_rag() -> None:
         )
 
 
+def register_round10_rag_append() -> None:
+    # ------------------------------------------------------------------
+    # incremental RAG index refresh: the r10 incremental theme applied
+    # to the retrieval index — build the persisted IVF index on the OLD
+    # 3/4 of the corpus, fold the NEW 1/4 in via the frozen-quantizer
+    # append (chunk -> embed -> ivf_index_append), search the union.
+    # The oracle trains the quantizer on the OLD chunk vectors only,
+    # assigns BOTH subsets with it (the ivf_index_append contract:
+    # appended vectors land in the IDENTICAL list a frozen-quantizer
+    # build would have put them in), and replays the nprobe search over
+    # the union lists — a hash match proves refresh ≡ frozen-rebuild
+    # end to end THROUGH the persisted table round-trip.
+    # ------------------------------------------------------------------
+    import math
+
+    from build_datawarehouse_demo_spark.registry_round7 import (
+        IVF_GPROBE,
+        IVF_NPROBE,
+        _cos_sql,
+        ivf_trained_with_block,
+    )
+    from build_datawarehouse_demo_spark.plans.rag_index import CHUNK_UID_STRIDE
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SPLIT_DOCS = (3 * _N_DOCS) // 4
+    _SPLIT_VEC = _SPLIT_DOCS * CHUNK_UID_STRIDE
+    _N_OLD_CHUNKS = _driver_chunk_count(_RAG_STEP, max_doc_id=_SPLIT_DOCS)
+    _NL_OLD = max(2, math.ceil(math.sqrt(max(1, _N_OLD_CHUNKS))))
+    _chunkvec_src = _rag_chunkvec_src()
+
+    @register(
+        "pipeline_rag_index_append",
+        oracle=f"""
+        {ivf_trained_with_block(
+            f"vec_id < {_SPLIT_VEC}",
+            _N_OLD_CHUNKS,
+            source_sql=_chunkvec_src,
+            seed_where=(
+                f"vec_id % {CHUNK_UID_STRIDE} = 0 "
+                f"AND vec_id < {_NL_OLD * CHUNK_UID_STRIDE}"
+            ),
+            dim=_RAG_DIM,
+        )},
+        en AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM {_chunkvec_src} WHERE vec_id >= {_SPLIT_VEC}
+        ),
+        route_n AS (
+          SELECT vec_id, gid, v FROM (
+            SELECT e.vec_id, s.cid AS gid, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.v", "s.cv")} DESC, s.cid) AS rn
+            FROM en e, s1 s
+          ) WHERE rn <= {IVF_GPROBE}
+        ),
+        lists_n AS (
+          SELECT vec_id, cid, v FROM (
+            SELECT r.vec_id, g.cid, r.v,
+                   row_number() OVER (PARTITION BY r.vec_id
+                       ORDER BY {_cos_sql("r.v", "c.cv")} DESC, g.cid) AS rn
+            FROM route_n r JOIN grp g ON g.gid = r.gid JOIN c2 c ON c.cid = g.cid
+          ) WHERE rn = 1
+        ),
+        alll AS (
+          SELECT vec_id, cid, v FROM lists
+          UNION ALL
+          SELECT vec_id, cid, v FROM lists_n
+        ),
+        p AS (
+          SELECT vec_id AS probe_id, v AS pv FROM alll
+          WHERE vec_id % {CHUNK_UID_STRIDE} = 0
+            AND vec_id < {_RAG_PROBE_DOCS * CHUNK_UID_STRIDE}
+        ),
+        pa AS (
+          SELECT probe_id, pv, cid FROM (
+            SELECT p.probe_id, p.pv, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY {_cos_sql("p.pv", "c.cv")} DESC, c.cid) AS rn
+            FROM p, c2 c
+          ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+          SELECT pa.probe_id, l.vec_id, {_cos_sql("pa.pv", "l.v")} AS cos
+          FROM pa JOIN alll l ON l.cid = pa.cid AND l.vec_id <> pa.probe_id
+        ),
+        ranked AS (
+          SELECT probe_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {_RAG_K}
+        """,
+    )
+    def q_rag_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental RAG index refresh
+        (plans/rag_index.py:rag_index_append_search): persisted IVF
+        index built over the first 3/4 of the corpus's chunk vectors,
+        the last 1/4 chunked + embedded + appended against the FROZEN
+        stored quantizer (ivf_index_append — routing rederived from
+        the stored centroid table), then nprobe top-k search over the
+        union lists read back from the catalog. The oracle trains on
+        the old chunks only and routes all chunks — a hash match is
+        the refresh ≡ frozen-rebuild proof through the table
+        round-trip."""
+        from build_datawarehouse_demo_spark.plans.rag_index import (
+            rag_index_append_search,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        n = docs.count()
+        split = (3 * n) // 4
+        return rag_index_append_search(
+            docs.filter(F.col("doc_id") < split),
+            docs.filter(F.col("doc_id") >= split),
+            "rag_app_idx",
+            n_probe_docs=_RAG_PROBE_DOCS,
+            k=_RAG_K,
+            nprobe=IVF_NPROBE,
+            chunk_size=_RAG_CHUNK,
+            overlap=_RAG_OVL,
+            dim=_RAG_DIM,
+            path=f"{_bucketed_scratch_dir()}/rag_app_idx",
+        )
+
+
 def register_round10_classifier() -> None:
     # ------------------------------------------------------------------
     # linear quality classifier (the fastText/LR document filter of
@@ -909,6 +1060,101 @@ def register_round10_classifier() -> None:
         return quality_classifier_score(
             _t(spark, sf_dir, "documents"), dim=_QC_DIM, threshold=_QC_THRESH
         )
+
+
+def register_round10_gopher() -> None:
+    # ------------------------------------------------------------------
+    # the Gopher rule set (Rae et al. 2021, Appendix A1.1.3) — the
+    # published heuristic battery most large-corpus pipelines start
+    # from, as ONE codegen'd scan; every ratio an exact integer/integer
+    # division, every rule a boolean both engines restate.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.text import GOPHER_STOPWORDS
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
+
+    _stop_sql = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+    @register(
+        "text_gopher_rules",
+        oracle=f"""
+        WITH d AS (
+          SELECT doc_id, text, {_TOK} AS w,
+                 list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+                   AS lines
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 len(w) AS n,
+                 greatest(len(lines), 1) AS nl,
+                 round(CAST(list_sum(list_transform(w, t -> len(t)))
+                       AS DOUBLE) / len(w), 6) AS mean_word_len,
+                 (len(text) - len(replace(text, '#', ''))
+                  + (len(text) - len(replace(text, '...', ''))) / 3)
+                   AS n_sym,
+                 len(list_filter(lines, l ->
+                   ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS n_bullet,
+                 len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+                   AS n_ell_lines,
+                 len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                   AS n_alpha,
+                 CAST(len(list_intersect(
+                   list_distinct(list_transform(w, t -> lower(t))),
+                   {_stop_sql})) AS BIGINT) AS stopword_hits
+          FROM d
+        ),
+        r AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN n > 0 THEN mean_word_len END AS mean_word_len,
+                 CASE WHEN n > 0
+                      THEN round(CAST(n_sym AS DOUBLE) / n, 6) END
+                   AS symbol_word_ratio,
+                 round(CAST(n_bullet AS DOUBLE) / nl, 6) AS bullet_line_ratio,
+                 round(CAST(n_ell_lines AS DOUBLE) / nl, 6)
+                   AS ellipsis_line_ratio,
+                 CASE WHEN n > 0
+                      THEN round(CAST(n_alpha AS DOUBLE) / n, 6) END
+                   AS alpha_word_ratio,
+                 stopword_hits, n
+          FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+               bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+               stopword_hits,
+               (n > 0 AND n BETWEEN 50 AND 100000) AS rule_word_count,
+               (n > 0 AND mean_word_len BETWEEN 3.0 AND 10.0)
+                 AS rule_mean_word_len,
+               (n > 0 AND symbol_word_ratio <= 0.1) AS rule_symbol_ratio,
+               (bullet_line_ratio <= 0.9) AS rule_bullet_lines,
+               (ellipsis_line_ratio <= 0.3) AS rule_ellipsis_lines,
+               (n > 0 AND alpha_word_ratio >= 0.8) AS rule_alpha_words,
+               (stopword_hits >= 2) AS rule_stopwords,
+               ((n > 0 AND n BETWEEN 50 AND 100000)
+                AND (n > 0 AND mean_word_len BETWEEN 3.0 AND 10.0)
+                AND (n > 0 AND symbol_word_ratio <= 0.1)
+                AND (bullet_line_ratio <= 0.9)
+                AND (ellipsis_line_ratio <= 0.3)
+                AND (n > 0 AND alpha_word_ratio >= 0.8)
+                AND (stopword_hits >= 2)) AS kept
+        FROM r
+        """,
+    )
+    def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Gopher quality-filter rule battery
+        (operators/text.py:gopher_quality_rules — Rae et al. 2021
+        Appendix A1.1.3 thresholds): word-count bounds, mean word
+        length, symbol-to-word ratio (# + ellipsis), bullet /
+        ellipsis line fractions, alphabetic-word fraction, distinct
+        stopword hits — per-document metrics, per-rule booleans and
+        the conjunction verdict, all in one codegen'd scan with the
+        oracle restating every ratio as the same exact integer
+        division."""
+        from build_datawarehouse_demo_spark.operators.text import (
+            gopher_quality_rules,
+        )
+
+        return gopher_quality_rules(_t(spark, sf_dir, "documents"))
 
 
 def register_round10_curation() -> None:

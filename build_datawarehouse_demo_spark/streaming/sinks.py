@@ -76,6 +76,69 @@ def stream_upsert_to_table(
     )
 
 
+def stream_rag_index_append(
+    docs: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    dim: int = 16,
+):
+    """Streaming RAG-index maintenance: each micro-batch of NEW
+    documents is chunked + hash-embedded
+    (plans/rag_index.hash_embed_chunks — the deterministic sandbox
+    embedder on the (vec_id, embedding) contract; a real encoder swaps
+    in on the same schema) and folded into a persisted trained-IVF
+    index via the frozen-quantizer append
+    (operators/similarity.ivf_index_append). The index must already
+    exist (rag_index_build_persisted over the initial corpus — the
+    incremental RAG lane's build half); this sink keeps it FRESH under
+    a continuous document feed, which is how a production retrieval
+    corpus actually ingests.
+
+    Effectively exactly-once: checkpointing pins batch ids, vec_id is
+    a pure function of (doc_id, chunk_id), and the append's id
+    anti-join makes a replayed or redelivered document a no-op — so
+    at-least-once delivery converges to the index state ONE batch
+    append of the whole stream would produce (pinned by the
+    stream ≡ batch pytest).
+
+    Scale: per micro-batch cost = the batch's chunk+embed scan, a
+    two-level assignment against the stored nlist centroids, and one
+    bucketed append — the indexed corpus is never rewritten and never
+    rescanned (only its id column, for the idempotence anti-join).
+    Quantizer-staleness retrain guidance lives at ivf_index_append
+    (~30% appended fraction or 4x list imbalance)."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_index_append,
+    )
+    from build_datawarehouse_demo_spark.plans.rag_index import hash_embed_chunks
+
+    # foreachBatch hands the function a DataFrame bound to a CLONED
+    # session: its append invalidates the CLONE's relation cache only,
+    # so the session that started the stream would keep serving the
+    # pre-append file listing from its own cache (observed: appended
+    # rows invisible to spark.table until a manual REFRESH TABLE).
+    # Capture the outer session and refresh it after every batch.
+    outer = docs.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append(
+            hash_embed_chunks(
+                batch_df, chunk_size=chunk_size, overlap=overlap, dim=dim
+            ),
+            table_name,
+        )
+        outer.catalog.refreshTable(table_name)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_merge_to_partitioned_parquet(
     changes: DataFrame,
     target_path: str,

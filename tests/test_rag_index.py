@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from build_datawarehouse_demo_spark.plans.rag_index import (
     CHUNK_UID_STRIDE,
     hash_embed_chunks,
+    rag_index_append_search,
     rag_index_search,
 )
 
@@ -74,3 +75,144 @@ def test_rag_index_search_end_to_end(spark):
     p0 = sorted(by_probe[0], key=lambda r: r.rank)
     assert p0[0].vec_id == 30 * CHUNK_UID_STRIDE
     assert p0[0].cosine > 0.9
+
+
+def test_rag_index_append_search_finds_new_batch(spark, tmp_path):
+    """Incremental refresh: the near-duplicate lives in the NEW batch,
+    so finding it proves appended chunks are (a) routed by the frozen
+    stored quantizer, (b) persisted into the bucketed lists, and
+    (c) searchable at the right rank. Redelivering the batch must not
+    duplicate lists (idempotent append)."""
+    base = "spark shuffles partition data across executors for joins"
+    old_rows = [(0, base)] + [
+        (i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(1, 30)
+    ]
+    new_rows = [
+        (30, base + " extra"),  # near-dup of OLD doc 0, arrives in the new batch
+        (31, "completely unrelated fresh content tokens here now"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS rag_app_test_idx")
+    spark.sql("DROP TABLE IF EXISTS rag_app_test_idx_centroids")
+    out = rag_index_append_search(
+        old,
+        new,
+        "rag_app_test_idx",
+        n_probe_docs=2,
+        k=3,
+        nprobe=4,
+        chunk_size=16,
+        overlap=0,
+        dim=8,
+        path=str(tmp_path / "rag_app_test_idx"),
+    ).collect()
+    by_probe = {}
+    for r in out:
+        assert r.vec_id != r.probe_id
+        by_probe.setdefault(r.probe_id, []).append(r)
+    p0 = sorted(by_probe[0], key=lambda r: r.rank)
+    assert p0[0].vec_id == 30 * CHUNK_UID_STRIDE, (
+        "appended near-duplicate chunk must be the probe's top hit"
+    )
+    assert p0[0].cosine > 0.9
+
+    # the lists table holds every chunk of old ∪ new exactly once, and
+    # a redelivered batch is a no-op (id anti-join idempotence)
+    n_lists = spark.table("rag_app_test_idx").count()
+    n_chunks = hash_embed_chunks(
+        old.unionAll(new), chunk_size=16, overlap=0, dim=8
+    ).count()
+    assert n_lists == n_chunks
+    from build_datawarehouse_demo_spark.operators.similarity import ivf_index_append
+
+    ivf_index_append(
+        hash_embed_chunks(new, chunk_size=16, overlap=0, dim=8),
+        "rag_app_test_idx",
+    )
+    assert spark.table("rag_app_test_idx").count() == n_lists
+
+
+def test_stream_rag_index_append_equals_batch(spark, tmp_path):
+    """Streaming RAG-index maintenance: new documents arriving across
+    micro-batches — one of them REDELIVERED in a later batch — leave
+    the persisted index in exactly the state one batch append of the
+    distinct documents produces (the effectively-exactly-once
+    contract: checkpointed batch ids + the append's id anti-join)."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_index_append,
+    )
+    from build_datawarehouse_demo_spark.plans.rag_index import (
+        rag_index_build_persisted,
+    )
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_rag_index_append,
+    )
+
+    base = "spark shuffles partition data across executors for joins"
+    old_rows = [(0, base)] + [
+        (i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(1, 30)
+    ]
+    batch1 = [(30, base + " extra"), (31, "fresh content alpha beta gamma")]
+    # doc 31 redelivered verbatim in the SECOND micro-batch
+    batch2 = [(31, "fresh content alpha beta gamma"), (32, "more new tokens here")]
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+
+    for t in (
+        "rag_stream_idx", "rag_stream_idx_centroids",
+        "rag_stream_tw", "rag_stream_tw_centroids",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    kw = dict(chunk_size=16, overlap=0, dim=8)
+    rag_index_build_persisted(
+        old, "rag_stream_idx", path=str(tmp_path / "idx"), **kw
+    )
+    rag_index_build_persisted(
+        old, "rag_stream_tw", path=str(tmp_path / "tw"), **kw
+    )
+
+    stream_dir = str(tmp_path / "feed")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stream_dir)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    q = stream_rag_index_append(
+        spark.readStream.format("parquet")
+        .schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir),
+        "rag_stream_idx",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **kw,
+    )
+    q.awaitTermination(120)
+
+    # batch twin: ONE append of the distinct new documents
+    distinct_new = spark.createDataFrame(
+        batch1 + [batch2[1]], schema
+    )
+    from build_datawarehouse_demo_spark.plans.rag_index import hash_embed_chunks
+
+    ivf_index_append(hash_embed_chunks(distinct_new, **kw), "rag_stream_tw")
+
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.table("rag_stream_idx").select("vec_id", "centroid_id").collect()
+    }
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.table("rag_stream_tw").select("vec_id", "centroid_id").collect()
+    }
+    assert got == want
+    # the redelivered doc appears exactly once
+    assert sum(1 for v, _ in got if v // 1000 == 31) == 1

@@ -162,3 +162,62 @@ def test_python_datasource_partitioned_read(spark):
     by_id = {r["id"]: r for r in rows}
     assert by_id[7]["payload"] == hashlib.md5(b"7").hexdigest()
     assert by_id[7]["bucket"] == 7
+
+
+def test_s3a_options_reach_hadoop_conf_and_gate_is_loud(spark):
+    """Object-store config plumbing, testable without a live endpoint
+    (the sandbox has no MinIO/S3 and no hadoop-aws jar): (a) the
+    s3a_options dict lands key-for-key in the live Hadoop
+    configuration once the spark.hadoop. prefix is stripped — the
+    exact mechanism `get_spark(extra_conf=...)` uses at session build;
+    (b) an s3a:// read on this classpath fails FAST with the
+    documented missing-jar error (ClassNotFoundException naming
+    S3AFileSystem), not a hang or a silent empty frame. If hadoop-aws
+    ever lands on the classpath this skips the gate half — run the
+    S3A_CHECKLIST.md manual smoke instead."""
+    from py4j.protocol import Py4JJavaError
+
+    from build_datawarehouse_demo_spark.sources.readers import s3a_options
+
+    opts = s3a_options(
+        "http://localhost:9000", "test-access", "test-secret", ssl=False
+    )
+    assert set(opts) == {
+        "spark.hadoop.fs.s3a.endpoint",
+        "spark.hadoop.fs.s3a.access.key",
+        "spark.hadoop.fs.s3a.secret.key",
+        "spark.hadoop.fs.s3a.path.style.access",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled",
+    }
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hkeys = {k.removeprefix("spark.hadoop."): v for k, v in opts.items()}
+    old = {k: hconf.get(k) for k in hkeys}
+    try:
+        for k, v in hkeys.items():
+            hconf.set(k, v)
+        for k, v in hkeys.items():
+            assert hconf.get(k) == v
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.hadoop.fs.s3a.S3AFileSystem"
+            )
+            import pytest
+
+            pytest.skip("hadoop-aws present — run the live checklist smoke")
+        except Py4JJavaError:
+            pass
+        import pytest
+
+        with pytest.raises(Exception) as exc:
+            spark.read.parquet("s3a://no-such-bucket/x").collect()
+        msg = str(exc.value)
+        assert "S3AFileSystem" in msg, (
+            "s3a read should fail naming the missing S3AFileSystem class "
+            f"(got: {msg[:300]})"
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, v)

@@ -739,3 +739,80 @@ def test_source_overlap_report_counts_shared_grams(spark):
     assert out[("a", "b")] == (1, 3, 1.0 / 3)
     assert out[("b", "a")] == (1, 1, 1.0)
     assert not any("c" in k for k in out)
+
+
+def test_gopher_quality_rules_match_reference(spark):
+    """Metrics, per-rule booleans and the conjunction verdict equal a
+    plain-Python replay of the Gopher Appendix A1.1.3 heuristics on a
+    corpus hitting every rule: short doc, symbol-heavy doc, bullet
+    lists, ellipsis lines, non-alpha tokens, stopword-free doc,
+    zero-word doc."""
+    import re
+
+    from build_datawarehouse_demo_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_quality_rules,
+    )
+
+    fifty = " ".join(
+        f"the quick brown fox and that dog have fun with word{i}"
+        for i in range(5)
+    )
+    rows = [
+        (0, fifty),  # 50 words, fluent -> passes everything
+        (1, "too short to pass the word count rule here"),
+        (2, "#" * 30 + " " + fifty),  # symbol-heavy
+        (3, "- item one\n- item two\n- item three\nnot a bullet"),
+        (4, "start...\nmore...\nagain...\nplain line"),
+        (5, " ".join("123 456 !!! ???".split() * 15)),  # no alpha words
+        (6, " ".join(f"w{i}" for i in range(60))),  # no stopwords
+        (7, "   "),  # zero words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_quality_rules(df).collect()}
+
+    for doc_id, text in rows:
+        w = [t for t in re.split(r"\s+", text.strip(), flags=re.ASCII) if t]
+        lines = [l for l in text.split("\n") if l.strip()]
+        nl = max(len(lines), 1)
+        n = len(w)
+        g = got[doc_id]
+        assert g["n_words"] == n
+        if n == 0:
+            assert g["mean_word_len"] is None
+            assert g["symbol_word_ratio"] is None
+            assert g["alpha_word_ratio"] is None
+            assert g["kept"] is False
+            continue
+        mean_len = round(sum(len(t) for t in w) / n, 6)
+        n_sym = text.count("#") + text.count("...")
+        sym = round(n_sym / n, 6)
+        bullet = round(
+            sum(1 for l in lines if l.lstrip().startswith(("-", "*"))) / nl, 6
+        )
+        ell = round(sum(1 for l in lines if l.rstrip().endswith("...")) / nl, 6)
+        alpha = round(
+            sum(1 for t in w if re.search("[A-Za-z]", t)) / n, 6
+        )
+        hits = len({t.lower() for t in w} & set(GOPHER_STOPWORDS))
+        assert g["mean_word_len"] == mean_len, doc_id
+        assert g["symbol_word_ratio"] == sym, doc_id
+        assert g["bullet_line_ratio"] == bullet, doc_id
+        assert g["ellipsis_line_ratio"] == ell, doc_id
+        assert g["alpha_word_ratio"] == alpha, doc_id
+        assert g["stopword_hits"] == hits, doc_id
+        rules = {
+            "rule_word_count": 50 <= n <= 100_000,
+            "rule_mean_word_len": 3.0 <= mean_len <= 10.0,
+            "rule_symbol_ratio": sym <= 0.1,
+            "rule_bullet_lines": bullet <= 0.9,
+            "rule_ellipsis_lines": ell <= 0.3,
+            "rule_alpha_words": alpha >= 0.8,
+            "rule_stopwords": hits >= 2,
+        }
+        for k, v in rules.items():
+            assert g[k] == v, (doc_id, k)
+        assert g["kept"] == all(rules.values()), doc_id
+    # the fixture exercises both verdicts
+    assert got[0]["kept"] is True
+    assert not got[1]["kept"] and not got[5]["kept"] and not got[6]["kept"]
