@@ -184,13 +184,58 @@ def read_parquet(
         # file scans as ONE task no matter how small maxPartitionBytes
         # is — and every stage fused to the scan (filter, project,
         # partial agg, explode) runs single-threaded. When the source
-        # yields far fewer splits than cores, pay one cheap shuffle to
-        # unlock the parallelism. At production scale files span many
-        # row groups and this branch is a no-op.
+        # yields far fewer USABLE splits than cores, pay one cheap
+        # shuffle to unlock the parallelism. At production scale files
+        # span many row groups and this branch is a no-op.
+        #
+        # The partition COUNT alone lies here: a 47 MB single-row-group
+        # file arrives as 12 maxPartitionBytes splits of which 11 are
+        # empty (only the split containing the row-group start reads
+        # rows) — measured as the whole embed stage of the RAG lane
+        # running on one straggler task at sf8 while the gate saw "12
+        # partitions, plenty". Cap the effective parallelism by the
+        # total row-group count from the local footers.
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, target // 4):
+        threshold = max(2, target // 4)
+        effective = df.rdd.getNumPartitions()
+        if effective >= threshold and _is_local_path(path):
+            n_groups = _total_row_groups(path, enough=threshold)
+            if n_groups is not None:
+                effective = min(effective, n_groups)
+        if effective < threshold:
             df = df.repartition(target)
     return df
+
+
+def _total_row_groups(path: str, enough: int) -> int | None:
+    """Total parquet row groups under ``path`` from the local footers,
+    or None when unknowable / provably sufficient: stops early once
+    ``enough`` is reached (every row group is a usable split, so the
+    exact total past the rebalance threshold is irrelevant), and a
+    directory of >= ``enough`` files needs no footer reads at all."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    if len(files) >= enough:
+        return len(files)
+    total = 0
+    try:
+        for f in files:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+            if total >= enough:
+                return total
+    except OSError:
+        return None
+    return total
 
 
 def _is_local_path(path: str) -> bool:
