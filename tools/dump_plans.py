@@ -67,6 +67,8 @@ AUDITED = {
     "pipeline_rag_index_search": "RAG index pipeline — chunking + dense hash-embedding fuse into ONE scan-side projection (posexplode + HOFs, no UDF); quantizer training scores only the hash sample; assignment routes through broadcast super-centroids; search joins probe routes to inverted lists on the centroid id (equi-join), top-k window on scored rows",
     "text_quality_classifier": "linear quality classifier — a single codegen'd projection (hashed bucket counts via HOFs, fold dot, sigmoid); zero Exchange anywhere",
     "profile_source_overlap": "cross-source overlap — gram explode + ONE distinct exchange on (source, gram); self equi-join on the gram with fanout bounded by the source dimension; bounded-key aggs",
+    "pipeline_rag_index_append": "incremental RAG refresh — the OLD corpus is indexed once through the bucketed writer; the NEW batch's chunk+embed is its own single scan, assignment broadcasts the STORED centroids (nlist rows), the anti-join touches only the stored id column, and search reads the bucketed lists back (no corpus rescan, no retraining)",
+    "text_gopher_rules": "Gopher rule battery — ONE codegen'd projection over the documents scan (staged token array + line split, filter/size HOFs, clamped integer-ratio divisions); zero Exchange anywhere",
 }
 
 
