@@ -91,86 +91,100 @@ DESIGNED_CAPS = {
 }
 
 
-def _newest_scale_file() -> str | None:
-    files = glob.glob(os.path.join(ROOT, "BENCH_SCALE_r*_sf1_sf4.json"))
+def _scale_files(suffix: str) -> list[str]:
+    """Committed scale artifacts for one lever arm: the shared
+    headline curves (BENCH_SCALE_r*) AND the targeted per-lane curves
+    (BENCH_SCALE_RAG_r* — uppercase, so the lowercase r-glob alone
+    silently skipped them; caught when the refreshed RAG arm passed
+    the full suite while still carrying a 1.66 exponent). Pre-fix
+    records keep their _PRECATCH/_PRELIM suffix out of the glob."""
+    return glob.glob(
+        os.path.join(ROOT, f"BENCH_SCALE_r*_{suffix}.json")
+    ) + glob.glob(os.path.join(ROOT, f"BENCH_SCALE_*_r*_{suffix}.json"))
+
+
+def _round_no(p: str) -> int:
+    m = re.search(r"_r(\d+)_", os.path.basename(p))
+    return int(m.group(1)) if m else -1
+
+
+def _newest_round_files(suffix: str) -> list[str]:
+    """ALL artifacts of the newest round for this arm — the headline
+    curve and every targeted curve measured the same round are one
+    cohort; checking only max() would let whichever file ties last
+    alphabetically shadow the other's exponents."""
+    files = _scale_files(suffix)
     if not files:
-        return None
-
-    def round_no(p: str) -> int:
-        m = re.search(r"_r(\d+)_", os.path.basename(p))
-        return int(m.group(1)) if m else -1
-
-    return max(files, key=round_no)
+        return []
+    newest = max(_round_no(p) for p in files)
+    return sorted(p for p in files if _round_no(p) == newest)
 
 
-def test_committed_scale_curve_has_no_superlinear_query():
-    path = _newest_scale_file()
-    if path is None:
-        pytest.skip("no committed sf1->sf4 scale artifact yet")
-    if re.search(r"_r0?6_", os.path.basename(path)):
-        pytest.fail(
-            "newest committed scale artifact is still round 6's (contains "
-            "the known pre-fix quadratic + saturation-polluted neighbors); "
-            "commit the post-fix curve as BENCH_SCALE_r7+_sf1_sf4.json"
-        )
+def _offenders(path: str) -> dict[str, float]:
     with open(path) as f:
         data = json.load(f)
     assert data["data_ratio"] >= 2, "scale curve needs a real data ratio"
-    offenders = {
+    return {
         name: q["exponent"]
         for name, q in data["queries"].items()
         if q["exponent"] > DESIGNED_CAPS.get(name, (MAX_EXPONENT,))[0]
     }
-    assert not offenders, (
-        f"{os.path.basename(path)} records super-linear scaling "
-        f"(exponent > {MAX_EXPONENT}) for: {offenders} — a scale-killer "
-        "landed (fixed-parameter sketch? candidate blowup? plan that "
-        "stopped fitting). Fix the operator or isolate/justify the entry "
-        "before committing the curve."
-    )
+
+
+def test_committed_scale_curve_has_no_superlinear_query():
+    paths = _newest_round_files("sf1_sf4")
+    if not paths:
+        pytest.skip("no committed sf1->sf4 scale artifact yet")
+    for path in paths:
+        if re.search(r"_r0?6_", os.path.basename(path)):
+            pytest.fail(
+                "newest committed scale artifact is still round 6's (contains "
+                "the known pre-fix quadratic + saturation-polluted neighbors); "
+                "commit the post-fix curve as BENCH_SCALE_r7+_sf1_sf4.json"
+            )
+        offenders = _offenders(path)
+        assert not offenders, (
+            f"{os.path.basename(path)} records super-linear scaling "
+            f"(exponent > {MAX_EXPONENT}) for: {offenders} — a scale-killer "
+            "landed (fixed-parameter sketch? candidate blowup? plan that "
+            "stopped fitting). Fix the operator or isolate/justify the entry "
+            "before committing the curve."
+        )
 
 
 def test_long_lever_curve_has_no_superlinear_query():
     """The r9 lesson: the 4x arm is too short — the embedding lane
     measured 1.113 at sf1->sf4 while hiding an interpreted-fold +
     candidate-shuffle blowup that the 8x arm exposed at 1.913
-    (BENCH_SCALE_r09_sf1_sf8_PRECATCH.json, fixed same round). The
-    newest committed sf1->sf8 artifact rides the SAME caps as the 4x
+    (BENCH_SCALE_r09_sf1_sf8_PRECATCH.json, fixed same round). Every
+    newest-round sf1->sf8 artifact rides the SAME caps as the 4x
     gate; pre-fix records carry a suffix that keeps them out of the
     glob, exactly like r8's _PRELIM."""
-    files = glob.glob(os.path.join(ROOT, "BENCH_SCALE_r*_sf1_sf8.json"))
-    if not files:
+    paths = _newest_round_files("sf1_sf8")
+    if not paths:
         pytest.skip("no committed sf1->sf8 artifact yet")
-
-    def round_no(p: str) -> int:
-        m = re.search(r"_r(\d+)_", os.path.basename(p))
-        return int(m.group(1)) if m else -1
-
-    with open(max(files, key=round_no)) as f:
-        data = json.load(f)
-    offenders = {
-        name: q["exponent"]
-        for name, q in data["queries"].items()
-        if q["exponent"] > DESIGNED_CAPS.get(name, (MAX_EXPONENT,))[0]
-    }
-    assert not offenders, (
-        f"sf1->sf8 curve records super-linear scaling past the designed "
-        f"caps: {offenders}"
-    )
+    for path in paths:
+        offenders = _offenders(path)
+        assert not offenders, (
+            f"{os.path.basename(path)}: sf1->sf8 curve records super-linear "
+            f"scaling past the designed caps: {offenders}"
+        )
 
 
 def test_scale_curve_covers_the_auto_lsh_lane():
     """The exact gap that let round 6's quadratic hide: the scale-safe
     lane existed but was never in the measured set. The committed
     curve must include the auto-scaled embedding LSH entry."""
-    path = _newest_scale_file()
-    if path is None:
+    paths = _newest_round_files("sf1_sf4")
+    if not paths:
         pytest.skip("no committed sf1->sf4 scale artifact yet")
-    if re.search(r"_r0?6_", os.path.basename(path)):
+    if all(re.search(r"_r0?6_", os.path.basename(p)) for p in paths):
         pytest.skip("round-6 artifact predates the auto entry")
-    with open(path) as f:
-        data = json.load(f)
-    assert "dedup_embedding_cosine_auto" in data["queries"]
+    covered = set()
+    for path in paths:
+        with open(path) as f:
+            covered |= set(json.load(f)["queries"])
+    assert "dedup_embedding_cosine_auto" in covered
 
 
 def test_semdedup_targeted_curve_within_designed_cap():
