@@ -981,3 +981,86 @@ def gopher_quality_rules(
         *[v.alias(k) for k, v in rules.items()],
         kept.alias("kept"),
     )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning...", section 2.2) — the line
+    filters most web-corpus pipelines run BEFORE the document-level
+    batteries (gopher_quality_rules is the doc-level complement):
+
+      line KEPT iff it (a) ends in a terminal punctuation mark
+      ('.', '!', '?' or the closing quote '"' — the paper's rule),
+      (b) has >= ``min_words_per_line`` whitespace words, and
+      (c) does not contain the word "javascript" (case-insensitive);
+
+      document KEPT iff the ORIGINAL page (the paper filters pages,
+      then lines) contains neither "lorem ipsum" nor a '{', and the
+      kept lines carry >= ``min_sentences`` sentences (terminal-
+      punctuation occurrences in the kept text — the deterministic
+      stand-in for the paper's unspecified sentence splitter,
+      documented so the oracle can restate it exactly).
+
+    One codegen'd scan, zero UDFs: lines are a '\\n' split filtered by
+    HOF predicates; the cleaned text is the kept lines re-joined with
+    '\\n' (empty string when nothing survives); sentence counting is
+    three replace-length differences. NULL text yields NULL cleaned
+    and kept = false.
+
+    Returns (id, cleaned, n_lines_kept, n_lines_dropped, n_sentences,
+    has_lorem_ipsum, has_brace, kept)."""
+    txt = F.col(text_col)
+    word_count = lambda l: F.size(
+        F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")
+    )
+    line_ok = lambda l: (
+        F.rtrim(l).rlike('[.!?"]$')
+        & (word_count(l) >= F.lit(int(min_words_per_line)))
+        & ~F.lower(l).contains("javascript")
+    )
+    staged = (
+        df.withColumn("__lines", F.split(txt, r"\n"))
+        .withColumn("__kept", F.filter(F.col("__lines"), line_ok))
+        .withColumn("__cleaned", F.array_join(F.col("__kept"), "\n"))
+    )
+    cleaned = F.col("__cleaned")
+    n_sent = (
+        F.length(cleaned)
+        - F.length(
+            F.replace(
+                F.replace(
+                    F.replace(cleaned, F.lit("."), F.lit("")),
+                    F.lit("!"),
+                    F.lit(""),
+                ),
+                F.lit("?"),
+                F.lit(""),
+            )
+        )
+    ).cast("bigint")
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    has_brace = txt.contains("{")
+    kept = (
+        txt.isNotNull()
+        & ~has_lorem
+        & ~has_brace
+        & (n_sent >= F.lit(int(min_sentences)))
+    )
+    return staged.select(
+        F.col(id_col),
+        cleaned.alias("cleaned"),
+        F.size("__kept").cast("bigint").alias("n_lines_kept"),
+        (F.size("__lines") - F.size("__kept")).cast("bigint").alias(
+            "n_lines_dropped"
+        ),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        F.coalesce(kept, F.lit(False)).alias("kept"),
+    )

@@ -153,6 +153,7 @@ def _load_all() -> None:
         register_round10_classifier,
         register_round10_curation,
         register_round10_rag,
+        register_round10_c4,
         register_round10_rag_append,
         register_round10_gopher,
         register_round10_token_budget,
@@ -204,6 +205,7 @@ def _load_all() -> None:
     register_round10_token_budget()
     register_round10_rag()
     register_round10_rag_append()
+    register_round10_c4()
     register_round10_gopher()
     register_round10_classifier()
 

@@ -1263,3 +1263,72 @@ def register_round10_curation() -> None:
         )
 
         return source_overlap_report(_t(spark, sf_dir, "documents"), n=_SO_N)
+
+
+def register_round10_c4() -> None:
+    # ------------------------------------------------------------------
+    # C4 line-level cleaning (Raffel et al. 2020 section 2.2) — the
+    # line filters that run BEFORE the doc-level batteries (Gopher),
+    # as ONE codegen'd scan; the oracle restates every line predicate,
+    # the rejoin, the replace-chain sentence count and the page
+    # verdict in DuckDB.
+    # ------------------------------------------------------------------
+    @register(
+        "text_c4_line_filters",
+        oracle=r"""
+        WITH d AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, text, lines,
+                 list_filter(lines, l ->
+                   regexp_matches(rtrim(l), '[.!?"]$')
+                   AND len(list_filter(
+                         regexp_split_to_array(trim(l), '\s+'),
+                         w -> w <> '')) >= 5
+                   AND NOT contains(lower(l), 'javascript')) AS keptl
+          FROM d
+        ),
+        c AS (
+          -- array_to_string([]) is NULL in DuckDB while Spark's
+          -- array_join([]) is '' — coalesce so the all-lines-dropped
+          -- document (the common case on the punctuation-free
+          -- fixture) matches the engine's empty string
+          SELECT doc_id, text, lines, keptl,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE coalesce(array_to_string(keptl, chr(10)), '')
+                 END AS cleaned
+          FROM k
+        ),
+        m AS (
+          SELECT doc_id, text, cleaned,
+                 CAST(len(keptl) AS BIGINT) AS n_lines_kept,
+                 CAST(len(lines) - len(keptl) AS BIGINT) AS n_lines_dropped,
+                 CAST(len(cleaned)
+                      - len(replace(replace(replace(cleaned, '.', ''),
+                                    '!', ''), '?', '')) AS BIGINT)
+                   AS n_sentences,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                 contains(text, '{') AS has_brace
+          FROM c
+        )
+        SELECT doc_id, cleaned, n_lines_kept, n_lines_dropped, n_sentences,
+               has_lorem_ipsum, has_brace,
+               coalesce(text IS NOT NULL AND NOT has_lorem_ipsum
+                        AND NOT has_brace AND n_sentences >= 3, FALSE)
+                 AS kept
+        FROM m
+        """,
+    )
+    def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C4 line-level cleaning (operators/text.py:c4_line_filters —
+        Raffel et al. 2020 section 2.2): keep lines ending in terminal
+        punctuation with >= 5 words and no 'javascript'; drop pages
+        containing 'lorem ipsum' or '{' or carrying < 3 sentences in
+        the kept text. Per-document cleaned text, line keep/drop
+        counts, sentence count, page flags and the verdict — one
+        codegen'd scan, every rule restated by the oracle."""
+        from build_datawarehouse_demo_spark.operators.text import c4_line_filters
+
+        return c4_line_filters(_t(spark, sf_dir, "documents"))

@@ -816,3 +816,65 @@ def test_gopher_quality_rules_match_reference(spark):
     # the fixture exercises both verdicts
     assert got[0]["kept"] is True
     assert not got[1]["kept"] and not got[5]["kept"] and not got[6]["kept"]
+
+
+def test_c4_line_filters_match_reference(spark):
+    """Line keeps/drops, cleaned text, sentence count and the page
+    verdict equal a plain-Python replay of the C4 section 2.2 rules on
+    a corpus hitting every rule: terminal punctuation, short lines,
+    javascript lines, lorem ipsum pages, brace pages, the sentence
+    minimum, a null text."""
+    import re
+
+    from build_datawarehouse_demo_spark.operators.text import c4_line_filters
+
+    rows = [
+        (0, "This is a perfectly fine sentence one.\n"
+            "Here is a second good sentence two!\n"
+            "And a third one ends with a question mark?"),
+        (1, "Too short.\nonly four words here\n"
+            "This line has enough words but no terminal punct\n"
+            "This JavaScript line has plenty of words in it."),
+        (2, "A lorem ipsum page with three fine sentences one.\n"
+            "Second sentence is also long enough to keep.\n"
+            "Third sentence keeps the count at the minimum."),
+        (3, "A page with a brace { and three fine sentences one.\n"
+            "Second sentence is also long enough to keep.\n"
+            "Third sentence keeps the count at the minimum."),
+        (4, 'A quoted line should count as terminal "\n'
+            "Only two sentences survive here total."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in c4_line_filters(df).collect()}
+
+    for doc_id, text in rows:
+        g = got[doc_id]
+        if text is None:
+            assert g["cleaned"] is None
+            assert g["kept"] is False
+            continue
+        lines = text.split("\n")
+        keptl = [
+            l for l in lines
+            if re.search(r'[.!?"]$', l.rstrip())
+            and len([w for w in re.split(r"\s+", l.strip()) if w]) >= 5
+            and "javascript" not in l.lower()
+        ]
+        cleaned = "\n".join(keptl)
+        n_sent = sum(cleaned.count(c) for c in ".!?")
+        has_lorem = "lorem ipsum" in text.lower()
+        has_brace = "{" in text
+        kept = (not has_lorem) and (not has_brace) and n_sent >= 3
+        assert g["cleaned"] == cleaned, doc_id
+        assert g["n_lines_kept"] == len(keptl), doc_id
+        assert g["n_lines_dropped"] == len(lines) - len(keptl), doc_id
+        assert g["n_sentences"] == n_sent, doc_id
+        assert g["has_lorem_ipsum"] == has_lorem, doc_id
+        assert g["has_brace"] == has_brace, doc_id
+        assert g["kept"] == kept, doc_id
+    # fixture exercises both verdicts and every drop reason
+    assert got[0]["kept"] is True
+    assert not got[1]["kept"] and not got[2]["kept"] and not got[3]["kept"]
+    assert not got[4]["kept"]  # quote-terminal counted, but < 3 sentences
+    assert got[1]["n_lines_kept"] == 0  # short / no-punct / javascript all dropped
