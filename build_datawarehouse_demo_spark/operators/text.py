@@ -1064,3 +1064,158 @@ def c4_line_filters(
         has_brace.alias("has_brace"),
         F.coalesce(kept, F.lit(False)).alias("kept"),
     )
+
+
+def _dup_fraction_cols(arr: Column, prefix: str) -> dict[str, Column]:
+    """Duplicate-occurrence fractions over a staged string-array column
+    (Gopher A1.1.2 line/paragraph semantics — an occurrence beyond the
+    FIRST of its value is a duplicate): count fraction and character
+    fraction, both exact integer ratios rounded to 6dp, NULL when the
+    array is empty. The distinct-sum identity avoids index arithmetic:
+    chars in first occurrences == chars over array_distinct."""
+    n = F.size(arr).cast("bigint")
+    n_dup = (n - F.size(F.array_distinct(arr))).cast("bigint")
+    chars = F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    chars_first = F.aggregate(
+        F.array_distinct(arr), F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    nonempty = n > 0
+    return {
+        f"dup_{prefix}_frac": F.when(
+            nonempty, F.round(n_dup.cast("double") / n, 6)
+        ),
+        f"dup_{prefix}_char_frac": F.when(
+            nonempty,
+            F.round((chars - chars_first).cast("double") / chars, 6),
+        ),
+    }
+
+
+def _top_gram_fold(sorted_grams: Column) -> Column:
+    """(count, gram) of the most frequent element of a SORTED string
+    array via one linear fold (run-length over equal neighbors) — the
+    per-document mode without an explode/groupBy shuffle and without
+    the O(d*g) distinct-x-filter quadratic. Ties break to the
+    lexicographically smallest gram (the strict > update keeps the
+    FIRST maximal run of the ascending sort), which the oracle
+    restates as ORDER BY count DESC, gram ASC."""
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("bestc"), F.lit("").alias("bestg"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run_new = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            g.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["bestc"], run_new).alias("bestc"),
+            F.when(run_new > acc["bestc"], g)
+            .otherwise(acc["bestg"])
+            .alias("bestg"),
+        )
+
+    return F.aggregate(sorted_grams, init, step)
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_gram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+) -> DataFrame:
+    """The Gopher repetitious-text battery (Rae et al. 2021, Appendix
+    A1.1.2; defaults are the paper's thresholds) — the repetition
+    complement of gopher_quality_rules:
+
+      1-2. duplicate LINE fraction / duplicate line CHARACTER fraction
+           (lines = '\\n' split, blank lines dropped; an occurrence
+           beyond the first of an identical line is a duplicate)
+      3-4. the same two over PARAGRAPHS ('\\n\\n+' split)
+      5-7. top word-n-gram character fraction for n = 2, 3, 4:
+           occurrences(most frequent n-gram) * len(that n-gram) over
+           the normalized text length (tokens joined by single
+           spaces) — the paper's "fraction of characters contained
+           within the most frequently-occurring n-gram"
+
+    The paper's remaining signals — duplicate-n-gram character
+    fractions for n = 5..10 — are covered in this engine by the
+    repeated-n-gram ratio lane (repetition_score /
+    `text_repetition_score`): same duplication signal as a count
+    ratio rather than positional character coverage.
+
+    One codegen'd scan, zero UDFs, zero shuffles: duplicate fractions
+    use the distinct-sum identity (chars of first occurrences == chars
+    over array_distinct), the per-document mode is a linear run-length
+    fold over the SORTED gram array (no explode, no O(d*g) quadratic).
+    Every fraction is an exact integer ratio rounded to 6dp. A metric
+    whose denominator is empty (no lines / paragraphs / n-grams) is
+    NULL and its rule is vacuously TRUE — this battery measures
+    repetition only; emptiness is gopher_quality_rules' word-count
+    rule. ``kept`` is the conjunction of all seven rules.
+
+    Returns (id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
+    top_4gram_char_frac, one boolean per rule, kept)."""
+    txt = F.col(text_col)
+    staged = (
+        df.withColumn(
+            "__lines", F.filter(F.split(txt, r"\n"), lambda l: F.trim(l) != "")
+        )
+        .withColumn(
+            "__paras",
+            F.filter(F.split(txt, r"\n{2,}"), lambda p: F.trim(p) != ""),
+        )
+        .withColumn("__toks", tokens(text_col))
+    )
+    for n in (2, 3, 4):
+        staged = staged.withColumn(
+            f"__g{n}", F.array_sort(ngram_array(F.col("__toks"), n))
+        )
+    norm_len = F.length(F.array_join(F.col("__toks"), " ")).cast("bigint")
+    metrics: dict[str, Column] = {}
+    metrics.update(_dup_fraction_cols(F.col("__lines"), "line"))
+    metrics.update(_dup_fraction_cols(F.col("__paras"), "para"))
+    for n in (2, 3, 4):
+        top = _top_gram_fold(F.col(f"__g{n}"))
+        metrics[f"top_{n}gram_char_frac"] = F.when(
+            F.size(F.col(f"__g{n}")) > 0,
+            F.round(
+                (top["bestc"] * F.length(top["bestg"])).cast("double")
+                / norm_len,
+                6,
+            ),
+        )
+    caps = {
+        "dup_line_frac": max_dup_line_frac,
+        "dup_line_char_frac": max_dup_line_char_frac,
+        "dup_para_frac": max_dup_para_frac,
+        "dup_para_char_frac": max_dup_para_char_frac,
+        "top_2gram_char_frac": max_top_gram_char_frac[0],
+        "top_3gram_char_frac": max_top_gram_char_frac[1],
+        "top_4gram_char_frac": max_top_gram_char_frac[2],
+    }
+    rules = {
+        f"rule_{k}": F.coalesce(
+            metrics[k] <= F.lit(float(cap)), F.lit(True)
+        )
+        for k, cap in caps.items()
+    }
+    kept = None
+    for c in rules.values():
+        kept = c if kept is None else (kept & c)
+    return staged.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in metrics.items()],
+        *[v.alias(k) for k, v in rules.items()],
+        kept.alias("kept"),
+    )

@@ -878,3 +878,85 @@ def test_c4_line_filters_match_reference(spark):
     assert not got[1]["kept"] and not got[2]["kept"] and not got[3]["kept"]
     assert not got[4]["kept"]  # quote-terminal counted, but < 3 sentences
     assert got[1]["n_lines_kept"] == 0  # short / no-punct / javascript all dropped
+
+
+def test_gopher_repetition_rules_match_reference(spark):
+    """Duplicate line/paragraph fractions, top-n-gram character
+    fractions and the verdict equal a plain-Python replay of the
+    Gopher A1.1.2 battery on a corpus hitting every rule: repeated
+    lines, repeated paragraphs, a dominant bigram, a dominant
+    4-gram, a clean doc, an empty doc."""
+    import re
+    from collections import Counter
+
+    from build_datawarehouse_demo_spark.operators.text import (
+        gopher_repetition_rules,
+    )
+
+    rows = [
+        # the clean doc must be LONG: on a short doc a single 4-gram
+        # is already >16% of the characters — the Gopher gram rules
+        # target web-page-sized text
+        (0, "\n".join(
+            " ".join(f"word{r}x{c}" for c in range(10)) for r in range(6)
+        )),
+        (1, "same line here now\nsame line here now\nsame line here now\n"
+            "one different line ok"),  # 2/4 dup lines
+        (2, "para one stays fine\n\npara two stays fine\n\npara one stays fine"),
+        (3, "spam spam spam spam spam spam and then something else entirely"),
+        (4, "w1 w2 w1 w2 w1 w2 w1 w2 trailing unique tokens here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_repetition_rules(df).collect()}
+
+    def dup_stats(items):
+        if not items:
+            return None, None
+        seen, dups, dup_chars = set(), 0, 0
+        for it in items:
+            if it in seen:
+                dups += 1
+                dup_chars += len(it)
+            seen.add(it)
+        total_chars = sum(len(it) for it in items)
+        return round(dups / len(items), 6), round(dup_chars / total_chars, 6)
+
+    caps = {
+        "dup_line_frac": 0.30, "dup_line_char_frac": 0.20,
+        "dup_para_frac": 0.30, "dup_para_char_frac": 0.20,
+        "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+        "top_4gram_char_frac": 0.16,
+    }
+    for doc_id, text in rows:
+        g = got[doc_id]
+        lines = [l for l in text.split("\n") if l.strip()]
+        paras = [p for p in re.split(r"\n{2,}", text) if p.strip()]
+        toks = [t for t in re.split(r"\s+", text.strip(), flags=re.ASCII) if t]
+        want = {}
+        want["dup_line_frac"], want["dup_line_char_frac"] = dup_stats(lines)
+        want["dup_para_frac"], want["dup_para_char_frac"] = dup_stats(paras)
+        norm_len = len(" ".join(toks))
+        for n in (2, 3, 4):
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                want[f"top_{n}gram_char_frac"] = None
+                continue
+            cnt = Counter(grams)
+            best = max(cnt.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+            # tie-break: max count, then lexicographically smallest
+            bc = max(cnt.values())
+            bg = min(k for k, v in cnt.items() if v == bc)
+            want[f"top_{n}gram_char_frac"] = round(bc * len(bg) / norm_len, 6)
+        for k, w in want.items():
+            assert g[k] == w, (doc_id, k, g[k], w)
+            cap = caps[k]
+            assert g[f"rule_{k}"] == (True if w is None else w <= cap), (doc_id, k)
+        assert g["kept"] == all(
+            True if w is None else w <= caps[k] for k, w in want.items()
+        ), doc_id
+    assert got[0]["kept"] is True
+    assert got[1]["kept"] is False        # dup lines past both caps
+    assert got[2]["kept"] is False        # dup paragraph
+    assert not got[3]["kept"] or not got[4]["kept"]  # dominant grams
+    assert got[5]["dup_line_frac"] is None and got[5]["kept"] is True
