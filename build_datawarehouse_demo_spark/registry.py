@@ -159,6 +159,9 @@ def _load_all() -> None:
         register_round10_token_budget,
         register_round10_training_ops,
     )
+    from build_datawarehouse_demo_spark.registry_round11 import (  # noqa
+        register_round11_gopher_repetition,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -208,6 +211,7 @@ def _load_all() -> None:
     register_round10_c4()
     register_round10_gopher()
     register_round10_classifier()
+    register_round11_gopher_repetition()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}
