@@ -778,6 +778,7 @@ def quality_classifier_score(
     weights: list[float] | None = None,
     bias: float = 0.0,
     threshold: float = 0.5,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Linear quality classifier over hashed bag-of-words features —
     the fastText/logistic-regression document filter every major LLM
@@ -834,6 +835,7 @@ def quality_classifier_score(
     )
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.col("__n").cast("bigint").alias("n_ws_tokens"),
         score.alias("clf_score"),
         (score >= F.lit(float(threshold))).alias("kept"),
@@ -860,6 +862,7 @@ def gopher_quality_rules(
     max_ellipsis_line_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stopword_hits: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", Appendix A1.1.3 — the published
@@ -977,6 +980,7 @@ def gopher_quality_rules(
         kept = c if kept is None else (kept & c)
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         *[v.alias(k) for k, v in metrics.items()],
         *[v.alias(k) for k, v in rules.items()],
         kept.alias("kept"),
@@ -1132,6 +1136,7 @@ def gopher_repetition_rules(
     max_dup_line_char_frac: float = 0.20,
     max_dup_para_char_frac: float = 0.20,
     max_top_gram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher repetitious-text battery (Rae et al. 2021, Appendix
     A1.1.2; defaults are the paper's thresholds) — the repetition
@@ -1139,13 +1144,25 @@ def gopher_repetition_rules(
 
       1-2. duplicate LINE fraction / duplicate line CHARACTER fraction
            (lines = '\\n' split, blank lines dropped; an occurrence
-           beyond the first of an identical line is a duplicate)
+           beyond the first of an identical line is a duplicate).
+           Denominator choice (deliberate deviation from common
+           implementations, e.g. datatrove, which divide by the raw
+           document length): the CHARACTER fractions divide duplicate
+           chars by the total chars of the non-blank lines /
+           paragraphs themselves, so the metric is a pure
+           within-population duplication ratio, insensitive to
+           whitespace layout between lines.
       3-4. the same two over PARAGRAPHS ('\\n\\n+' split)
       5-7. top word-n-gram character fraction for n = 2, 3, 4:
            occurrences(most frequent n-gram) * len(that n-gram) over
            the normalized text length (tokens joined by single
            spaces) — the paper's "fraction of characters contained
-           within the most frequently-occurring n-gram"
+           within the most frequently-occurring n-gram". The fraction
+           is occurrence-count based, not a positional character-
+           coverage union: overlapping occurrences each count, so
+           pathologically repetitive documents can exceed 1.0 (e.g.
+           'a a a a' gives 9/7 for n = 2). Thresholds behave the same
+           either way; documented so the range is not a surprise.
 
     The paper's remaining signals — duplicate-n-gram character
     fractions for n = 5..10 — are covered in this engine by the
@@ -1215,6 +1232,7 @@ def gopher_repetition_rules(
         kept = c if kept is None else (kept & c)
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         *[v.alias(k) for k, v in metrics.items()],
         *[v.alias(k) for k, v in rules.items()],
         kept.alias("kept"),

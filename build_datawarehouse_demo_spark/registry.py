@@ -162,6 +162,9 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round11 import (  # noqa
         register_round11_gopher_repetition,
     )
+    from build_datawarehouse_demo_spark.registry_round12 import (  # noqa
+        register_round12_clean_filter_dedup,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -212,6 +215,7 @@ def _load_all() -> None:
     register_round10_gopher()
     register_round10_classifier()
     register_round11_gopher_repetition()
+    register_round12_clean_filter_dedup()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -1,10 +1,8 @@
 """Round-11 registry entries.
 
-Theme (VERDICT r10): close the last unverified surface
-(`gopher_repetition_rules` gets its oracle), then compose the modern
-cleaning stack — C4 line filters → Gopher quality + repetition rules →
-linear quality classifier → near-dup removal → split — as ONE
-oracle-checked pipeline, the shape a real 100 TB curation run executes.
+Theme (VERDICT r10): close the last unverified surface —
+`gopher_repetition_rules` gets its full-rule oracle (the composed
+cleaning-stack pipeline it feeds lands in registry_round12).
 Same oracle discipline as rounds 7-10: every ratio an exact integer
 division rounded at 6dp, every boolean restated, pinned constants
 derived from the driver fixture through the SAME functions the

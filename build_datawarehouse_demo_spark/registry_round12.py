@@ -1,0 +1,373 @@
+"""Round-12 registry entries.
+
+Theme (VERDICT r11 item 1): compose the MODERN cleaning stack — C4
+line filters → Gopher quality rules → Gopher repetition rules → linear
+quality classifier → MinHash-LSH near-dup removal → train/val/test
+split — as ONE oracle-checked pipeline entry
+(plans/training_data.prepare_clean_filter_dedup), the stage order a
+real 100 TB curation run executes (C4/RefinedWeb/FineWeb lineage).
+
+The fixture corpus is single-line and punctuation-free (the C4 page
+verdict keeps 0 of 500 documents as-is), so the entry feeds the
+pipeline through a deterministic PAGE-IFY adapter view — pure
+engine-portable expressions, restated verbatim by the oracle — that
+gives every document line structure and plants line/page-level
+violations, so every C4 rule has real work:
+
+  - tokens are re-joined into 8-word lines; every 4th line gets no
+    terminal punctuation (dropped by the line rule), the tail line is
+    usually < 5 words (dropped by the min-words rule);
+  - doc_id % 13 == 0 gains a 'javascript' line (line rule),
+    doc_id % 17 == 0 a 'lorem ipsum' line (page rule),
+    doc_id % 19 == 0 a '{' line (page rule).
+
+Battery thresholds are tuned so every stage drops SOME and keeps MOST
+of this fixture (500 pages → 400 C4 → 233 quality → 197 repetition →
+136 classifier → 132 near-dup reps): Gopher quality runs min_words=30
+(pages average ~46 words) and min_stopword_hits=1 (the fixture
+vocabulary carries only 'the' from the Gopher list); repetition runs
+top-gram caps (0.09, 0.08, 0.16) against the fixture's p90 top-gram
+fractions; the classifier thresholds at 0.45 (stand-in-weight scores
+sit in [0.39, 0.50]). Paper defaults stay the operators' defaults —
+these are per-run knobs, exactly how a production run tunes them.
+
+Same oracle discipline as rounds 7-11: every ratio an exact integer
+division rounded at 6dp, banding pinned through the SAME
+minhash_auto_params the implementation calls, identical aliases both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.registry import register
+from build_datawarehouse_demo_spark.registry_extensions import _HASH32
+from build_datawarehouse_demo_spark.registry_round7 import _driver_rows, _t
+
+_EMPTY_LINES = "CAST(array() AS array<string>)"
+
+#: the planted marker lines (engine and oracle share the literals)
+_JS_LINE = "this javascript line should be dropped."
+_LOREM_LINE = "lorem ipsum dolor sit amet."
+_BRACE_LINE = "config { brace."
+
+#: composition knobs (module docstring: tuned to exercise every stage)
+_MIN_WPL, _MIN_SENT = 5, 3
+_GQ_MINW, _GQ_STOP = 30, 1
+_TOPG = (0.09, 0.08, 0.16)
+_QC_DIM, _CLF_T = 64, 0.45
+
+
+def _tok_of(col: str) -> str:
+    """DuckDB whitespace tokenization of an arbitrary column — the
+    registry_extensions._TOK convention generalized beyond `text`."""
+    return rf"list_filter(regexp_split_to_array(trim({col}), '\s+'), x -> x <> '')"
+
+
+def pageify(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The fixture adapter (module docstring): re-shape a single-line
+    corpus into multi-line 'web pages' with deterministic line/page
+    violations. Pure codegen'd expressions (token slice/join + three
+    modulus-gated marker lines) so the oracle restates it verbatim;
+    one projection, no shuffle — at 100 TB this stage is free."""
+    from build_datawarehouse_demo_spark.operators.text import tokens
+
+    w = F.col("__w")
+    chunk_lines = F.transform(
+        F.sequence(
+            F.lit(0), (F.ceil(F.size(w) / F.lit(8.0)).cast("int") - F.lit(1))
+        ),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * F.lit(8) + F.lit(1), F.lit(8)), " "),
+            F.when(i % 4 == 3, F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+    # empty-token guard: Spark's sequence(0, -1) would DESCEND where
+    # DuckDB's range(0, 0) is empty — pin the empty-page shape
+    lines = F.when(F.size(w) > 0, chunk_lines).otherwise(F.expr(_EMPTY_LINES))
+
+    def marker(mod: int, line: str):
+        return F.when(
+            F.col(id_col) % mod == 0, F.array(F.lit(line))
+        ).otherwise(F.expr(_EMPTY_LINES))
+
+    page = F.array_join(
+        F.concat(
+            lines, marker(13, _JS_LINE), marker(17, _LOREM_LINE), marker(19, _BRACE_LINE)
+        ),
+        "\n",
+    )
+    return df.withColumn("__w", tokens(text_col)).select(
+        F.col(id_col), page.alias(text_col)
+    )
+
+
+def _pageify_sql(tok_text: str) -> str:
+    """The pageify view in DuckDB — same 8-word chunks, same
+    punctuation cycle, same marker lines."""
+    return rf"""pages AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_concat(list_concat(list_concat(
+                     list_transform(range(0, CAST(ceil(len({tok_text}) / 8.0) AS INT)),
+                       i -> array_to_string(({tok_text})[i*8+1 : i*8+8], ' ')
+                            || CASE WHEN i % 4 = 3 THEN '' ELSE '.' END),
+                     CASE WHEN doc_id % 13 = 0
+                          THEN ['{_JS_LINE}'] ELSE CAST([] AS VARCHAR[]) END),
+                     CASE WHEN doc_id % 17 = 0
+                          THEN ['{_LOREM_LINE}'] ELSE CAST([] AS VARCHAR[]) END),
+                     CASE WHEN doc_id % 19 = 0
+                          THEN ['{_BRACE_LINE}'] ELSE CAST([] AS VARCHAR[]) END),
+                   chr(10)) AS text
+          FROM documents
+        )"""
+
+
+def _clean_filter_dedup_sql(mb: int, mr: int, w_sql: str) -> str:
+    """The WHOLE composed chain as one DuckDB query: pageify → C4 →
+    Gopher quality → Gopher repetition → classifier → MinHash-LSH
+    near-dup (banding supplied, candidates bucket-joined, exact-Jaccard
+    verified) → star components (recursive-CTE restatement) → min-id
+    representatives → hash split. Every fragment is the SAME SQL shape
+    already green on the component entries (registry_round10 C4 /
+    gopher / classifier, registry_round11 repetition, registry_round9
+    minhash+components), re-rooted on the previous stage's survivors —
+    so the COMPOSITION is hash-verified end-to-end."""
+    w = _tok_of("cleaned")
+    mnh = mb * mr
+    split_hash = _HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+        WITH RECURSIVE {_pageify_sql(_tok_of("text"))},
+        c4d AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM pages),
+        c4k AS (
+          SELECT doc_id, text, lines,
+                 list_filter(lines, l ->
+                   regexp_matches(rtrim(l), '[.!?"]$')
+                   AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                                       x -> x <> '')) >= {_MIN_WPL}
+                   AND NOT contains(lower(l), 'javascript')) AS keptl
+          FROM c4d
+        ),
+        c4c AS (
+          SELECT doc_id, text, keptl,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE coalesce(array_to_string(keptl, chr(10)), '') END AS cleaned
+          FROM c4k
+        ),
+        c4 AS (
+          SELECT doc_id, cleaned
+          FROM (
+            SELECT doc_id, text, cleaned,
+                   CAST(len(cleaned) - len(replace(replace(replace(cleaned, '.', ''),
+                        '!', ''), '?', '')) AS BIGINT) AS n_sent
+            FROM c4c)
+          WHERE coalesce(text IS NOT NULL AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{') AND n_sent >= {_MIN_SENT}, FALSE)
+        ),
+        gqm AS (
+          SELECT doc_id, cleaned, {w} AS w,
+                 list_filter(string_split(cleaned, chr(10)), l -> trim(l) <> '') AS lines
+          FROM c4
+        ),
+        gq AS (
+          SELECT doc_id, cleaned FROM (
+            SELECT doc_id, cleaned, len(w) AS n,
+                   greatest(len(lines), 1) AS nl,
+                   round(CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+                         / len(w), 6) AS mwl,
+                   (len(cleaned) - len(replace(cleaned, '#', ''))
+                    + (len(cleaned) - len(replace(cleaned, '...', ''))) / 3) AS n_sym,
+                   len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                   len(list_intersect(list_distinct(list_transform(w, t -> lower(t))),
+                       ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+                   lines
+            FROM gqm)
+          WHERE n > 0 AND n BETWEEN {_GQ_MINW} AND 100000
+            AND mwl BETWEEN 3.0 AND 10.0
+            AND round(CAST(n_sym AS DOUBLE) / n, 6) <= 0.1
+            AND round(CAST(len(list_filter(lines, l ->
+                  ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS DOUBLE) / nl, 6) <= 0.9
+            AND round(CAST(len(list_filter(lines, l ->
+                  rtrim(l) LIKE '%...')) AS DOUBLE) / nl, 6) <= 0.3
+            AND round(CAST(n_alpha AS DOUBLE) / n, 6) >= 0.8
+            AND stop_hits >= {_GQ_STOP}
+        ),
+        rd AS (
+          SELECT doc_id, cleaned, {w} AS w,
+                 list_filter(string_split(cleaned, chr(10)), l -> trim(l) <> '') AS lines,
+                 list_filter(regexp_split_to_array(cleaned, '\n{{2,}}'),
+                             p -> trim(p) <> '') AS paras
+          FROM gq
+        ),
+        rdup AS (
+          SELECT doc_id, cleaned,
+                 CAST(len(array_to_string(w, ' ')) AS BIGINT) AS norm_len,
+                 len(lines) AS nl, len(lines) - len(list_distinct(lines)) AS nl_dup,
+                 coalesce(list_sum(list_transform(lines, x -> len(x))), 0) AS lc,
+                 coalesce(list_sum(list_transform(list_distinct(lines),
+                                                  x -> len(x))), 0) AS lc1,
+                 len(paras) AS np, len(paras) - len(list_distinct(paras)) AS np_dup,
+                 coalesce(list_sum(list_transform(paras, x -> len(x))), 0) AS pc,
+                 coalesce(list_sum(list_transform(list_distinct(paras),
+                                                  x -> len(x))), 0) AS pc1
+          FROM rd
+        ),
+        rgrams AS (
+          SELECT doc_id, n.n AS n, array_to_string(w[i.i : i.i + n.n - 1], ' ') AS gram
+          FROM rd, unnest([2, 3, 4]) AS n(n),
+               unnest(generate_series(1, len(w) - n.n + 1)) AS i(i)
+          WHERE len(w) >= n.n
+        ),
+        rcounted AS (
+          SELECT doc_id, n, gram, count(*) AS c FROM rgrams GROUP BY doc_id, n, gram
+        ),
+        rbest AS (
+          SELECT doc_id, n, gram, c,
+                 row_number() OVER (PARTITION BY doc_id, n
+                                    ORDER BY c DESC, gram ASC) AS rk
+          FROM rcounted
+        ),
+        rtg AS (
+          SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN c * len(gram) END) AS t2,
+                 max(CASE WHEN n = 3 THEN c * len(gram) END) AS t3,
+                 max(CASE WHEN n = 4 THEN c * len(gram) END) AS t4
+          FROM rbest WHERE rk = 1 GROUP BY doc_id
+        ),
+        rep AS (
+          SELECT rdup.doc_id, rdup.cleaned
+          FROM rdup LEFT JOIN rtg USING (doc_id)
+          WHERE coalesce(CASE WHEN nl > 0
+                  THEN round(CAST(nl_dup AS DOUBLE)/nl,6) END <= 0.30, TRUE)
+            AND coalesce(CASE WHEN nl > 0
+                  THEN round(CAST(lc - lc1 AS DOUBLE)/lc,6) END <= 0.20, TRUE)
+            AND coalesce(CASE WHEN np > 0
+                  THEN round(CAST(np_dup AS DOUBLE)/np,6) END <= 0.30, TRUE)
+            AND coalesce(CASE WHEN np > 0
+                  THEN round(CAST(pc - pc1 AS DOUBLE)/pc,6) END <= 0.20, TRUE)
+            AND coalesce(round(CAST(t2 AS DOUBLE)/norm_len,6) <= {_TOPG[0]}, TRUE)
+            AND coalesce(round(CAST(t3 AS DOUBLE)/norm_len,6) <= {_TOPG[1]}, TRUE)
+            AND coalesce(round(CAST(t4 AS DOUBLE)/norm_len,6) <= {_TOPG[2]}, TRUE)
+        ),
+        cf AS (
+          SELECT doc_id, cleaned, CAST(len({w}) AS BIGINT) AS n_ws_tokens,
+                 list_transform(range(0, {_QC_DIM}), i ->
+                   CAST(len(list_filter({w}, t ->
+                     CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT)
+                       % {_QC_DIM} = i)) AS DOUBLE)) AS feat
+          FROM rep
+        ),
+        clf AS (
+          SELECT doc_id, cleaned, n_ws_tokens, clf_score FROM (
+            SELECT doc_id, cleaned, n_ws_tokens,
+                   CASE WHEN n_ws_tokens > 0 THEN
+                     round(1.0 / (1.0 + exp(-(
+                       list_dot_product(feat, {w_sql}) / n_ws_tokens))), 6)
+                   END AS clf_score
+            FROM cf)
+          WHERE clf_score >= {_CLF_T}
+        ),
+        ctok AS (SELECT doc_id, {w} AS w FROM clf),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM ctok, unnest(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3
+        ),
+        mh AS (
+          SELECT doc_id, h,
+                 min({_HASH32.format(expr="h || ':' || shingle")}) AS mhv
+          FROM sh, unnest(generate_series(0, {mnh - 1})) AS g(h)
+          GROUP BY doc_id, h
+        ),
+        bnd AS (
+          SELECT doc_id, h // {mr} AS band,
+                 string_agg(CAST(mhv AS VARCHAR), '_' ORDER BY h) AS band_key
+          FROM mh GROUP BY doc_id, h // {mr}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bnd a
+          JOIN bnd b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT i.id_a, i.id_b
+          FROM (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+            GROUP BY c.id_a, c.id_b
+          ) i
+          JOIN sizes na ON na.doc_id = i.id_a
+          JOIN sizes nb ON nb.doc_id = i.id_b
+          WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        compo AS (
+          SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s
+        )
+        SELECT c.doc_id, c.n_ws_tokens, c.clf_score,
+               COALESCE(cp.component, c.doc_id) AS component_id,
+               CASE WHEN c.doc_id IS NULL THEN NULL
+                    WHEN {split_hash} % 1000 < 100 THEN 'val'
+                    WHEN {split_hash} % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM clf c LEFT JOIN compo cp ON cp.node = c.doc_id
+        WHERE COALESCE(cp.component, c.doc_id) = c.doc_id
+        """
+
+
+def register_round12_clean_filter_dedup() -> None:
+    # ------------------------------------------------------------------
+    # the composed modern cleaning stack (VERDICT r11 item 1): every
+    # stage the same individually-oracle-checked operator, restated as
+    # ONE DuckDB chain so the composition — stage boundaries included —
+    # is hash-verified end-to-end
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.operators.text import (
+        default_classifier_weights,
+    )
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _MB, _MR = minhash_auto_params(_N_DOCS)
+    _W_SQL = "[" + ", ".join(repr(x) for x in default_classifier_weights(_QC_DIM)) + "]"
+
+    @register(
+        "pipeline_clean_filter_dedup",
+        oracle=_clean_filter_dedup_sql(_MB, _MR, _W_SQL),
+    )
+    def q_clean_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The modern cleaning stack end-to-end
+        (plans/training_data.prepare_clean_filter_dedup): pageified
+        fixture → C4 line filters → Gopher quality → Gopher
+        repetition → linear classifier → auto-banded MinHash-LSH
+        near-dup removal (subsumes exact dedup) → hash split. The four
+        filter batteries fuse into ONE codegen'd scan (barrier-pinned
+        filters); the first exchange is the MinHash banding groupBy;
+        banding auto-sizes from the raw corpus count and the oracle
+        pins it through the same minhash_auto_params."""
+        from build_datawarehouse_demo_spark.plans.training_data import (
+            prepare_clean_filter_dedup,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return prepare_clean_filter_dedup(
+            pageify(docs),
+            min_words=_GQ_MINW,
+            min_stopword_hits=_GQ_STOP,
+            max_top_gram_char_frac=_TOPG,
+            clf_dim=_QC_DIM,
+            clf_threshold=_CLF_T,
+        )
