@@ -82,8 +82,27 @@ def hash_embed_chunks(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(F.filter(F.col("__cb"), lambda b: b == i)).cast("double"),
     )
+    # the stride contract is ENFORCED, not just documented (r11
+    # ADVICE): a document chunking to >= stride windows would silently
+    # alias another document's uid space — and the aliased ids would
+    # sail through the append path's anti-join, deduping unrelated
+    # vectors. Fail the job at the first violating row instead.
+    uid = F.when(
+        F.col("chunk_id") < F.lit(int(stride)),
+        (F.col(id_col) * stride + F.col("chunk_id")).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "hash_embed_chunks: chunk_id %s of document %s >= stride "
+                f"{int(stride)} — vec_id would alias another document; "
+                "raise the stride parameter (CHUNK_UID_STRIDE)",
+                F.col("chunk_id"),
+                F.col(id_col),
+            )
+        )
+    )
     return staged.select(
-        (F.col(id_col) * stride + F.col("chunk_id")).cast("bigint").alias("vec_id"),
+        uid.alias("vec_id"),
         vec.alias("embedding"),
     )
 

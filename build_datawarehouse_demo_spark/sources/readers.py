@@ -216,6 +216,7 @@ def _total_row_groups(path: str, enough: int) -> int | None:
     import glob
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = (
@@ -233,7 +234,11 @@ def _total_row_groups(path: str, enough: int) -> int | None:
             total += pq.ParquetFile(f).metadata.num_row_groups
             if total >= enough:
                 return total
-    except OSError:
+    except (OSError, pa.ArrowException):
+        # a corrupt/truncated footer raises ArrowInvalid (an
+        # ArrowException, NOT an OSError — r11 ADVICE): degrade to the
+        # partition-count behavior and let the Spark scan surface the
+        # real error, exactly as the unreadable-file branch does
         return None
     return total
 

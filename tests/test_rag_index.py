@@ -216,3 +216,23 @@ def test_stream_rag_index_append_equals_batch(spark, tmp_path):
     assert got == want
     # the redelivered doc appears exactly once
     assert sum(1 for v, _ in got if v // 1000 == 31) == 1
+
+
+def test_hash_embed_chunks_enforces_stride(spark):
+    """The vec_id stride contract is a runtime check, not a comment
+    (r11 ADVICE): a document chunking to >= stride windows fails the
+    job with a precise message instead of silently aliasing another
+    document's uid space through the append anti-join."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    # 20 tokens at step 4 -> 5 chunks; stride 4 -> chunk_id 4 violates
+    df = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    bad = hash_embed_chunks(df, chunk_size=4, overlap=0, dim=2, stride=4)
+    with pytest.raises(SparkRuntimeException, match="stride"):
+        bad.collect()
+    # the same shape under a sufficient stride is untouched
+    ok = hash_embed_chunks(df, chunk_size=4, overlap=0, dim=2, stride=5)
+    assert sorted(r.vec_id for r in ok.collect()) == [35, 36, 37, 38, 39]

@@ -224,27 +224,31 @@ def test_semdedup_targeted_curve_within_designed_cap():
         )
 
 
-def test_rag_pipeline_targeted_curve_within_designed_cap():
+@pytest.mark.parametrize("lever", ["sf1_sf4", "sf1_sf8"])
+def test_rag_pipeline_targeted_curve_within_designed_cap(lever):
     """The RAG pipeline got its designed cap (O(n^1.125) two-level
     assign) in the same round it was headlined; per the repo's method
     note every designed-cap lane owes an 8x confirmation. The targeted
     single-query artifacts (BENCH_SCALE_RAG_r*_sf1_sf{4,8}.json —
     named outside the full-headline glob so they can never shadow it)
-    carry the measurement."""
-    for lever in ("sf1_sf4", "sf1_sf8"):
-        files = glob.glob(os.path.join(ROOT, f"BENCH_SCALE_RAG_r*_{lever}.json"))
-        if not files:
-            pytest.skip(f"no targeted RAG {lever} artifact yet")
+    carry the measurement.
 
-        def round_no(p: str) -> int:
-            m = re.search(r"_r(\d+)_", os.path.basename(p))
-            return int(m.group(1)) if m else -1
+    Parametrized per lever (r11 ADVICE): a skip for a missing sf1_sf4
+    artifact used to abort the WHOLE test, silently un-gating the
+    sf1_sf8 curve — now each lever skips or gates independently."""
+    files = glob.glob(os.path.join(ROOT, f"BENCH_SCALE_RAG_r*_{lever}.json"))
+    if not files:
+        pytest.skip(f"no targeted RAG {lever} artifact yet")
 
-        with open(max(files, key=round_no)) as f:
-            data = json.load(f)
-        q = data["queries"]["pipeline_rag_index_search"]
-        cap = DESIGNED_CAPS["pipeline_rag_index_search"][0]
-        assert q["exponent"] <= cap, (
-            f"RAG pipeline {lever} exponent {q['exponent']} exceeds its "
-            f"designed cap {cap}"
-        )
+    def round_no(p: str) -> int:
+        m = re.search(r"_r(\d+)_", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    with open(max(files, key=round_no)) as f:
+        data = json.load(f)
+    q = data["queries"]["pipeline_rag_index_search"]
+    cap = DESIGNED_CAPS["pipeline_rag_index_search"][0]
+    assert q["exponent"] <= cap, (
+        f"RAG pipeline {lever} exponent {q['exponent']} exceeds its "
+        f"designed cap {cap}"
+    )

@@ -221,3 +221,16 @@ def test_s3a_options_reach_hadoop_conf_and_gate_is_loud(spark):
                 hconf.unset(k)
             else:
                 hconf.set(k, v)
+
+
+def test_total_row_groups_corrupt_footer_degrades_to_none(tmp_path):
+    """A corrupt parquet footer raises pyarrow.ArrowInvalid — an
+    ArrowException, not an OSError (r11 ADVICE): _total_row_groups
+    must degrade to None (partition-count behavior) and let the Spark
+    scan surface the real error, not blow up the rebalance probe."""
+    from build_datawarehouse_demo_spark.sources.readers import _total_row_groups
+
+    bad = tmp_path / "corrupt.parquet"
+    bad.write_bytes(b"PAR1 this is not a parquet footer PAR1")
+    assert _total_row_groups(str(tmp_path), enough=8) is None
+    assert _total_row_groups(str(bad), enough=8) is None
