@@ -631,6 +631,86 @@ def _barrier_keep(df: DataFrame, *out_cols: str) -> DataFrame:
     ).select(*out_cols)
 
 
+def clean_filter_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+    max_top_gram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+    clf_dim: int = 64,
+    clf_weights: list[float] | None = None,
+    clf_threshold: float = 0.5,
+) -> DataFrame:
+    """The filter FRONT of the modern cleaning stack — C4 line filters
+    → Gopher quality → Gopher repetition → linear classifier, each
+    battery the individually-oracle-checked operator, each filter
+    barrier-pinned (_barrier_keep). Exposed separately so the plan
+    shape is testable: the whole front is NARROW — chained projections
+    and filters over one scan, zero Exchange, zero join (pinned by
+    tests/test_scale_layout.py::test_clean_filter_front_is_narrow).
+    Returns the un-materialized survivors
+    (id, cleaned, n_ws_tokens, clf_score)."""
+    from build_datawarehouse_demo_spark.operators.text import (
+        c4_line_filters,
+        gopher_quality_rules,
+        gopher_repetition_rules,
+        quality_classifier_score,
+    )
+
+    c4 = _barrier_keep(
+        c4_line_filters(
+            df,
+            text_col,
+            id_col,
+            min_words_per_line=min_words_per_line,
+            min_sentences=min_sentences,
+        ),
+        id_col,
+        "cleaned",
+    )
+    gq = _barrier_keep(
+        gopher_quality_rules(
+            c4,
+            "cleaned",
+            id_col,
+            min_words=min_words,
+            min_stopword_hits=min_stopword_hits,
+            passthrough=("cleaned",),
+        ),
+        id_col,
+        "cleaned",
+    )
+    gr = _barrier_keep(
+        gopher_repetition_rules(
+            gq,
+            "cleaned",
+            id_col,
+            max_top_gram_char_frac=max_top_gram_char_frac,
+            passthrough=("cleaned",),
+        ),
+        id_col,
+        "cleaned",
+    )
+    return _barrier_keep(
+        quality_classifier_score(
+            gr,
+            "cleaned",
+            id_col,
+            dim=clf_dim,
+            weights=clf_weights,
+            threshold=clf_threshold,
+            passthrough=("cleaned",),
+        ),
+        id_col,
+        "cleaned",
+        "n_ws_tokens",
+        "clf_score",
+    )
+
+
 def prepare_clean_filter_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -692,65 +772,23 @@ def prepare_clean_filter_dedup(
     from build_datawarehouse_demo_spark.operators.sampling import (
         train_val_test_split,
     )
-    from build_datawarehouse_demo_spark.operators.text import (
-        c4_line_filters,
-        gopher_quality_rules,
-        gopher_repetition_rules,
-        quality_classifier_score,
-    )
 
     if corpus_n is None:
         corpus_n = df.count()
     bands, rows = minhash_auto_params(corpus_n, threshold=jaccard_threshold)
 
-    c4 = _barrier_keep(
-        c4_line_filters(
-            df,
-            text_col,
-            id_col,
-            min_words_per_line=min_words_per_line,
-            min_sentences=min_sentences,
-        ),
-        id_col,
-        "cleaned",
-    )
-    gq = _barrier_keep(
-        gopher_quality_rules(
-            c4,
-            "cleaned",
-            id_col,
-            min_words=min_words,
-            min_stopword_hits=min_stopword_hits,
-            passthrough=("cleaned",),
-        ),
-        id_col,
-        "cleaned",
-    )
-    gr = _barrier_keep(
-        gopher_repetition_rules(
-            gq,
-            "cleaned",
-            id_col,
-            max_top_gram_char_frac=max_top_gram_char_frac,
-            passthrough=("cleaned",),
-        ),
-        id_col,
-        "cleaned",
-    )
-    survivors = _barrier_keep(
-        quality_classifier_score(
-            gr,
-            "cleaned",
-            id_col,
-            dim=clf_dim,
-            weights=clf_weights,
-            threshold=clf_threshold,
-            passthrough=("cleaned",),
-        ),
-        id_col,
-        "cleaned",
-        "n_ws_tokens",
-        "clf_score",
+    survivors = clean_filter_survivors(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        min_words=min_words,
+        min_stopword_hits=min_stopword_hits,
+        max_top_gram_char_frac=max_top_gram_char_frac,
+        clf_dim=clf_dim,
+        clf_weights=clf_weights,
+        clf_threshold=clf_threshold,
         # the near-dup stage derives signatures AND both verify sides
         # from this frame — same materialization contract as
         # prepare_training_data_neardup's `survivors` (parquet

@@ -296,6 +296,17 @@ def register_round7_ann() -> None:
           then score only the routed groups' centroids, so per-row
           assignment work is ~3·√nlist ≈ n^0.25, not nlist ≈ √n.
 
+        AMORTIZED quantizer (r12, VERDICT r11 item 5): the trained
+        centroids come from the persisted index's single-slot memo
+        (_ensure_ivf_index — built once per (session, sf_dir); the
+        always-retrain ingest stays measured by sim_ivf_index_build's
+        force=True), and super-centroids/groups are re-derived from
+        the stored centroid table with the same deterministic
+        functions the build used — the ivf_index_append frozen-
+        quantizer contract, so every value is unchanged. What this
+        lane still pays PER RUN is the production per-batch cost: the
+        full-corpus two-level assignment + the nprobe search.
+
         nlist ≈ sqrt(n) centroids from 2 Lloyd iterations (round_to=6
         so both engines feed identical centroids into each next step)
         over deterministic seeds (first nlist vectors), searched with
@@ -309,16 +320,23 @@ def register_round7_ann() -> None:
             ivf_assign_two_level,
             ivf_group_centroids,
             ivf_topk_assigned,
-            ivf_train_sampled,
+        )
+        from build_datawarehouse_demo_spark.registry_round8 import (
+            _ensure_ivf_index,
         )
 
         emb = _t(spark, sf_dir, "embeddings")
+        _, stored = _ensure_ivf_index(spark, sf_dir)
+        # the persisted centroid table stores the vector as `vec`
+        # (build_ivf_index's schema); this lane's operators speak the
+        # (centroid_id, embedding) contract
+        cents = stored.select("centroid_id", F.col("vec").alias("embedding"))
+        # nlist from the CORPUS count, exactly as the build and the
+        # oracle size it — the stored centroid table can be smaller
+        # (Lloyd drops emptied clusters), and ngroups must match the
+        # build's grouping bit-for-bit
         n = emb.count()
         nlist = max(2, math.ceil(math.sqrt(n)))
-        seeds = emb.filter(F.col("vec_id") < nlist).select(
-            F.col("vec_id").alias("centroid_id"), "embedding"
-        )
-        cents = ivf_train_sampled(emb, seeds, n=n, nlist=nlist, n_iter=2, round_to=6)
         ngroups = max(1, math.ceil(math.sqrt(nlist)))
         sup, groups = ivf_group_centroids(cents, n_groups=ngroups, n_iter=1, round_to=6)
         assigned = ivf_assign_two_level(emb, cents, sup, groups, gprobe=IVF_GPROBE)

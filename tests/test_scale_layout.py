@@ -229,3 +229,39 @@ def test_training_pipeline_barrier_keeps_filter_above_features(spark):
     # chain and the punctuation extractor each appear exactly once
     assert plan.count("regexp_extract_all") == 1, plan[:3000]
     assert plan.count("lower(trim(regexp_replace") == 1, plan[:3000]
+
+
+def test_clean_filter_front_is_narrow(spark):
+    """The modern-cleaning-stack FRONT (clean_filter_survivors — C4 →
+    Gopher quality → Gopher repetition → classifier, r12) must stay a
+    NARROW chain: projections + barrier-pinned filters over one input,
+    zero Exchange, zero join, and every battery filter referencing
+    computed attributes only (the prepare_training_data barrier
+    contract, applied four times)."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_survivors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog.\nanother "
+                "line with the same terminal punctuation style here.")
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    qe = clean_filter_survivors(
+        df, min_words=3, min_stopword_hits=1, clf_threshold=0.0
+    )._jdf.queryExecution()
+    optimized = qe.optimizedPlan().toString()
+    physical = qe.executedPlan().toString()
+    assert "Exchange" not in physical, physical[:2000]
+    assert "Join" not in physical, physical[:2000]
+    for ln in optimized.splitlines():
+        if "Filter " not in ln:
+            continue
+        for marker in ("split(", "regexp_", "aggregate(", "transform("):
+            assert marker not in ln, (
+                "feature expression leaked into a Filter — a battery's "
+                f"optimizer barrier no longer holds:\n{ln}"
+            )

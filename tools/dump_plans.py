@@ -69,6 +69,8 @@ AUDITED = {
     "profile_source_overlap": "cross-source overlap — gram explode + ONE distinct exchange on (source, gram); self equi-join on the gram with fanout bounded by the source dimension; bounded-key aggs",
     "pipeline_rag_index_append": "incremental RAG refresh — the OLD corpus is indexed once through the bucketed writer; the NEW batch's chunk+embed is its own single scan, assignment broadcasts the STORED centroids (nlist rows), the anti-join touches only the stored id column, and search reads the bucketed lists back (no corpus rescan, no retraining)",
     "text_gopher_rules": "Gopher rule battery — ONE codegen'd projection over the documents scan (staged token array + line split, filter/size HOFs, clamped integer-ratio divisions); zero Exchange anywhere",
+    "text_gopher_repetition": "Gopher repetition battery (r11) — ONE codegen'd projection over the documents scan (sorted-gram run-length fold for the per-document mode — no explode, no groupBy); the only Exchange is the reader's row-group-aware rebalance; zero BatchEvalPython",
+    "pipeline_clean_filter_dedup": "composed modern cleaning stack (r12) — pageify + the four filter batteries (C4, Gopher quality, Gopher repetition, classifier) fuse into scan-side codegen stages with barrier-pinned filters (no joins between stages); the first semantic exchange is the MinHash banding aggregation; components contract the PAIR graph; the split is a narrow hash projection",
 }
 
 
