@@ -236,3 +236,65 @@ def test_hash_embed_chunks_enforces_stride(spark):
     # the same shape under a sufficient stride is untouched
     ok = hash_embed_chunks(df, chunk_size=4, overlap=0, dim=2, stride=5)
     assert sorted(r.vec_id for r in ok.collect()) == [35, 36, 37, 38, 39]
+
+
+def test_rag_index_injected_encoder(spark):
+    """Real-encoder injection (VERDICT r10 item 7): the RAG index's
+    embedder seam is the (vec_id, embedding) contract — replace the
+    deterministic hash embedder with an injected 'trained encoder'
+    (a committed 4x8 linear map + tanh over the hash features, run as
+    an Arrow pandas_udf exactly like a real model would be) and drive
+    the SAME build_rag_index + ivf_topk_assigned chain over its
+    output. The index plumbing must neither know nor care which
+    encoder produced the vectors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from build_datawarehouse_demo_spark.plans.rag_index import (
+        build_rag_index,
+        hash_embed_chunks,
+    )
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_topk_assigned,
+    )
+
+    rows = [(0, "spark shuffles partition data across executors for joins")] + [
+        (i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+        for i in range(1, 25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # materialize the feature stage before the encoder UDF — the
+    # boundary a real pipeline has anyway (features persisted, model
+    # applied on top); inlining the HOF feature expression as the
+    # UDF's argument is unevaluable in Spark's Arrow extraction
+    feats = hash_embed_chunks(docs, chunk_size=8, overlap=0, dim=8).localCheckpoint()
+
+    # the committed "model": W in R^{4x8}, v = tanh(W @ counts)
+    W = np.arange(32, dtype=np.float64).reshape(4, 8) / 16.0 - 1.0
+
+    # lambda form: this test module uses `from __future__ import
+    # annotations`, which stringifies type hints and breaks
+    # pandas_udf's hint-based dispatch
+    encode = pandas_udf(
+        lambda batch: pd.Series(
+            list(np.tanh(np.stack(batch.to_numpy()) @ W.T))
+        ),
+        "array<double>",
+    )
+
+    vecs = feats.select("vec_id", encode("embedding").alias("embedding"))
+    n = vecs.count()
+    lists, cents = build_rag_index(vecs.localCheckpoint(), n)
+    probes = vecs.filter(F.col("vec_id") % 1000 == 0).limit(3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = ivf_topk_assigned(lists, cents, probes, k=3, nprobe=2).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert len(by_probe) == 3
+    for pid, neighbors in by_probe.items():
+        assert all(r.vec_id != pid for r in neighbors)
+        ranks = sorted(r.rank for r in neighbors)
+        assert ranks == list(range(1, len(ranks) + 1))
