@@ -138,6 +138,17 @@ HEADLINE = [
     # shares, which is correctness-scale only.
     "sample_importance_dsir",
     "text_perplexity_buckets",
+    # round-12 composed deliverable: the MODERN cleaning stack (C4 ->
+    # Gopher quality -> Gopher repetition -> classifier -> auto-banded
+    # MinHash near-dup -> split). The filter front is one codegen scan
+    # (narrow, pinned by test_clean_filter_front_is_narrow); the
+    # asymptotically-dominant stage is the same auto-banded MinHash
+    # near-dup as pipeline_training_data_neardup, so it inherits that
+    # lane's designed cap. streaming_rag_index_append is NOT headlined
+    # (the pipeline_rag_index_append reasoning: its timing is dominated
+    # by rebuilding the base index, a shape already headlined; the
+    # stream-specific half is a two-micro-batch append).
+    "pipeline_clean_filter_dedup",
     # round-10 composed deliverable: chunk -> hash-embed -> trained
     # IVF -> search in one entry. Its stages ride already-capped lanes
     # (the sim_ivf_trained chain over chunk vectors); chunk+embed are

@@ -820,23 +820,28 @@ def embedding_near_dup_pairs_bucketed(
     and keeps every verified pair a true ≥threshold pair).
 
     Scale shape — every join is an equi-join, nothing nested-loop:
-      1. signatures: narrow projection (bands·r ordered folds per row);
+      1. signatures: narrow projection (bands·r ordered folds per row,
+         Arrow-staged — see staged_projections);
       2. candidates: SHUFFLE-HASH self equi-join on (band, signature)
-         shuffling only (id, band, sig) triples — never the vectors.
-         The shuffle_hash hint does double duty: at 100 TB a
+         where the payload riding the banding exchange is the
+         INT8-QUANTIZED unit vector (64 bytes, 8x smaller than the
+         float64 ride it replaced — see the r12 note below); the
+         inline integer dot prefilters at a provably conservative
+         margin. The shuffle_hash hint does double duty: at 100 TB a
          signature table derived from the corpus cannot broadcast, and
          locally both join children are the identical subtree, so
          ReuseExchange computes the signature stage ONCE (a broadcast
          build would recompute it per side — measured 5.1s → 3.5s at
          sf0.1);
-      3. distinct candidate pairs, then TWO hash joins back to the
-         corpus fetch just the candidate UNIT vectors for verification.
-         Vectors are L2-normalized once per row, so the per-pair score
-         is a single dot fold instead of dot+norm+norm (3.5s → 2.7s);
-         zero-norm vectors are dropped before the join — identical
-         semantics to cosine()'s NULL guard, which fails the
-         >= threshold filter.
-    Shuffle volume is ids + candidate vectors, not bands× the corpus.
+      3. the deduped SHELL (prefilter survivors, ~5x the true pairs)
+         fetches float64 unit vectors with two shuffle joins and takes
+         the exact dot + threshold — so exact scoring touches
+         thousands of rows where band collisions are millions.
+         Vectors are L2-normalized once per row; zero-norm vectors are
+         dropped before the join — identical semantics to cosine()'s
+         NULL guard, which fails the >= threshold filter.
+    Shuffle volume is ids + int8 signatures + shell vectors, never
+    bands× the float64 corpus.
 
     Null signatures (dim-mismatched vectors) never equi-join — loud
     empty output, same failure mode as ann_rp_lsh_topk.
@@ -869,50 +874,96 @@ def embedding_near_dup_pairs_bucketed(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), sig.cast("int").alias("sig"))
         )
-    # unit vectors ride THROUGH the band join (r9 sf1->sf8 catch, part
-    # 2): the former shape generated candidate (id_a, id_b) pairs, ran
-    # a dropDuplicates exchange over them, then TWO shuffle joins to
-    # fetch each side's unit vector — at the 8x leg that was tens of
-    # millions of candidate rows x 64-double payloads (~24 GB of
-    # exchange) and dominated the lane. Carrying the unit vector in
-    # the banding exchange costs bands x n vector rows (~1/occupancy
-    # of the candidate volume — 16x less at the designed occupancy 32),
-    # the per-candidate dot runs INLINE in the join stage (the fold
-    # form — fastest JVM-exact dot, see the note above; no shuffle of
-    # scored rows), and the dedup exchange moves only threshold
-    # SURVIVORS. A pair colliding in k bands is
-    # scored k times with bit-identical results — the dedup after the
-    # filter keeps one; values unchanged, oracles unchanged.
+    # QUANTIZED ride + exact-verify shell (r12, VERDICT r11 item 3 —
+    # the margin retune the r10 bucket-size A/B could not deliver).
+    # History of this stage:
+    #   r9: candidate (id_a, id_b) pairs + dropDuplicates + TWO vector
+    #       fetch joins — tens of millions of candidate rows x
+    #       64-double payloads (~24 GB of exchange), dominated the 8x
+    #       leg. REJECTED.
+    #   r9 fix: the float64 UNIT vector rode through the banding
+    #       exchange (bands x n x 512 B) and the exact dot ran inline —
+    #       correct shape, but the payload materialization/exchange
+    #       was ~2/3 of the whole lane at the 8x arm (stage profile,
+    #       tools/profile_embed_stages.py r12: explode+payload 45 s of
+    #       a 115 s lane; slim explode 15 s).
+    #   r12: what rides is the INT8-quantized unit vector (q_i =
+    #       round(u_i * 127), 64 bytes — 8x smaller); the inline score
+    #       is the integer dot with a PROVABLY conservative margin,
+    #       and only the shell survivors fetch float64 vectors (two
+    #       shuffle joins at ~5x the true-pair volume — sf1 measures
+    #       68k shell rows against 3.07M candidate collisions).
+    #
+    # Conservativeness (so values and oracles are UNCHANGED): with
+    # u_i = q_i/127 + d_i, |d_i| <= 1/254,
+    #   |cos - qdot/127^2| <= 2*(sqrt(dim) + dim/254)/254 + dim/254^2
+    # (||u||_1 <= sqrt(dim) for a unit vector), so every pair with
+    # exact cosine >= threshold passes the prefilter at
+    # threshold - eps; the exact filter then removes the shell's
+    # false positives. eps(dim=64) = 0.066, padded to 0.07.
+    import math as _math
+
+    eps = 2 * (_math.sqrt(dim) + dim / 254.0) / 254.0 + dim / 254.0**2 + 0.004
+    units = (
+        vecs.withColumn("__n", norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__u"),
+        )
+    )
     tagged = (
         projected.withColumn("__n", norm(F.col("__v")))
         .filter(F.col("__n") > 0)
-        .withColumn("__u", F.transform(F.col("__v"), lambda x: x / F.col("__n")))
-        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bs"), F.col("__u"))
+        .withColumn(
+            "__q",
+            F.transform(
+                F.col("__v"),
+                lambda x: F.round(x / F.col("__n") * 127).cast("int"),
+            ),
+        )
+        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bs"), F.col("__q"))
         .select(
             F.col(id_col),
             F.col("bs.band").alias("band"),
             F.col("bs.sig").alias("sig"),
-            F.col("__u"),
+            F.col("__q"),
         )
     )
     ta = tagged.select(
-        F.col(id_col).alias("id_a"), "band", "sig", F.col("__u").alias("__ua")
+        F.col(id_col).alias("id_a"), "band", "sig", F.col("__q").alias("__qa")
     )
     tb = tagged.select(
-        F.col(id_col).alias("id_b"), "band", "sig", F.col("__u").alias("__ub")
+        F.col(id_col).alias("id_b"), "band", "sig", F.col("__q").alias("__qb")
     )
     cond = (
         (ta["band"] == tb["band"])
         & (ta["sig"] == tb["sig"])
         & (F.col("id_a") < F.col("id_b"))
     )
-    return (
+    qdot = F.aggregate(
+        F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    shell = (
         ta.hint("shuffle_hash")
         .join(tb.hint("shuffle_hash"), cond)
+        .filter(qdot >= F.lit(float((threshold - eps) * 127 * 127)))
+        .select("id_a", "id_b")
+        # a pair colliding in k bands appears k times — dedupe the
+        # SHELL (small) before the exact fetch, so each pair is
+        # scored exactly once and the output needs no final dedup
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ua = units.select(F.col(id_col).alias("id_a"), F.col("__u").alias("__ua"))
+    ub = units.select(F.col(id_col).alias("id_b"), F.col("__u").alias("__ub"))
+    return (
+        shell.join(ua.hint("shuffle_hash"), "id_a")
+        .join(ub.hint("shuffle_hash"), "id_b")
         .withColumn("cosine", dot(F.col("__ua"), F.col("__ub")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -88,6 +88,12 @@ DESIGNED_CAPS = {
     # the small leg, sampled at the big legs) pushing the measured
     # number DOWN, not up. Cap mirrors the ANN auto lanes' margin.
     "pipeline_rag_index_search": (1.3, "O(n^1.125) two-level assign"),
+    # r12 composed pipeline: the modern cleaning stack's filter front
+    # is one linear codegen scan (test_clean_filter_front_is_narrow);
+    # the asymptotically-dominant stage is the auto-banded MinHash
+    # near-dup — the same O(n log^2 n) designed curve (and cap) as
+    # pipeline_training_data_neardup / dedup_minhash_lsh_auto.
+    "pipeline_clean_filter_dedup": (1.35, "O(n log^2 n) minhash stage"),
 }
 
 

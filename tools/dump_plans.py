@@ -24,7 +24,7 @@ AUDITED = {
     "streaming_tumbling_window": "tumbling agg: partial+final hash aggregate around one Exchange",
     "scd2_apply_history": "dimension close+append: anti-join/union shape, no history rewrite",
     "sql_q10_returned_items": "4-way join + agg + deterministic top-20",
-    "dedup_embedding_cosine": "banded RP-LSH: one staged projection pass, band self equi-join on (band, sig) shuffling ids only, hash-join verify — must contain NO cross/nested-loop join",
+    "dedup_embedding_cosine": "banded RP-LSH (r12 shape): one staged projection pass, band self equi-join on (band, sig) riding int8-quantized unit vectors, conservative integer-dot prefilter inline, exact-dot verify on the DEDUPED SHELL only (two shuffle joins at ~5x true-pair volume) — must contain NO cross/nested-loop join",
     "sql_q2_min_cost_supplier": "correlated scalar-min subquery — must decorrelate to aggregate + join (no per-row re-execution); dims broadcast on both the outer and the subquery side",
     "join_bucketed_shuffle_free": "bucketed fact-fact sort-merge join — ZERO Exchange on either side; the shuffle was paid at write time (join_bucketed_build)",
     "pipeline_prepare_training_data": "composed corpus prep — feature stages fuse into ONE scan stage; the only wide ops are the digest-keyed dedup window exchange (split filter is narrow)",
