@@ -44,7 +44,7 @@ AUDITED = {
     "join_fuzzy_jaccard_prefix": "prefix-filtered set-similarity join — candidates from an EQUI-join on prefix tokens (freq table broadcast); must contain NO cartesian/nested-loop join anywhere",
     "join_asof_forward": "forward as-of — same union+carry window shape as backward: ONE Exchange on the key, first() down an unbounded-following frame",
     "sim_ann_rp_lsh_auto": "auto-sized ANN — ONE staged projection pass per side, bucket equi-join on the signature (probe side broadcast after its ×(planes+1) multiprobe fanout), exact-cosine rerank; NO cross/nested-loop join",
-    "sim_ivf_trained": "trained IVF, linearized r8 — training scores only the ~64*nlist hash SAMPLE against broadcast centroids; the full-corpus pass routes through ~sqrt(nlist) broadcast super-centroids then the gprobe routed groups (BNLJ stages are broadcast-centroid cross-scores BY DESIGN — the coarse-quantizer pattern; their per-row width is now n^0.25, not sqrt(n)); the search join on the list id is an equi-join",
+    "sim_ivf_trained": "trained IVF, linearized r8 + amortized quantizer r12 — centroids come from the persisted index's single-slot memo (supers/groups re-derived deterministically from the stored table), so the lane pays only the full-corpus two-level assignment + search per run; routing goes through ~sqrt(nlist) broadcast super-centroids then the gprobe routed groups (BNLJ stages are broadcast-centroid cross-scores BY DESIGN — the coarse-quantizer pattern; per-row width n^0.25, not sqrt(n)); the search join on the list id is an equi-join",
     "sim_ann_rp_lsh_auto_directed": "query-directed multiprobe — one staged projection pass per side; probe side fans out a CONSTANT 2^T subset-variants explode (no n_planes growth), bucket equi-join, exact-cosine rerank; NO dedup exchange (variants are distinct signatures) and NO cross/nested-loop join",
     "dedup_substring_spans": "substring-span dedup — tokenize+window explode (token-stream volume), partial/final count-distinct agg on 16-byte digests, equi-join of digest counts back to window rows; documents never shuffle",
     "text_remove_duplicate_spans": "span removal — gram digests + owner agg, foreign-minus-protected cover anti-join, token-stream anti-join, ONE per-doc ordered re-aggregation; text crosses the wire once (the rebuild)",
