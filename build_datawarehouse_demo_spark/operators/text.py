@@ -1127,6 +1127,98 @@ def _top_gram_fold(sorted_grams: Column) -> Column:
     return F.aggregate(sorted_grams, init, step)
 
 
+def _dup_gram_chars_fold(sorted_grams: Column) -> Column:
+    """Total ``count * len(gram)`` over the grams of a SORTED string
+    array that occur >= 2 times, via one linear run-length fold (the
+    _top_gram_fold shape): the SECOND occurrence of a run credits
+    2*len (covering the first two copies), every further occurrence
+    credits len — so a gram with count c contributes exactly c*len."""
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("chars")
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = g == acc["prev"]
+        run_new = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        add = F.when(
+            same & (run_new == 2), F.length(g).cast("bigint") * 2
+        ).when(same, F.length(g).cast("bigint")).otherwise(zero)
+        return F.struct(
+            g.alias("prev"), run_new.alias("run"),
+            (acc["chars"] + add).alias("chars"),
+        )
+
+    return F.aggregate(sorted_grams, init, step)["chars"]
+
+
+def gopher_dup_ngram_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_ngram_char_frac: tuple[float, ...] = (
+        0.15, 0.14, 0.13, 0.12, 0.11, 0.10,
+    ),
+    first_n: int = 5,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """The OTHER half of the Gopher repetitious-text battery (Rae et
+    al. 2021, Appendix A1.1.2; defaults are the paper's thresholds):
+    duplicate word-n-gram CHARACTER fractions for n = first_n ..
+    first_n + len(thresholds) - 1 (the paper's 5..10) — the fraction
+    of (normalized) characters contained in n-grams occurring more
+    than once. Complements gopher_repetition_rules (dup lines /
+    paragraphs + TOP-gram fractions for n = 2..4).
+
+    Same conventions as the top-gram fractions there: the numerator is
+    occurrence-count based (count * len(gram) summed over duplicated
+    grams — overlapping occurrences each count, so the fraction can
+    exceed 1.0 on pathological repetition), the denominator is the
+    normalized text length (tokens joined by single spaces), a metric
+    with no n-grams is NULL and its rule vacuously TRUE.
+
+    One codegen'd scan, zero UDFs, zero shuffles: per n, a linear
+    run-length fold over the SORTED gram array (_dup_gram_chars_fold)
+    — no explode, no groupBy. ``kept`` is the conjunction of all
+    rules.
+
+    Returns (id, dup_{n}gram_char_frac..., rule_dup_{n}gram_char_frac
+    ..., kept)."""
+    ns = [first_n + i for i in range(len(max_dup_ngram_char_frac))]
+    staged = df.withColumn("__toks", tokens(text_col))
+    for n in ns:
+        staged = staged.withColumn(
+            f"__g{n}", F.array_sort(ngram_array(F.col("__toks"), n))
+        )
+    norm_len = F.length(F.array_join(F.col("__toks"), " ")).cast("bigint")
+    metrics: dict[str, Column] = {}
+    for n in ns:
+        metrics[f"dup_{n}gram_char_frac"] = F.when(
+            F.size(F.col(f"__g{n}")) > 0,
+            F.round(
+                _dup_gram_chars_fold(F.col(f"__g{n}")).cast("double")
+                / norm_len,
+                6,
+            ),
+        )
+    rules = {
+        f"rule_dup_{n}gram_char_frac": F.coalesce(
+            metrics[f"dup_{n}gram_char_frac"] <= F.lit(float(cap)), F.lit(True)
+        )
+        for n, cap in zip(ns, max_dup_ngram_char_frac)
+    }
+    kept = None
+    for c in rules.values():
+        kept = c if kept is None else (kept & c)
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        *[v.alias(k) for k, v in metrics.items()],
+        *[v.alias(k) for k, v in rules.items()],
+        kept.alias("kept"),
+    )
+
+
 def gopher_repetition_rules(
     df: DataFrame,
     text_col: str = "text",

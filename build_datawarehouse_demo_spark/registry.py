@@ -164,6 +164,7 @@ def _load_all() -> None:
     )
     from build_datawarehouse_demo_spark.registry_round12 import (  # noqa
         register_round12_clean_filter_dedup,
+        register_round12_dup_ngrams,
         register_round12_streaming_rag,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -218,6 +219,7 @@ def _load_all() -> None:
     register_round11_gopher_repetition()
     register_round12_clean_filter_dedup()
     register_round12_streaming_rag()
+    register_round12_dup_ngrams()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -512,3 +512,112 @@ def register_round12_streaming_rag() -> None:
         )
         q.awaitTermination(300)
         return spark.table(table).select("vec_id", "centroid_id")
+
+
+def register_round12_dup_ngrams() -> None:
+    # ------------------------------------------------------------------
+    # the OTHER half of the Gopher repetition battery (Rae et al. 2021
+    # A1.1.2): duplicate n-gram character fractions for n = 5..10 at
+    # the paper's thresholds — r11's battery covered dup lines/paras +
+    # top 2/3/4-grams and documented this half as a gap; this entry
+    # closes it. The fixture corpus has ZERO duplicate 5..10-grams
+    # (measured), so the entry plants deterministic repetition — doc_id
+    # % 4 copies of the first 12 tokens appended — restated verbatim by
+    # the oracle (the pageify discipline), giving fractions that vary
+    # from 0 to past every threshold.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.registry_extensions import _TOK
+
+    _NS = (5, 6, 7, 8, 9, 10)
+    _CAPS = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+
+    metric_sql = ",\n               ".join(
+        f"CASE WHEN max(CASE WHEN n = {n} THEN 1 END) = 1 THEN "
+        f"round(CAST(coalesce(max(CASE WHEN n = {n} THEN dc END), 0) "
+        f"AS DOUBLE) / any_value(norm_len), 6) END AS dup_{n}gram_char_frac"
+        for n in _NS
+    )
+    rule_sql = ",\n               ".join(
+        f"coalesce(dup_{n}gram_char_frac <= {cap}, TRUE) "
+        f"AS rule_dup_{n}gram_char_frac"
+        for n, cap in zip(_NS, _CAPS)
+    )
+    kept_sql = " AND ".join(
+        f"coalesce(dup_{n}gram_char_frac <= {cap}, TRUE)"
+        for n, cap in zip(_NS, _CAPS)
+    )
+
+    @register(
+        "text_gopher_dup_ngrams",
+        oracle=rf"""
+        WITH d0 AS (SELECT doc_id, {_TOK} AS w FROM documents),
+        d AS (
+          SELECT doc_id,
+                 list_concat(w, flatten(list_transform(
+                   range(0, CAST(doc_id % 4 AS INT)), i -> w[1:12]))) AS w
+          FROM d0
+        ),
+        m AS (
+          SELECT doc_id, w,
+                 CAST(len(array_to_string(w, ' ')) AS BIGINT) AS norm_len
+          FROM d
+        ),
+        g AS (
+          SELECT doc_id, norm_len, n.n AS n,
+                 array_to_string(w[i.i : i.i + n.n - 1], ' ') AS gram
+          FROM m, unnest([5, 6, 7, 8, 9, 10]) AS n(n),
+               unnest(generate_series(1, len(w) - n.n + 1)) AS i(i)
+          WHERE len(w) >= n.n
+        ),
+        c AS (
+          SELECT doc_id, norm_len, n, gram, count(*) AS cnt
+          FROM g GROUP BY ALL
+        ),
+        dup AS (
+          SELECT doc_id, any_value(norm_len) AS norm_len, n,
+                 sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) END) AS dc
+          FROM c GROUP BY doc_id, n
+        ),
+        met AS (
+          SELECT doc_id,
+               {metric_sql}
+          FROM dup GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {", ".join(f"dup_{n}gram_char_frac" for n in _NS)},
+               {rule_sql},
+               ({kept_sql}) AS kept
+        FROM met
+        """,
+    )
+    def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Duplicate word-n-gram character fractions for n = 5..10 at
+        Gopher's thresholds (operators/text.py:gopher_dup_ngram_rules)
+        over the repetition-planted fixture view: per-document linear
+        run-length folds over sorted gram arrays (no explode, no
+        groupBy — same one-scan shape as text_gopher_repetition); the
+        oracle restates the planting, the occurrence-count numerator
+        (GROUP BY + count >= 2) and every exact integer division."""
+        from build_datawarehouse_demo_spark.operators.text import (
+            gopher_dup_ngram_rules,
+            tokens,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        w = tokens("text")
+        planted = docs.select(
+            "doc_id",
+            F.array_join(
+                F.concat(
+                    w,
+                    F.flatten(
+                        F.array_repeat(
+                            F.slice(w, 1, 12),
+                            (F.col("doc_id") % 4).cast("int"),
+                        )
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        return gopher_dup_ngram_rules(planted)

@@ -1038,3 +1038,53 @@ def test_quality_classifier_injected_weights(spark):
 
     other = list(reversed(injected))
     assert shape(injected, 0.1) == shape(other, 0.2)
+
+
+def test_gopher_dup_ngram_rules_matches_reference(spark):
+    """Duplicate n-gram character fractions (n = 5..10) equal a brute
+    Python replay (occurrence-count numerator over duplicated grams,
+    normalized-length denominator); a doc too short for n gets NULL
+    and a vacuously-true rule; thresholds flip kept on a pathological
+    repeater."""
+    import re
+
+    from build_datawarehouse_demo_spark.operators.text import (
+        gopher_dup_ngram_rules,
+    )
+
+    rows = [
+        (0, " ".join(f"u{i}" for i in range(20))),            # no dups
+        (1, ("alpha beta gamma delta epsilon zeta " * 5).strip()),  # heavy
+        (2, "one two three four"),                            # < 5 tokens
+        (3, " ".join(f"w{i}" for i in range(12)) + " "
+            + " ".join(f"w{i}" for i in range(12))),          # one repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    caps = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    got = {r.doc_id: r.asDict() for r in gopher_dup_ngram_rules(df).collect()}
+
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"\s+", text.strip(), flags=re.ASCII) if t]
+        norm_len = len(" ".join(toks))
+        expect_kept = True
+        for n, cap in zip(range(5, 11), caps):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            key = f"dup_{n}gram_char_frac"
+            if not grams:
+                assert got[doc_id][key] is None, (doc_id, n)
+                assert got[doc_id][f"rule_{key}"] is True
+                continue
+            from collections import Counter
+
+            c = Counter(grams)
+            dup_chars = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+            frac = round(dup_chars / norm_len, 6)
+            assert got[doc_id][key] == frac, (doc_id, n, got[doc_id][key], frac)
+            rule = frac <= cap
+            assert got[doc_id][f"rule_{key}"] is rule
+            expect_kept = expect_kept and rule
+        assert got[doc_id]["kept"] is expect_kept, doc_id
+
+    assert got[0]["kept"] is True
+    assert got[1]["kept"] is False      # the repeater fails every rule
+    assert got[2]["kept"] is True       # all vacuous
