@@ -510,7 +510,13 @@ def register_round12_streaming_rag() -> None:
             table,
             checkpoint_dir=ckpt,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_rag_index_append: the availableNow stream did "
+                "not finish within 300s — failing loudly rather than "
+                "returning a stale (pre-append) index state"
+            )
         return spark.table(table).select("vec_id", "centroid_id")
 
 
