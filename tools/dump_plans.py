@@ -71,6 +71,8 @@ AUDITED = {
     "text_gopher_rules": "Gopher rule battery — ONE codegen'd projection over the documents scan (staged token array + line split, filter/size HOFs, clamped integer-ratio divisions); zero Exchange anywhere",
     "text_gopher_repetition": "Gopher repetition battery (r11) — ONE codegen'd projection over the documents scan (sorted-gram run-length fold for the per-document mode — no explode, no groupBy); the only Exchange is the reader's row-group-aware rebalance; zero BatchEvalPython",
     "pipeline_clean_filter_dedup": "composed modern cleaning stack (r12) — pageify + the four filter batteries (C4, Gopher quality, Gopher repetition, classifier) fuse into scan-side codegen stages with barrier-pinned filters (no joins between stages); the first semantic exchange is the MinHash banding aggregation; components contract the PAIR graph; the split is a narrow hash projection",
+    "text_gopher_dup_ngrams": "Gopher dup n-gram fractions n=5..10 (r12) — ONE scan-side projection (six sorted-gram run-length folds, no explode/groupBy; HOF-heavy Projects sit outside WholeStageCodegen by design — higher-order functions are CodegenFallback); the only Exchange is the reader rebalance",
+    "streaming_rag_index_append": "streaming RAG maintenance (r12) — the audited plan is the POST-STREAM read of the bucketed lists table (the stream itself ran foreachBatch appends); must be a bare bucketed scan + projection, no corpus rescan",
 }
 
 
