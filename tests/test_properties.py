@@ -199,3 +199,40 @@ def test_merge_partitioned_matches_python_model(spark, tmp_path_factory, base, f
             model[i] = (p, v)
     got = {r.id: (r.part, r.v) for r in spark.read.parquet(path).collect()}
     assert got == model
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 6),
+)
+@SET
+def test_dup_gram_chars_fold_matches_python_model(spark, docs, n):
+    """The r12 run-length fold (_dup_gram_chars_fold) equals the brute
+    Counter model — sum of count*len over grams occurring >= 2 times —
+    on small-alphabet token streams engineered to produce heavy
+    duplicate runs, boundary runs, and empty gram arrays."""
+    from collections import Counter
+
+    from build_datawarehouse_demo_spark.operators.text import (
+        _dup_gram_chars_fold,
+        ngram_array,
+        tokens,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    grams = F.array_sort(ngram_array(tokens("text"), n))
+    got = {
+        r.id: r.c
+        for r in df.select("id", _dup_gram_chars_fold(grams).alias("c")).collect()
+    }
+    for i, toks in enumerate(docs):
+        gs = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        expect = sum(c * len(g) for g, c in Counter(gs).items() if c >= 2)
+        assert got[i] == expect, (i, n, toks)
