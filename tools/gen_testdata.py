@@ -8,15 +8,27 @@ Row counts scale linearly exactly like the driver data
 (sf0.1 -> lineitem 600k, sf1 -> 6M, ...); value domains, key ranges,
 category sets, token vocabulary, and uniqueness characteristics mirror
 the profiled sf0.1 data (see ROUND_NOTES round 6) so per-query work
-grows the way a true sf1 slice would — in particular documents stay
+grows the way a true sf1 slice would — in DEFAULT mode documents stay
 ~unique (no artificial duplicate clusters that would quadratically
-inflate dedup outputs the way naive 10x copy-upsampling does).
+inflate dedup OUTPUTS the way naive 10x copy-upsampling does).
+
+DUPLICATE-HEAVY MODE (r13, VERDICT r12 item 7): ``dup_fraction`` > 0
+rewrites that fraction of documents AND embeddings into exact-duplicate
+groups whose sizes follow a Zipf(a=1.5) distribution clipped to
+[2, 10% of the dup budget] — the boilerplate regime a real crawl is in
+(a few enormous groups, a long tail of small ones). This is the
+fixture the LSH skew arms run on: the default ~unique corpora
+deliberately cannot exercise the hot-duplicate-group pair blowup the
+r13 pre-collapse defends against (VERDICT r12, the one `weak` mark).
+Group membership is contiguous trailing rows per group source, so the
+duplicate structure is deterministic in (sf, seed).
 
 NOT the driver's generator and NOT byte-identical to its tables; used
 only for relative sf0.1 vs sf1 timing, never for oracle correctness.
 
-Usage: python tools/gen_testdata.py <sf> [outdir]
+Usage: python tools/gen_testdata.py <sf> [outdir] [dup_fraction]
 e.g.   python tools/gen_testdata.py 1 testdata_local/sf1
+       python tools/gen_testdata.py 1 testdata_local/sf1dup 0.5
 """
 
 from __future__ import annotations
@@ -49,7 +61,21 @@ def _write(path: str, cols: dict) -> None:
     print(f"  {os.path.basename(path)}: {len(next(iter(cols.values())))} rows")
 
 
-def generate(sf: float, out: str) -> None:
+def _zipf_group_sizes(rng, budget: int) -> list[int]:
+    """Duplicate-group sizes summing to ~budget: Zipf(a=1.5) clipped to
+    [2, max(2, budget // 10)] — a few huge groups plus a long tail,
+    the shape crawl boilerplate has."""
+    cap = max(2, budget // 10)
+    sizes: list[int] = []
+    left = budget
+    while left >= 2:
+        s = int(min(max(2, rng.zipf(1.5)), cap, left))
+        sizes.append(s)
+        left -= s
+    return sizes
+
+
+def generate(sf: float, out: str, dup_fraction: float = 0.0) -> None:
     os.makedirs(out, exist_ok=True)
     n_c = int(150_000 * sf)
     n_s = int(10_000 * sf)
@@ -182,6 +208,16 @@ def generate(sf: float, out: str) -> None:
     voc = np.array(VOCAB)
     offs = np.concatenate([[0], np.cumsum(tok_counts)])
     texts = [" ".join(voc[flat[offs[i] : offs[i + 1]]]) for i in range(n_d)]
+    if dup_fraction > 0:
+        sizes = _zipf_group_sizes(rng, int(n_d * dup_fraction))
+        pos = n_d - sum(sizes)
+        print(
+            f"  documents dup groups: {len(sizes)} groups, "
+            f"{sum(sizes)} rows, max group {max(sizes)}"
+        )
+        for s in sizes:
+            texts[pos : pos + s] = [texts[pos]] * s
+            pos += s
     _write(
         f"{out}/documents.parquet",
         {
@@ -196,6 +232,16 @@ def generate(sf: float, out: str) -> None:
     # embeddings: 64-d L2-normalized gaussians, float32
     vecs = rng.standard_normal((n_v, 64)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    if dup_fraction > 0:
+        vsizes = _zipf_group_sizes(rng, int(n_v * dup_fraction))
+        vpos = n_v - sum(vsizes)
+        print(
+            f"  embeddings dup groups: {len(vsizes)} groups, "
+            f"{sum(vsizes)} rows, max group {max(vsizes)}"
+        )
+        for s in vsizes:
+            vecs[vpos : vpos + s] = vecs[vpos]
+            vpos += s
     _write(
         f"{out}/embeddings.parquet",
         {
@@ -219,5 +265,6 @@ if __name__ == "__main__":
             f"sf{sys.argv[1]}",
         )
     )
-    print(f"generating sf={sf} into {out}")
-    generate(sf, out)
+    dup = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+    print(f"generating sf={sf} into {out} (dup_fraction={dup})")
+    generate(sf, out, dup_fraction=dup)
