@@ -331,10 +331,18 @@ def register_round7_ann() -> None:
         # (build_ivf_index's schema); this lane's operators speak the
         # (centroid_id, embedding) contract
         cents = stored.select("centroid_id", F.col("vec").alias("embedding"))
-        # nlist from the CORPUS count, exactly as the build and the
-        # oracle size it — the stored centroid table can be smaller
-        # (Lloyd drops emptied clusters), and ngroups must match the
-        # build's grouping bit-for-bit
+        # nlist from the CORPUS count — this matches the ORACLE's
+        # sizing (the oracle also derives nlist = ceil(sqrt(n))), which
+        # is the contract this lane is checked against. It does NOT
+        # always mirror build_ivf_index, which derives its grouping
+        # from the TRAINED centroid count (r9 ADVICE — Lloyd drops
+        # emptied clusters, so the stored table can be smaller): across
+        # a sqrt boundary the re-derived super-centroid grouping here
+        # would diverge from ivf_index_append's frozen-quantizer
+        # routing. Values stay correct either way (grouping only
+        # routes candidate generation; scoring is exact), but a caller
+        # wanting build-parity routing should size ngroups from
+        # cents.count() instead (r12 ADVICE, documented trade).
         n = emb.count()
         nlist = max(2, math.ceil(math.sqrt(n)))
         ngroups = max(1, math.ceil(math.sqrt(nlist)))

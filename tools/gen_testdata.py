@@ -26,7 +26,7 @@ duplicate structure is deterministic in (sf, seed).
 NOT the driver's generator and NOT byte-identical to its tables; used
 only for relative sf0.1 vs sf1 timing, never for oracle correctness.
 
-Usage: python tools/gen_testdata.py <sf> [outdir] [dup_fraction]
+Usage: python tools/gen_testdata.py <sf> [outdir] [dup_fraction] [dup_max_group]
 e.g.   python tools/gen_testdata.py 1 testdata_local/sf1
        python tools/gen_testdata.py 1 testdata_local/sf1dup 0.5
 """
@@ -61,11 +61,18 @@ def _write(path: str, cols: dict) -> None:
     print(f"  {os.path.basename(path)}: {len(next(iter(cols.values())))} rows")
 
 
-def _zipf_group_sizes(rng, budget: int) -> list[int]:
+def _zipf_group_sizes(rng, budget: int, max_group: int | None = None) -> list[int]:
     """Duplicate-group sizes summing to ~budget: Zipf(a=1.5) clipped to
-    [2, max(2, budget // 10)] — a few huge groups plus a long tail,
-    the shape crawl boilerplate has."""
-    cap = max(2, budget // 10)
+    [2, cap] — a few huge groups plus a long tail, the shape crawl
+    boilerplate has. cap defaults to budget // 10 (groups grow with the
+    corpus — the worst case for banding-stage skew); pass an absolute
+    ``max_group`` for SCALE fixtures, where a corpus-proportional cap
+    would make the quadratic within-group pair OUTPUT dominate the
+    measurement (any pair-emitting operator is output-bound at
+    exponent ~2 then, regardless of implementation — the r8
+    simhash_near_pairs lesson). A fixed cap keeps pair output linear
+    in n, so the curve measures the banding/verify stages."""
+    cap = max(2, budget // 10) if max_group is None else max(2, max_group)
     sizes: list[int] = []
     left = budget
     while left >= 2:
@@ -75,7 +82,9 @@ def _zipf_group_sizes(rng, budget: int) -> list[int]:
     return sizes
 
 
-def generate(sf: float, out: str, dup_fraction: float = 0.0) -> None:
+def generate(
+    sf: float, out: str, dup_fraction: float = 0.0, dup_max_group: int | None = None
+) -> None:
     os.makedirs(out, exist_ok=True)
     n_c = int(150_000 * sf)
     n_s = int(10_000 * sf)
@@ -209,7 +218,7 @@ def generate(sf: float, out: str, dup_fraction: float = 0.0) -> None:
     offs = np.concatenate([[0], np.cumsum(tok_counts)])
     texts = [" ".join(voc[flat[offs[i] : offs[i + 1]]]) for i in range(n_d)]
     if dup_fraction > 0:
-        sizes = _zipf_group_sizes(rng, int(n_d * dup_fraction))
+        sizes = _zipf_group_sizes(rng, int(n_d * dup_fraction), dup_max_group)
         pos = n_d - sum(sizes)
         print(
             f"  documents dup groups: {len(sizes)} groups, "
@@ -233,7 +242,7 @@ def generate(sf: float, out: str, dup_fraction: float = 0.0) -> None:
     vecs = rng.standard_normal((n_v, 64)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     if dup_fraction > 0:
-        vsizes = _zipf_group_sizes(rng, int(n_v * dup_fraction))
+        vsizes = _zipf_group_sizes(rng, int(n_v * dup_fraction), dup_max_group)
         vpos = n_v - sum(vsizes)
         print(
             f"  embeddings dup groups: {len(vsizes)} groups, "
@@ -266,5 +275,6 @@ if __name__ == "__main__":
         )
     )
     dup = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
-    print(f"generating sf={sf} into {out} (dup_fraction={dup})")
-    generate(sf, out, dup_fraction=dup)
+    cap = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    print(f"generating sf={sf} into {out} (dup_fraction={dup}, dup_max_group={cap})")
+    generate(sf, out, dup_fraction=dup, dup_max_group=cap)
