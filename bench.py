@@ -151,6 +151,12 @@ HEADLINE = [
     # (the pipeline_rag_index_append reasoning: its timing is dominated
     # by rebuilding the base index, a shape already headlined; the
     # stream-specific half is a two-micro-batch append).
+    # pipeline_clean_filter_dedup_incremental (r13) is NOT headlined
+    # for the same reason as pipeline_rag_index_append and the neardup
+    # incremental: its entry builds the full state over 3/4 of the
+    # corpus first (the batch shape, headlined below), and the apply
+    # half is a batch-sized filter/sign/join pass the rebuild-parity
+    # oracle + tests cover.
     "pipeline_clean_filter_dedup",
     # round-10 composed deliverable: chunk -> hash-embed -> trained
     # IVF -> search in one entry. Its stages ride already-capped lanes

@@ -816,3 +816,269 @@ def prepare_clean_filter_dedup(
     return train_val_test_split(
         reps, id_col, val_frac=val_frac, test_frac=test_frac
     ).select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+
+
+def clean_filter_dedup_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+    max_top_gram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+    clf_dim: int = 64,
+    clf_weights: list[float] | None = None,
+    clf_threshold: float = 0.5,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    corpus_n: int | None = None,
+) -> dict:
+    """prepare_clean_filter_dedup run WITH its incremental state kept
+    (VERDICT r12 item 3) — the modern cleaning stack's twin of
+    training_data_neardup_state, so a continuously-ingesting curation
+    run can fold new batches in without re-filtering or re-banding the
+    corpus. Same stages, same parameters, same values as the batch
+    pipeline; the difference is which intermediates survive:
+
+      bands, rows   frozen banding (sized from THIS run's raw corpus
+                    count — the incremental quantizer)
+      survivors     filter-front survivors (id, cleaned, n_ws_tokens,
+                    clf_score) — the near-dup node set
+      band_keys     (id, band, band_key) LSH banding of every survivor
+                    — reused by refresh runs, never recomputed
+      pairs         verified near-dup edges (id_a, id_b, jaccard)
+      output        the pipeline's final rows (reused verbatim for
+                    documents a refresh leaves untouched)
+
+    No separate exact-dedup state: like the batch pipeline, identical
+    documents are jaccard-1.0 near-dup pairs, so the pair graph IS the
+    duplicate state (a refresh batch copy of a stored document collides
+    in every band with it and verifies at 1.0). Every frame is
+    localCheckpoint'ed (state — multiple consumers, refresh runs
+    re-read it); on a cluster each is a bucketed parquet table
+    (band_keys by (band, band_key), survivors/output by id).
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        lsh_band_keys,
+        minhash_auto_params,
+        minhash_signatures_from_arrays,
+        shingle_arrays,
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    if corpus_n is None:
+        corpus_n = df.count()
+    bands, rows = minhash_auto_params(corpus_n, threshold=jaccard_threshold)
+    survivors = clean_filter_survivors(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        min_words=min_words,
+        min_stopword_hits=min_stopword_hits,
+        max_top_gram_char_frac=max_top_gram_char_frac,
+        clf_dim=clf_dim,
+        clf_weights=clf_weights,
+        clf_threshold=clf_threshold,
+    ).localCheckpoint()
+    sh = shingle_arrays(survivors, id_col, "cleaned", shingle_k)
+    sigs = minhash_signatures_from_arrays(sh, bands * rows, id_col)
+    band_keys = lsh_band_keys(sigs, bands * rows, bands, id_col).localCheckpoint()
+    a = band_keys.alias("a").hint("shuffle_hash")
+    b = band_keys.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+    pairs = _verify_jaccard_pairs(
+        cand, sh, sh, jaccard_threshold, id_col
+    ).localCheckpoint()
+    comp = connected_components_star(pairs)
+    reps = (
+        survivors.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .filter(F.col("component_id") == F.col(id_col))
+        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
+    )
+    output = (
+        train_val_test_split(reps, id_col, val_frac=val_frac, test_frac=test_frac)
+        .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+        .localCheckpoint()
+    )
+    return {
+        "bands": bands,
+        "rows": rows,
+        "survivors": survivors,
+        "band_keys": band_keys,
+        "pairs": pairs,
+        "output": output,
+    }
+
+
+def clean_filter_dedup_apply(
+    new_df: DataFrame,
+    state: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+    max_top_gram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+    clf_dim: int = 64,
+    clf_weights: list[float] | None = None,
+    clf_threshold: float = 0.5,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> dict:
+    """Fold a new document batch into a clean_filter_dedup_state and
+    return the refreshed state — the continuously-ingesting form of the
+    modern cleaning stack (VERDICT r12 item 3), honoring the same
+    rebuild-parity contract as training_data_neardup_apply and
+    ivf_index_append: with the state's FROZEN banding, the refreshed
+    output is IDENTICAL to prepare_clean_filter_dedup over old ∪ new
+    at those parameters. Stage by stage:
+
+    - filter front: per-document, batch-only scan — a document's C4/
+      Gopher/classifier verdict depends on nothing but its own text.
+    - near-dup graph: union-run candidates = old-old ∪ new-new ∪
+      new-old band collisions. Old-old verify to exactly the stored
+      pairs (frozen banding, same exact verify); new-new and new-old
+      come from the batch's signatures self-joined and joined against
+      the STORED band-key table; the old side's shingle arrays are
+      recomputed only for candidate ids (semi-join pruned scan).
+      Exact duplicates need no separate stage either way — a stored
+      copy collides in every band and verifies at jaccard 1.0.
+    - components/reps: star contraction over stored ∪ new edges is the
+      union run's component set. With monotone batch ids (the
+      log-structured append contract, asserted in the pytest) a mixed
+      component's min is always an OLD id, so new docs never steal an
+      old component's rep slot; an old rep IS dropped when a new edge
+      bridges it under a smaller-id component.
+    - output: kept old reps reuse their stored rows verbatim
+      (component_id == own id for any rep, so the row cannot have
+      changed); dropped old reps are anti-joined away; new reps build
+      rows through the same split hash — identical either way.
+
+    Returns the same dict shape as clean_filter_dedup_state.
+    Redelivery is idempotent IN OUTPUT: a redelivered copy gets a new
+    id, pairs with its stored original at jaccard 1.0, and loses the
+    rep race to the smaller stored id, so the output rows are
+    unchanged (the duplicate itself joins the pair/survivor state like
+    any other near-dup member).
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        lsh_band_keys,
+        minhash_signatures_from_arrays,
+        shingle_arrays,
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    bands, rows = state["bands"], state["rows"]
+    old_surv = state["survivors"]
+    old_keys = state["band_keys"]
+    old_pairs = state["pairs"]
+    old_output = state["output"]
+
+    new_surv = clean_filter_survivors(
+        new_df,
+        id_col=id_col,
+        text_col=text_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        min_words=min_words,
+        min_stopword_hits=min_stopword_hits,
+        max_top_gram_char_frac=max_top_gram_char_frac,
+        clf_dim=clf_dim,
+        clf_weights=clf_weights,
+        clf_threshold=clf_threshold,
+    ).localCheckpoint()
+
+    new_sh = shingle_arrays(new_surv, id_col, "cleaned", shingle_k)
+    new_sigs = minhash_signatures_from_arrays(new_sh, bands * rows, id_col)
+    new_keys = lsh_band_keys(new_sigs, bands * rows, bands, id_col).localCheckpoint()
+    a = new_keys.alias("a").hint("shuffle_hash")
+    b = new_keys.alias("b").hint("shuffle_hash")
+    nn = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    o = old_keys.alias("o").hint("shuffle_hash")
+    no = (
+        new_keys.alias("n")
+        .hint("shuffle_hash")
+        .join(o, ["band", "band_key"])
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+    )
+    cand = nn.union(no).dropDuplicates().localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    old_cand_sh = shingle_arrays(
+        old_surv.join(cand_ids, id_col, "left_semi"), id_col, "cleaned", shingle_k
+    )
+    arrays = new_sh.union(old_cand_sh)
+    new_pairs = _verify_jaccard_pairs(
+        cand, arrays, arrays, jaccard_threshold, id_col
+    ).localCheckpoint()
+    pairs_all = old_pairs.union(new_pairs).localCheckpoint()
+
+    comp = connected_components_star(pairs_all)
+    dropped_old = (
+        old_output.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col)
+        .filter(F.col("component") != F.col(id_col))
+        .select(id_col)
+        .localCheckpoint()
+    )
+    reused = old_output.join(dropped_old, id_col, "left_anti")
+    new_reps = (
+        new_surv.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .filter(F.col("component_id") == F.col(id_col))
+        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
+    )
+    new_out = train_val_test_split(
+        new_reps, id_col, val_frac=val_frac, test_frac=test_frac
+    ).select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+    output = reused.unionByName(new_out).localCheckpoint()
+    return {
+        "bands": bands,
+        "rows": rows,
+        "survivors": old_surv.unionByName(new_surv).localCheckpoint(),
+        "band_keys": old_keys.union(new_keys).localCheckpoint(),
+        "pairs": pairs_all,
+        "output": output,
+    }
+
+
+def prepare_clean_filter_dedup_incremental(
+    new_df: DataFrame,
+    state: dict,
+    **params,
+) -> DataFrame:
+    """The refreshed cleaning-stack OUTPUT after folding ``new_df``
+    into an existing state (clean_filter_dedup_apply's dict, output
+    frame only) — identical rows to a full prepare_clean_filter_dedup
+    rebuild over old ∪ new at the state's frozen banding."""
+    return clean_filter_dedup_apply(new_df, state, **params)["output"]

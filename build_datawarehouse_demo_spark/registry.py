@@ -167,6 +167,9 @@ def _load_all() -> None:
         register_round12_dup_ngrams,
         register_round12_streaming_rag,
     )
+    from build_datawarehouse_demo_spark.registry_round13 import (  # noqa
+        register_round13_incremental_clean,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -220,6 +223,7 @@ def _load_all() -> None:
     register_round12_clean_filter_dedup()
     register_round12_streaming_rag()
     register_round12_dup_ngrams()
+    register_round13_incremental_clean()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}
