@@ -548,10 +548,17 @@ def minhash_dedup_pairs(
     reps = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col, "shingles")
     members = tagged.select(F.col(id_col), "__rep", "__gn", "__nsh")
     sigs = minhash_signatures_from_arrays(reps, num_hashes, id_col)
-    # reps still carry distinct sets that may share a full signature
-    # (high-jaccard near-dups often do) — lsh_candidate_pairs' own
-    # signature-level collapse guards that second layer.
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    # collapse=False here: the digest pre-collapse above already
+    # contracted every identical-content group, so the signature-level
+    # layer would almost always no-op while still paying its window
+    # exchange + checkpoint job — measured r13: the double layer put
+    # the sf0.1 lane at 2.7x its r12 constant, and dropping it keeps
+    # the hot-group defense (identical docs ARE identical digests)
+    # at roughly half the fixed cost. Distinct sets that share a full
+    # signature (possible for very-high-jaccard near-dups) fall back
+    # to the per-pair banding join — bounded by the near-dup group
+    # size, not the exact-duplicate group size.
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, id_col, collapse=False)
     a = reps.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
     b = reps.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
     rep_pairs = (

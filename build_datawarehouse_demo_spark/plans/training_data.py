@@ -178,6 +178,14 @@ def prepare_training_data_neardup(
         num_hashes=bands * rows,
         bands=bands,
         threshold=jaccard_threshold,
+        # collapse=False: _featured_survivors already ran EXACT dedup
+        # (min id per cleaned-text digest), so identical-content groups
+        # cannot reach this stage — the r13 digest pre-collapse would
+        # re-pay its window + checkpoint for a guaranteed-unique corpus
+        # (measured: +1.6s fixed at sf0.1, pure overhead here). The
+        # clean-stack pipeline keeps collapse=True because it
+        # deliberately has NO exact stage.
+        collapse=False,
         # the components step derives BOTH its node set and its edge
         # set from this frame (two materializations of the signature
         # join + verify plan without a boundary) — checkpoint once;
@@ -446,6 +454,7 @@ def training_data_neardup_apply(
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
         lsh_band_keys,
+        lsh_candidate_pairs,
         minhash_signatures_from_arrays,
         remove_spans_given_owners,
         shingle_arrays,
@@ -472,17 +481,18 @@ def training_data_neardup_apply(
         .localCheckpoint()
     )
 
-    # -- near-dup: FROZEN banding; new signatures only
+    # -- near-dup: FROZEN banding; new signatures only. The new-new
+    #    candidates route through lsh_candidate_pairs so a
+    #    duplicate-heavy REFRESH batch (a re-crawl is exactly that)
+    #    gets the r13 hot-group pre-collapse; the candidate set is
+    #    identical to the inline band self-join (cand dedups after the
+    #    union either way). The new-old join stays per-key: a hot new
+    #    group meeting a hot old bucket emits true-pair rows, which is
+    #    output-bound (they all verify and become state).
     new_sh = shingle_arrays(new_surv, id_col, "cleaned", shingle_k)
     new_sigs = minhash_signatures_from_arrays(new_sh, bands * rows, id_col)
     new_keys = lsh_band_keys(new_sigs, bands * rows, bands, id_col).localCheckpoint()
-    a = new_keys.alias("a").hint("shuffle_hash")
-    b = new_keys.alias("b").hint("shuffle_hash")
-    nn = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    )
+    nn = lsh_candidate_pairs(new_sigs, bands * rows, bands, id_col)
     o = old_keys.alias("o").hint("shuffle_hash")
     no = (
         new_keys.alias("n")
@@ -981,6 +991,7 @@ def clean_filter_dedup_apply(
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
         lsh_band_keys,
+        lsh_candidate_pairs,
         minhash_signatures_from_arrays,
         shingle_arrays,
     )
@@ -1008,16 +1019,13 @@ def clean_filter_dedup_apply(
         clf_threshold=clf_threshold,
     ).localCheckpoint()
 
+    # new-new candidates via lsh_candidate_pairs: a duplicate-heavy
+    # refresh batch (a re-crawl) gets the r13 hot-group pre-collapse;
+    # identical candidate set to the inline band self-join.
     new_sh = shingle_arrays(new_surv, id_col, "cleaned", shingle_k)
     new_sigs = minhash_signatures_from_arrays(new_sh, bands * rows, id_col)
     new_keys = lsh_band_keys(new_sigs, bands * rows, bands, id_col).localCheckpoint()
-    a = new_keys.alias("a").hint("shuffle_hash")
-    b = new_keys.alias("b").hint("shuffle_hash")
-    nn = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    )
+    nn = lsh_candidate_pairs(new_sigs, bands * rows, bands, id_col)
     o = old_keys.alias("o").hint("shuffle_hash")
     no = (
         new_keys.alias("n")

@@ -18,13 +18,13 @@ AUDITED = {
     "sql_q6_forecast_revenue": "pure filter+agg — every predicate must reach the parquet scan",
     "sql_q5_local_supplier_volume": "five-way join — dims broadcast, no sort-merge at this SF",
     "flagship_priority_revenue": "dim build + broadcast join + hash agg; the one window is on the 5-row dim",
-    "dedup_minhash_lsh": "narrow shingle arrays → zero-shuffle array_min signatures → band self-join (ids only) → array_intersect verify on candidates",
+    "dedup_minhash_lsh": "narrow shingle arrays → shingle-set-digest pre-collapse to min-id reps (r13: one 16-byte-digest window exchange, checkpointed — the hot-duplicate-group defense) → zero-shuffle array_min signatures per rep → band self-join (ids only) → array_intersect verify on rep candidates → member re-expansion joins (cross via two id joins, within-group direct at jaccard 1.0)",
     "sim_cosine_topk": "corpus stays put; probes broadcast; top-k window on scored rows",
     "join_asof": "union + per-key window — exactly one Exchange on the key",
     "streaming_tumbling_window": "tumbling agg: partial+final hash aggregate around one Exchange",
     "scd2_apply_history": "dimension close+append: anti-join/union shape, no history rewrite",
     "sql_q10_returned_items": "4-way join + agg + deterministic top-20",
-    "dedup_embedding_cosine": "banded RP-LSH (r12 shape): one staged projection pass, band self equi-join on (band, sig) riding int8-quantized unit vectors, conservative integer-dot prefilter inline, exact-dot verify on the DEDUPED SHELL only (two shuffle joins at ~5x true-pair volume) — must contain NO cross/nested-loop join",
+    "dedup_embedding_cosine": "banded RP-LSH (r12 shape + r13 pre-collapse): raw-vector-digest grouping to min-id reps first (hot-duplicate-group defense), then one staged projection pass over reps, band self equi-join on (band, sig) riding int8-quantized unit vectors, conservative integer-dot prefilter inline, exact-dot verify on the DEDUPED SHELL (+ one self-pair per duplicate group), member re-expansion joins last — must contain NO cross/nested-loop join",
     "sql_q2_min_cost_supplier": "correlated scalar-min subquery — must decorrelate to aggregate + join (no per-row re-execution); dims broadcast on both the outer and the subquery side",
     "join_bucketed_shuffle_free": "bucketed fact-fact sort-merge join — ZERO Exchange on either side; the shuffle was paid at write time (join_bucketed_build)",
     "pipeline_prepare_training_data": "composed corpus prep — feature stages fuse into ONE scan stage; the only wide ops are the digest-keyed dedup window exchange (split filter is narrow)",
