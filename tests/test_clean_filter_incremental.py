@@ -160,3 +160,27 @@ def test_new_near_dup_of_singleton_rep_keeps_old_rep(spark):
     assert 1 in inc_ids and 70 not in inc_ids and 71 in inc_ids
     full = _full(_corpus(spark, old_rows + new_rows), n_old)
     assert _sorted_rows(inc) == _sorted_rows(full)
+
+
+def test_duplicate_heavy_refresh_batch(spark):
+    """The re-crawl shape: a refresh batch where 90% of rows are exact
+    copies of ONE new document. The apply's new-new candidates route
+    through the defended lsh_candidate_pairs (r13 pre-collapse), so the
+    batch's banding intermediate contracts to one representative while
+    the OUTPUT still equals the full rebuild — one rep for the whole
+    hot group, every copy absorbed into its component."""
+    k = 90
+    hot = [f"htok{i}" for i in range(40)]
+    uniq_old = [[f"otok{d}_{i}" for i in range(30)] for d in range(5)]
+    old_rows = [(d, _doc(uniq_old[d])) for d in range(5)]
+    new_rows = [(100 + j, _doc(hot)) for j in range(k)]
+    new_rows += [(100 + k, _doc([f"ntok{i}" for i in range(30)]))]
+    state, inc, n_old = _state_apply(spark, old_rows, new_rows)
+    inc_ids = {r[0] for r in _sorted_rows(inc)}
+    # exactly one rep (min id 100) for the hot group, the unique new
+    # doc kept, every old singleton untouched
+    assert 100 in inc_ids and 100 + k in inc_ids
+    assert not any(100 < i < 100 + k for i in inc_ids)
+    assert {0, 1, 2, 3, 4} <= inc_ids
+    full = _full(_corpus(spark, old_rows + new_rows), n_old)
+    assert _sorted_rows(inc) == _sorted_rows(full)
