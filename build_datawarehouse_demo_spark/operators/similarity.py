@@ -805,10 +805,27 @@ def _vector_groups(
     LSH stage. members: (id, __rep, __gn); reps: (id, __v, __gn), one
     row per distinct vector, min id. One exchange on 16-byte digests.
     Expects the ``(id_col, __v)`` frame embedding_near_dup_pairs_
-    bucketed builds; exposed module-private for the skew tests."""
+    bucketed builds; exposed module-private for the skew tests.
+
+    Malformed-input guard (r13 ADVICE): the digest mixes in the array
+    LENGTH and maps null elements to a sentinel that no double's
+    string form can produce — array_join would otherwise silently SKIP
+    nulls, letting a corrupt null-bearing vector share a digest with a
+    clean shorter vector and ride its group through the collapsed path
+    (the uncollapsed path drops such vectors at the norm>0 filter)."""
     grouped = allvecs.withColumn(
         "__dg",
-        F.md5(F.array_join(F.transform(F.col("__v"), lambda x: x.cast("string")), ",")),
+        F.md5(
+            F.concat(
+                F.size("__v").cast("string"),
+                F.lit(":"),
+                F.array_join(
+                    F.transform(F.col("__v"), lambda x: x.cast("string")),
+                    ",",
+                    "\x00",
+                ),
+            )
+        ),
     )
     gw = Window.partitionBy("__dg")
     grouped = grouped.withColumn("__rep", F.min(id_col).over(gw)).withColumn(

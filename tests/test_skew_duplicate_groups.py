@@ -137,3 +137,47 @@ def test_embedding_skew_duplicate_groups(spark):
     assert len(within) == k * (k - 1) // 2
     assert all(c == pytest.approx(1.0, abs=1e-6) for _, _, c in within)
     assert not any(a == n or b == n for a, b, _ in got)
+
+
+def test_embedding_malformed_vectors_never_merge_groups(spark):
+    """r13 ADVICE: array_join silently skips nulls, so a corrupt
+    null-bearing vector could share a digest with a clean vector and
+    ride its group through the collapsed path while the uncollapsed
+    path drops it at the norm>0 filter. The digest now mixes in the
+    array length and a null sentinel: corrupt vectors form their own
+    group, die at the norm filter, and both shapes agree."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        _as_double,
+        _vector_groups,
+        embedding_near_dup_pairs_bucketed,
+    )
+
+    rng = random.Random(3)
+    dim = 16
+    clean = [rng.uniform(-1, 1) for _ in range(dim)]
+    # 17 elements, one null, null-skipped join == the clean 16-dim join
+    corrupt = clean[:8] + [None] + clean[8:]
+    other = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, clean), (1, clean), (2, corrupt), (3, corrupt), (4, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    allvecs = df.select(F.col("vec_id"), _as_double("embedding").alias("__v"))
+    members, _ = _vector_groups(allvecs, "vec_id")
+    by_id = {r["vec_id"]: r["__rep"] for r in members.collect()}
+    assert by_id[0] == by_id[1] == 0       # clean copies group together
+    assert by_id[2] == by_id[3] == 2       # corrupt copies group together...
+    assert by_id[2] != by_id[0]            # ...never with the clean group
+
+    kw = dict(threshold=0.4, bands=8, rows_per_band=2, dim=dim)
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs_bucketed(df, **kw).collect()
+    }
+    raw = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs_bucketed(df, collapse=False, **kw).collect()
+    }
+    assert got == raw
+    clean_pair = [c for a, b, c in got if (a, b) == (0, 1)]
+    assert clean_pair and clean_pair[0] == pytest.approx(1.0, abs=1e-6)
+    assert not any(a in (2, 3) or b in (2, 3) for a, b, _ in got)

@@ -59,17 +59,24 @@ def main() -> None:
 
     result: dict = {"sf_dir": sf_dir, "reps": reps, "n_docs": n_docs, "n_vecs": n_vecs,
                     "minhash_params": [mb, mr], "embedding_params": [eb, er]}
+    import statistics
+
     for name, fn in (("minhash", mh), ("embedding", em)):
         times: dict[str, list[float]] = {"collapse": [], "raw": []}
         counts: dict[str, int] = {}
-        fn(True)  # warm the JVM/scan caches outside the measured reps
+        # warm BOTH arms outside the measured reps (r13 ADVICE: warming
+        # only one left the other's first rep carrying one-time costs)
+        fn(True)
+        fn(False)
         for _ in range(reps):
             for label, flag in (("raw", False), ("collapse", True)):
                 t0 = time.time()
                 counts[label] = fn(flag)
                 times[label].append(round(time.time() - t0, 2))
         assert counts["raw"] == counts["collapse"], (name, counts)
-        med = {k: sorted(v)[len(v) // 2] for k, v in times.items()}
+        # true median (r13 ADVICE: the upper-element pick biased even
+        # rep counts)
+        med = {k: statistics.median(v) for k, v in times.items()}
         result[name] = {
             **times,
             "median_raw": med["raw"],
