@@ -348,27 +348,35 @@ def lsh_candidate_pairs(
     rp = _banded_self_pairs(reps, num_hashes, bands, id_col).select(
         F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb")
     )
+    # within-group pairs ride the SAME expansion joins as cross-group
+    # pairs, as (rep, rep) self-pairs (r14 constant shave: the former
+    # separate within self-join + union cost two more exchange stages —
+    # pure fixed overhead at small scale). Identical signatures collide
+    # in every band, so every within-group pair is a candidate by
+    # construction. For a self-pair both expansion sides enumerate the
+    # same group, so each unordered pair appears as (i,j) AND (j,i) —
+    # the (__ra != __rb) | (__ia < __ib) filter keeps exactly one;
+    # cross groups are disjoint, so their pairs appear once. The
+    # expansion joins carry NO join hint: members/rep-pairs are
+    # checkpoint-backed (no subtree-recompute hazard), so the optimizer
+    # is free to broadcast the small side — at 100 TB that is the
+    # verified pair set, far smaller than the member map it probes.
+    self_rp = (
+        members.where((F.col("__gn") >= 2) & (F.col(id_col) == F.col("__rep")))
+        .select(F.col(id_col).alias("__ra"), F.col(id_col).alias("__rb"))
+    )
     ma = members.select(F.col(id_col).alias("__ia"), F.col("__rep").alias("__ra"))
     mb = members.select(F.col(id_col).alias("__ib"), F.col("__rep").alias("__rb"))
-    cross = (
-        rp.join(ma.hint("shuffle_hash"), "__ra")
-        .join(mb.hint("shuffle_hash"), "__rb")
+    return (
+        rp.unionByName(self_rp)
+        .join(ma, "__ra")
+        .join(mb, "__rb")
+        .where((F.col("__ra") != F.col("__rb")) | (F.col("__ia") < F.col("__ib")))
         .select(
             F.least("__ia", "__ib").alias("id_a"),
             F.greatest("__ia", "__ib").alias("id_b"),
         )
     )
-    wm = members.where(F.col("__gn") >= 2)
-    within = (
-        wm.select(F.col(id_col).alias("id_a"), "__rep")
-        .join(wm.select(F.col(id_col).alias("id_b"), "__rep").hint("shuffle_hash"), "__rep")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    # cross and within are disjoint (distinct vs same group) and each is
-    # internally duplicate-free (rep pairs deduped; member ids unique),
-    # so the union needs no global dropDuplicates.
-    return cross.unionByName(within)
 
 
 def exact_jaccard(
@@ -634,30 +642,39 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb"), "jaccard")
     )
+    # within-group pairs ride the SAME expansion joins as (rep, rep)
+    # self-pairs at jaccard exactly 1.0 (identical non-empty sets:
+    # s/(s+s-s); the threshold guard is constant-folded and only
+    # matters for a degenerate threshold > 1.0, where the uncollapsed
+    # filter would drop them too). The (__ra != __rb) | (__ia < __ib)
+    # filter keeps one orientation of each within pair; cross groups
+    # are disjoint so their pairs appear once. No join hints: members
+    # and rep pairs are checkpoint-backed, so the optimizer may
+    # broadcast the small side (see lsh_candidate_pairs).
+    self_rp = (
+        members.where(
+            (F.col("__gn") >= 2) & (F.col("__nsh") > 0) & (F.col(id_col) == F.col("__rep"))
+        )
+        .select(
+            F.col(id_col).alias("__ra"),
+            F.col(id_col).alias("__rb"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+    )
     ma = members.select(F.col(id_col).alias("__ia"), F.col("__rep").alias("__ra"))
     mb = members.select(F.col(id_col).alias("__ib"), F.col("__rep").alias("__rb"))
-    cross = (
-        rep_pairs.join(ma.hint("shuffle_hash"), "__ra")
-        .join(mb.hint("shuffle_hash"), "__rb")
+    return (
+        rep_pairs.unionByName(self_rp)
+        .join(ma, "__ra")
+        .join(mb, "__rb")
+        .where((F.col("__ra") != F.col("__rb")) | (F.col("__ia") < F.col("__ib")))
         .select(
             F.least("__ia", "__ib").alias("id_a"),
             F.greatest("__ia", "__ib").alias("id_b"),
             "jaccard",
         )
     )
-    # within-group pairs: identical non-empty sets => jaccard exactly
-    # 1.0 (s/(s+s-s)); the threshold guard is constant-folded and only
-    # matters for a (degenerate) threshold > 1.0, where the uncollapsed
-    # filter would drop them too.
-    wm = members.where((F.col("__gn") >= 2) & (F.col("__nsh") > 0))
-    within = (
-        wm.select(F.col(id_col).alias("id_a"), "__rep")
-        .join(wm.select(F.col(id_col).alias("id_b"), "__rep").hint("shuffle_hash"), "__rep")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-        .filter(F.lit(1.0) >= F.lit(float(threshold)))
-    )
-    return cross.unionByName(within)
 
 
 def _window_gram_rows(

@@ -1061,36 +1061,31 @@ def embedding_near_dup_pairs_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
-    rep_pairs = verified.where(F.col("id_a") != F.col("id_b")).select(
+    # ONE expansion pass for cross- AND within-group pairs (r14
+    # constant shave — the former separate within self-join + selfcos
+    # join + union cost three more exchange stages of pure fixed
+    # overhead at small scale): the verified frame keeps its (rep, rep)
+    # self rows, whose exact self-cosine is the within-group pair
+    # value; for a self row both expansion sides enumerate the same
+    # group, so (__ra != __rb) | (__ia < __ib) keeps exactly one
+    # orientation, while disjoint cross groups appear once. The member
+    # sides keep the shuffle_hash hint: unlike the minhash lane,
+    # members here is NOT checkpoint-backed, and an unpinned plan may
+    # broadcast-rebuild the whole grouping subtree per side.
+    rp_ext = verified.select(
         F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb"), "cosine"
     )
     ma = members.select(F.col(id_col).alias("__ia"), F.col("__rep").alias("__ra"))
     mb = members.select(F.col(id_col).alias("__ib"), F.col("__rep").alias("__rb"))
-    cross = (
-        rep_pairs.join(ma.hint("shuffle_hash"), "__ra")
+    return (
+        rp_ext.join(ma.hint("shuffle_hash"), "__ra")
         .join(mb.hint("shuffle_hash"), "__rb")
+        .where((F.col("__ra") != F.col("__rb")) | (F.col("__ia") < F.col("__ib")))
         .select(
             F.least("__ia", "__ib").alias("id_a"),
             F.greatest("__ia", "__ib").alias("id_b"),
-            "cosine",
+            F.round("cosine", 6).alias("cosine"),
         )
-    )
-    selfcos = verified.where(F.col("id_a") == F.col("id_b")).select(
-        F.col("id_a").alias("__rep"), "cosine"
-    )
-    wm = members.where(F.col("__gn") >= 2)
-    within = (
-        wm.select(F.col(id_col).alias("id_a"), "__rep")
-        .join(wm.select(F.col(id_col).alias("id_b"), "__rep").hint("shuffle_hash"), "__rep")
-        .where(F.col("id_a") < F.col("id_b"))
-        .join(selfcos, "__rep")
-        .select("id_a", "id_b", "cosine")
-    )
-    # cross/within are disjoint and internally unique (unique-id
-    # precondition), so no final dedup is needed — same contract as
-    # the pre-shell shape.
-    return cross.unionByName(within).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 
 

@@ -383,48 +383,54 @@ def _rep_band_self_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
 
 
 def _expand_rep_pairs(
-    rep_pairs: DataFrame, members: DataFrame, id_col: str, hint: str | None
+    rep_pairs: DataFrame,
+    self_members: DataFrame,
+    exp_members: DataFrame,
+    id_col: str,
+    threshold: float,
 ) -> DataFrame:
     """Re-expand verified REP-level pairs (id_a, id_b, jaccard) to
-    member-level pairs through a (id, __rep) map — jaccard is inherited
-    (identical shingle sets => identical jaccard against anything).
-    ``hint``: 'shuffle_hash' for corpus-scale builds (exchange reuse);
-    None for incremental applies, where rep_pairs is batch-bound and
-    the optimizer should broadcast it into a narrow scan of the
-    state-scale member map instead of shuffling the map."""
-    ma = members.select(F.col(id_col).alias("__ia"), F.col("__rep").alias("id_a"))
-    mb = members.select(F.col(id_col).alias("__ib"), F.col("__rep").alias("id_b"))
-    if hint:
-        ma, mb = ma.hint(hint), mb.hint(hint)
+    member-level pairs in ONE pass (the r14 merged shape, see
+    minhash_dedup_pairs): jaccard is inherited for cross-group pairs
+    (identical shingle sets => identical jaccard against anything),
+    and within-group pairs ride the same two joins as (rep, rep,
+    1.0) self-pairs — identical non-empty sets are exactly jaccard
+    1.0, and always candidates (identical signatures collide in
+    every band; the __nsh > 0 guard excludes empty-set groups, which
+    the uncollapsed shape also never pairs).
+
+    ``self_members``: the member frame contributing self-pairs — the
+    full frame for a corpus build, the BATCH's frame for an apply
+    (stored groups' within pairs are already in the stored pair
+    state). ``exp_members``: the (id, __rep) map(s) to expand
+    through. No join hints: the maps are checkpoint-backed state, so
+    the optimizer may broadcast the (much smaller) verified pair set
+    into a narrow scan of the map instead of shuffling it."""
+    self_rp = (
+        self_members.where(
+            (F.col("__gn") >= 2)
+            & (F.col("__nsh") > 0)
+            & (F.col(id_col) == F.col("__rep"))
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+    )
+    ma = exp_members.select(F.col(id_col).alias("__ia"), F.col("__rep").alias("id_a"))
+    mb = exp_members.select(F.col(id_col).alias("__ib"), F.col("__rep").alias("id_b"))
     return (
-        rep_pairs.join(ma, "id_a")
+        rep_pairs.unionByName(self_rp)
+        .join(ma, "id_a")
         .join(mb, "id_b")
+        .where((F.col("id_a") != F.col("id_b")) | (F.col("__ia") < F.col("__ib")))
         .select(
             F.least("__ia", "__ib").alias("id_a"),
             F.greatest("__ia", "__ib").alias("id_b"),
             "jaccard",
         )
-    )
-
-
-def _within_group_pairs(
-    members: DataFrame, id_col: str, threshold: float, hint: str | None
-) -> DataFrame:
-    """Member pairs WITHIN a digest group: identical non-empty shingle
-    sets => jaccard exactly 1.0, and always candidates (identical
-    signatures collide in every band). The __nsh > 0 guard excludes
-    empty-set groups, which the uncollapsed shape also never pairs
-    (null band keys never equi-join)."""
-    wm = members.where((F.col("__gn") >= 2) & (F.col("__nsh") > 0))
-    right = wm.select(F.col(id_col).alias("id_b"), "__rep")
-    if hint:
-        right = right.hint(hint)
-    return (
-        wm.select(F.col(id_col).alias("id_a"), "__rep")
-        .join(right, "__rep")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-        .filter(F.lit(1.0) >= F.lit(float(threshold)))
     )
 
 
@@ -461,11 +467,9 @@ def _collapsed_pair_state(
     band_keys = lsh_band_keys(sigs, num_hashes, bands, id_col).localCheckpoint()
     rep_cand = _rep_band_self_candidates(band_keys, id_col)
     rep_pairs = _verify_jaccard_pairs(rep_cand, rep_sh, rep_sh, threshold, id_col)
-    pairs = (
-        _expand_rep_pairs(rep_pairs, members, id_col, hint="shuffle_hash")
-        .unionByName(_within_group_pairs(members, id_col, threshold, hint="shuffle_hash"))
-        .localCheckpoint()
-    )
+    pairs = _expand_rep_pairs(
+        rep_pairs, members, members, id_col, threshold
+    ).localCheckpoint()
     return {"members": members, "reps": reps, "band_keys": band_keys, "pairs": pairs}
 
 
@@ -537,17 +541,16 @@ def _apply_rep_candidates(
     )
     arrays = new_rep_sh.union(old_cand_sh)
     rep_pairs = _verify_jaccard_pairs(rep_cand, arrays, arrays, threshold, id_col)
-    # expansion map: stored members ∪ batch members. No join hint —
-    # rep_pairs is batch-bound, so the optimizer can broadcast it into
-    # a narrow scan of the state-scale map.
+    # expansion map: stored members ∪ batch members; self-pairs from
+    # the BATCH's groups only (stored groups' within pairs are already
+    # in the stored pair state). The optimizer can broadcast the
+    # batch-bound pair set into a narrow scan of the state-scale map.
     exp_members = state["dg_members"].unionByName(
         m_new.select(F.col(id_col), "__rep")
     )
-    new_pairs = (
-        _expand_rep_pairs(rep_pairs, exp_members, id_col, hint=None)
-        .unionByName(_within_group_pairs(m_new, id_col, threshold, hint=None))
-        .localCheckpoint()
-    )
+    new_pairs = _expand_rep_pairs(
+        rep_pairs, m_new, exp_members, id_col, threshold
+    ).localCheckpoint()
     return {
         "m_new": m_new,
         "r_new": r_new,
