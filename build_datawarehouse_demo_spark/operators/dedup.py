@@ -274,14 +274,16 @@ def _signature_groups(
     # analog of the documented 100 TB discipline (materialize the
     # signature table once, then band/join against it) and the same
     # pattern the incremental pipeline already uses for its persisted
-    # band keys (plans/training_data.py). The checkpoint is LAZY
-    # (eager=False, r14 constant shave): materialization folds into
-    # the first consumer's job instead of a separate eager job; plan
-    # truncation happens at build time either way, so the constraint-
-    # propagation guard above still holds. Retained blocks are NARROW
-    # — signature columns survive only on REP rows (members carry ids
-    # and counts), so duplicate-heavy corpora store one signature per
-    # distinct group — and live for the session (no unpersist hook;
+    # band keys (plans/training_data.py). The checkpoint is EAGER —
+    # r14 measured the lazy variant: it saves no wall time (the job
+    # moves, it doesn't shrink) and under AQE the banding join's two
+    # child stages are submitted as CONCURRENT jobs that BOTH compute
+    # the un-cached grouping partitions (observed "Block already
+    # exists; not re-adding" races) — a 2x tax on the heaviest scan at
+    # scale. Retained blocks are NARROW (r13 ADVICE): signature
+    # columns survive only on REP rows (members carry ids and
+    # counts), so duplicate-heavy corpora store one signature per
+    # distinct group; blocks live for the session (no unpersist hook;
     # at 100 TB this is a parquet materialization instead).
     is_rep = F.col(id_col) == F.col("__rep")
     tagged = (
@@ -292,7 +294,7 @@ def _signature_groups(
             F.col("__sk").isNotNull().alias("__ok"),
             *[F.when(is_rep, F.col(c)).alias(c) for c in sig_cols],
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
         .where(F.col("__ok"))
     )
     members = tagged.select(F.col(id_col), "__rep", "__gn")
@@ -336,9 +338,9 @@ def lsh_candidate_pairs(
     ids would collide in `<` ordering and dedup semantics.
 
     Execution semantics of ``collapse=True`` (r13 ADVICE): the grouping
-    stage is localCheckpoint'ed — construction stays lazy (eager=False,
-    r14), but the FIRST action materializes it and the retained blocks
-    live for the session (no unpersist hook). Callers that only need a
+    stage is localCheckpoint'ed EAGERLY — building this plan runs one
+    Spark job over (id, signature) rows, and the retained blocks live
+    for the session (no unpersist hook). Callers that only need a
     pure, retention-free plan (explain/dump tooling, speculative
     branches) should pass ``collapse=False``.
     """
@@ -491,11 +493,12 @@ def shingle_digest_groups(
     a parquet materialization instead). The checkpoint is NARROW: the
     shingle arrays (and digests) survive only on REP rows — members
     carry ids and counts only, so a duplicate-heavy corpus retains one
-    array per DISTINCT set, not per copy. The checkpoint is LAZY
-    (eager=False): materialization folds into the first consumer's job
-    instead of paying a separate eager job at plan-build time (the r13
-    fixed-constant shave; plan truncation happens at build time either
-    way, so the r13 constraint-propagation guard still holds).
+    array per DISTINCT set, not per copy. The checkpoint is EAGER —
+    ONE construction-time job (callers that need a pure plan pass
+    collapse=False): r14 measured the lazy alternative as a no-op on
+    wall time, while under AQE concurrent downstream stages both
+    computed the un-cached grouping partitions ("Block already
+    exists" races) — a 2x tax on the heaviest scan at scale.
     """
     tagged = sh.withColumn("__dg", shingle_set_digest(F.col("shingles")))
     w = Window.partitionBy("__dg")
@@ -510,7 +513,7 @@ def shingle_digest_groups(
         F.size("shingles").alias("__nsh"),
         F.when(is_rep, F.col("shingles")).alias("__rsh"),
         F.when(is_rep, F.col("__dg")).alias("__rdg"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     members = ck.select(F.col(id_col), "__rep", "__gn", "__nsh")
     reps = ck.where(F.col(id_col) == F.col("__rep")).select(
         F.col(id_col), F.col("__rsh").alias("shingles"), F.col("__rdg").alias("__dg")
@@ -566,11 +569,11 @@ def minhash_dedup_pairs(
     once and run signatures + verify against that.
 
     Execution semantics of ``collapse=True`` (r13 ADVICE): the digest
-    grouping is localCheckpoint'ed (shingle_digest_groups) — lazy at
-    construction (eager=False, r14), but the first action materializes
-    session-lifetime blocks (narrow: one shingle array per DISTINCT
-    set, members carry ids/counts only). Pass ``collapse=False`` for a
-    pure, retention-free plan.
+    grouping is localCheckpoint'ed EAGERLY (shingle_digest_groups) —
+    building this plan runs one Spark job and retains session-lifetime
+    blocks (narrow: one shingle array per DISTINCT set, members carry
+    ids/counts only). Pass ``collapse=False`` for a pure,
+    retention-free plan.
     """
     if (num_hashes is None) != (bands is None):
         # r7 ADVICE: a PARTIAL None mixed auto and manual params (e.g.

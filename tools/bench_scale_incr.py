@@ -76,6 +76,9 @@ def _touch(state: dict) -> int:
 
 
 def leg(sf_dir: str, runs: int) -> None:
+    import functools
+    import statistics
+
     from build_datawarehouse_demo_spark.session import get_spark
     from build_datawarehouse_demo_spark.plans.training_data import (
         clean_filter_dedup_apply,
@@ -83,16 +86,35 @@ def leg(sf_dir: str, runs: int) -> None:
         training_data_neardup_apply,
         training_data_neardup_state,
     )
-    from build_datawarehouse_demo_spark.registry_round12 import pageify
+    from build_datawarehouse_demo_spark.registry_round12 import (
+        _CLF_T,
+        _GQ_MINW,
+        _GQ_STOP,
+        _QC_DIM,
+        _TOPG,
+        pageify,
+    )
 
+    # the registered incremental key's knobs — the default clean-stack
+    # thresholds are tuned for web text and would filter the synthetic
+    # fixture to near-nothing, measuring an empty pipeline
+    knobs = dict(
+        min_words=_GQ_MINW,
+        min_stopword_hits=_GQ_STOP,
+        max_top_gram_char_frac=_TOPG,
+        clf_dim=_QC_DIM,
+        clf_threshold=_CLF_T,
+    )
     spark = get_spark("bench_scale_incr")
     docs, batch = _batch(spark, sf_dir)
     n_stored = docs.count()
     result: dict = {"sf_dir": sf_dir, "n_stored": n_stored, "runs": runs}
 
     for name, build, apply_fn, adapt in (
-        ("clean_filter_dedup_apply", clean_filter_dedup_state,
-         clean_filter_dedup_apply, pageify),
+        ("clean_filter_dedup_apply",
+         functools.partial(clean_filter_dedup_state, **knobs),
+         functools.partial(clean_filter_dedup_apply, **knobs),
+         pageify),
         ("training_data_neardup_apply", training_data_neardup_state,
          training_data_neardup_apply, lambda d: d),
     ):
@@ -107,13 +129,14 @@ def leg(sf_dir: str, runs: int) -> None:
             refreshed = apply_fn(adapt(batch), state)
             _touch(refreshed)
             times.append(round(time.time() - t0, 2))
-        times_sorted = sorted(times)
         result[name] = {
             "build_s": build_s,
             "apply_runs_s": times,
-            "apply_s": times_sorted[len(times_sorted) // 2],
+            "apply_s": statistics.median(times),
             "bands": state["bands"],
             "rows": state["rows"],
+            "n_survivors": state["survivors"].count(),
+            "n_out": state["output"].count(),
         }
         print(f"LEG {name}: {json.dumps(result[name])}", flush=True)
     print("LEGRESULT " + json.dumps(result), flush=True)
