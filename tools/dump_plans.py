@@ -18,7 +18,7 @@ AUDITED = {
     "sql_q6_forecast_revenue": "pure filter+agg — every predicate must reach the parquet scan",
     "sql_q5_local_supplier_volume": "five-way join — dims broadcast, no sort-merge at this SF",
     "flagship_priority_revenue": "dim build + broadcast join + hash agg; the one window is on the 5-row dim",
-    "dedup_minhash_lsh": "narrow shingle arrays → shingle-set-digest pre-collapse to min-id reps (r13: one 16-byte-digest window exchange, checkpointed — the hot-duplicate-group defense) → zero-shuffle array_min signatures per rep → band self-join (ids only) → array_intersect verify on rep candidates → member re-expansion joins (cross via two id joins, within-group direct at jaccard 1.0)",
+    "dedup_minhash_lsh": "narrow shingle arrays → shingle-set-digest pre-collapse to min-id reps (r13: one 16-byte-digest window exchange, checkpointed — the hot-duplicate-group defense) → zero-shuffle array_min signatures per rep → band self-join (ids only) → array_intersect verify on rep candidates → ONE member re-expansion pass (r14: within-group pairs ride the same two id joins as (rep, rep) self-pairs at jaccard 1.0)",
     "sim_cosine_topk": "corpus stays put; probes broadcast; top-k window on scored rows",
     "join_asof": "union + per-key window — exactly one Exchange on the key",
     "streaming_tumbling_window": "tumbling agg: partial+final hash aggregate around one Exchange",
