@@ -168,6 +168,43 @@ def test_clean_stack_state_is_rep_level_under_copy_skew(spark):
     assert _rows(state3["output"]) == _rows(full3)
 
 
+def test_refreshed_state_is_append_only(spark):
+    """The r14 append-only discipline, pinned structurally: a refresh
+    returns every corpus-scale state frame as a LAZY union of the
+    STORED frame (a checkpoint-backed ExistingRDD leaf) and a delta —
+    never a fresh eager copy of the corpus. A regression to
+    `union(...).localCheckpoint()` would flatten the plan back to a
+    single ExistingRDD leaf and re-pay an O(corpus) materialization
+    per fold."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    old_rows = [(i, " ".join(f"stok{i}_{j}" for j in range(20)) + ".") for i in range(6)]
+    new_rows = [(100, " ".join(f"ntok{j}" for j in range(20)) + ".")]
+    old = _corpus(spark, old_rows)
+    state = clean_filter_dedup_state(old, corpus_n=6, **LOOSE)
+    state2 = clean_filter_dedup_apply(_corpus(spark, new_rows), state, **LOOSE)
+
+    def plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    def is_rdd_backed(text):
+        # the analyzed plan names a checkpoint scan LogicalRDD (the
+        # physical plan calls it ExistingRDD) — accept either
+        return "LogicalRDD" in text or "ExistingRDD" in text
+
+    # builder frames are checkpoint-backed leaves
+    for key in ("survivors", "band_keys", "dg_members", "rep_digests", "pairs"):
+        assert is_rdd_backed(plan(state[key])), key
+    # refreshed frames are stored-leaf ∪ delta, not flattened copies
+    for key in ("survivors", "band_keys", "dg_members", "rep_digests", "pairs", "output"):
+        p = plan(state2[key])
+        assert "Union" in p, f"{key}: refresh no longer appends (eager copy?)"
+        assert is_rdd_backed(p), f"{key}: stored side is not checkpoint-backed"
+
+
 def _rotation(cycle: list[str], i: int) -> str:
     """Rotation i of a token cycle, wrapped by k-1=2 tokens so every
     rotation has the SAME cyclic 3-gram shingle set while the cleaned
