@@ -130,6 +130,52 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split (r14): every member of a
+    near-dup component receives the split drawn from its COMPONENT id
+    (the min-id representative), so near-duplicate documents can never
+    straddle the train/test boundary — the benchmark-leakage mechanism
+    a per-document hash split is blind to (a test document's near-copy
+    landing in train silently inflates eval).
+
+    ``pairs``: verified near-dup edges (id_a, id_b[, ...]) from any of
+    the dedup family (minhash_dedup_pairs, simhash_rep_pairs,
+    embedding_near_dup_pairs_bucketed). Components come from the
+    large-star/small-star contraction; documents with no edge are
+    their own component, and their split equals the plain
+    train_val_test_split assignment (same hash, keyed on their own
+    id) — so adopting the leakage-safe split only ever MOVES members
+    of multi-document components, never the singleton majority.
+
+    Returns ``df``'s rows + (component_id, split).
+
+    Scale shape: components run in O(log n) star rounds over the PAIR
+    graph (pair-graph volume, not corpus volume); the membership join
+    is one id-keyed hash join; the split is a narrow hash projection
+    of the component id.
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    comp = connected_components_star(pairs.select("id_a", "id_b"))
+    tagged = (
+        df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    return train_val_test_split(
+        tagged, "component_id", val_frac=val_frac, test_frac=test_frac, seed=seed
+    )
+
+
 def weighted_reservoir_per_group(
     df: DataFrame,
     group_col: str,

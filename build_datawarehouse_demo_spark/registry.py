@@ -170,6 +170,10 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round13 import (  # noqa
         register_round13_incremental_clean,
     )
+    from build_datawarehouse_demo_spark.registry_round14 import (  # noqa
+        register_round14_leakage_safe_split,
+        register_round14_streaming_clean_filter,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -224,6 +228,8 @@ def _load_all() -> None:
     register_round12_streaming_rag()
     register_round12_dup_ngrams()
     register_round13_incremental_clean()
+    register_round14_leakage_safe_split()
+    register_round14_streaming_clean_filter()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

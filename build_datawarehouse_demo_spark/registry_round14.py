@@ -1,0 +1,245 @@
+"""Round-14 registry entries.
+
+Theme: the round's rep-level incremental state work surfaced as
+user-facing operations —
+
+- ``sample_split_leakage_safe``: near-dup-aware train/val/test split
+  (every member of a near-dup component gets the COMPONENT's split,
+  so near-duplicates can never straddle the train/test boundary — the
+  benchmark-leakage mechanism a per-document hash split cannot see).
+- ``streaming_clean_filter_incremental``: the modern cleaning stack's
+  incremental state maintained by a checkpointed STREAM — micro-
+  batches folded via clean_filter_dedup_apply with a same-id
+  redelivery in the second batch; the oracle is the full-batch DuckDB
+  chain over the union at the state's frozen banding, so a hash match
+  proves stream-maintained ≡ batch-rebuilt through the checkpoint and
+  the idempotent redelivery guard (the streaming_rag_index_append
+  discipline applied to curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.registry import register
+from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+from build_datawarehouse_demo_spark.registry_round7 import _driver_rows, _t
+from build_datawarehouse_demo_spark.registry_round10 import _driver_old_subset_count
+
+
+def register_round14_leakage_safe_split() -> None:
+    # ------------------------------------------------------------------
+    # near-dup-aware split: minhash pairs (the dedup_minhash_lsh lane's
+    # exact banding, 16 hashes / 4 bands / jaccard >= 0.8) -> star
+    # components -> split hashed on the COMPONENT id. The oracle
+    # restates banding + verify (the dedup_minhash_lsh oracle SQL),
+    # adds the recursive-CTE components (the r9 pipeline discipline)
+    # and draws the split from md5('0:split:' || component) — the
+    # train_val_test_split hash keyed on the component, so singleton
+    # documents provably keep their plain per-id split.
+    # ------------------------------------------------------------------
+
+    split_hash = _HASH32.format(
+        expr="'0:split:' || CAST(COALESCE(cp.component, d.doc_id) AS VARCHAR)"
+    )
+
+    @register(
+        "sample_split_leakage_safe",
+        oracle=f"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, {_TOK} AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM tok, unnest(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3
+        ),
+        mh AS (
+          SELECT doc_id, h,
+                 min({_HASH32.format(expr="h || ':' || shingle")}) AS mhv
+          FROM sh, unnest(generate_series(0, 15)) AS g(h)
+          GROUP BY doc_id, h
+        ),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 string_agg(CAST(mhv AS VARCHAR), '_' ORDER BY h) AS band_key
+          FROM mh GROUP BY doc_id, h // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT i.id_a, i.id_b
+          FROM (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+            GROUP BY c.id_a, c.id_b
+          ) i
+          JOIN sizes na ON na.doc_id = i.id_a
+          JOIN sizes nb ON nb.doc_id = i.id_b
+          WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        compo AS (
+          SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s
+        )
+        SELECT d.doc_id,
+               COALESCE(cp.component, d.doc_id) AS component_id,
+               CASE WHEN {split_hash} % 1000 < 100 THEN 'val'
+                    WHEN {split_hash} % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents d LEFT JOIN compo cp ON cp.node = d.doc_id
+        """,
+    )
+    def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Leakage-safe split over the raw documents table: verified
+        MinHash near-dup pairs at the dedup_minhash_lsh lane's exact
+        parameters, star components, split drawn from the component
+        id (operators/sampling.leakage_safe_split) — near-duplicate
+        documents land in the SAME split by construction."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            minhash_dedup_pairs,
+        )
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        pairs = minhash_dedup_pairs(docs)
+        return leakage_safe_split(docs.select("doc_id"), pairs).select(
+            "doc_id", "component_id", "split"
+        )
+
+
+def register_round14_streaming_clean_filter() -> None:
+    # ------------------------------------------------------------------
+    # streaming incremental cleaning stack: same oracle as the r13
+    # batch-incremental key (full DuckDB chain over the union at the
+    # OLD-subset frozen banding); the Spark side maintains the state
+    # through a checkpointed two-micro-batch stream with a same-id
+    # redelivery — hash match = stream ≡ batch-rebuild parity.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.operators.text import (
+        default_classifier_weights,
+    )
+    from build_datawarehouse_demo_spark.registry_round12 import (
+        _CLF_T,
+        _GQ_MINW,
+        _GQ_STOP,
+        _QC_DIM,
+        _TOPG,
+        _clean_filter_dedup_sql,
+        pageify,
+    )
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SPLIT_AT = (3 * _N_DOCS) // 4
+    _N_OLD = _driver_old_subset_count(_SPLIT_AT)
+    _MB, _MR = minhash_auto_params(_N_OLD)
+    _W_SQL = "[" + ", ".join(repr(x) for x in default_classifier_weights(_QC_DIM)) + "]"
+
+    @register(
+        "streaming_clean_filter_incremental",
+        oracle=_clean_filter_dedup_sql(_MB, _MR, _W_SQL),
+    )
+    def q_streaming_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming curation maintenance end-to-end
+        (streaming/sinks.stream_clean_filter_state_append): build
+        clean_filter_dedup_state on the first 3/4 of the pageified
+        corpus, feed the last 1/4 through a checkpointed availableNow
+        parquet stream in TWO micro-batches (maxFilesPerTrigger=1)
+        with the first even-id new document REDELIVERED in batch 2,
+        and return the final state's output rows. The oracle is the
+        full-batch chain over the union at the frozen banding — a
+        hash match proves two chained applies + the redelivery
+        anti-join reproduce the rebuild exactly (note: batch-2 ids
+        interleave below batch-1 ids by parity, so this also
+        exercises the smaller-new-id rep-takeover path that the
+        monotone-id fixtures never hit)."""
+        import shutil
+        import uuid
+
+        import pyspark.sql.types as T
+
+        from build_datawarehouse_demo_spark.plans.training_data import (
+            clean_filter_dedup_state,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+        from build_datawarehouse_demo_spark.streaming.sinks import (
+            stream_clean_filter_state_append,
+        )
+
+        docs = pageify(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        n = docs.count()
+        split_at = (3 * n) // 4
+        old = docs.filter(F.col("doc_id") < split_at)
+        new = docs.filter(F.col("doc_id") >= split_at)
+        knobs = dict(
+            min_words=_GQ_MINW,
+            min_stopword_hits=_GQ_STOP,
+            max_top_gram_char_frac=_TOPG,
+            clf_dim=_QC_DIM,
+            clf_threshold=_CLF_T,
+        )
+        holder = {"state": clean_filter_dedup_state(old, corpus_n=old.count(), **knobs)}
+
+        tag = uuid.uuid4().hex[:8]
+        scratch = _bucketed_scratch_dir()
+        feed = f"{scratch}/clean_stream_{tag}_feed"
+        ckpt = f"{scratch}/clean_stream_{tag}_ckpt"
+        try:
+            redeliver = split_at if split_at % 2 == 0 else split_at + 1
+            b1 = new.filter(F.col("doc_id") % 2 == 0)
+            b2 = new.filter(F.col("doc_id") % 2 == 1).unionByName(
+                new.filter(F.col("doc_id") == redeliver)
+            )
+            b1.coalesce(1).write.mode("overwrite").parquet(feed)
+            b2.coalesce(1).write.mode("append").parquet(feed)
+
+            sch = T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            )
+            q = stream_clean_filter_state_append(
+                spark.readStream.format("parquet")
+                .schema(sch)
+                .option("maxFilesPerTrigger", "1")
+                .load(feed),
+                holder,
+                checkpoint_dir=ckpt,
+                **knobs,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming_clean_filter_incremental: the availableNow "
+                    "stream did not finish within 300s — failing loudly "
+                    "rather than returning a stale (pre-fold) state"
+                )
+            return (
+                holder["state"]["output"]
+                .select("doc_id", "n_ws_tokens", "clf_score", "component_id", "split")
+                .localCheckpoint()
+            )
+        finally:
+            shutil.rmtree(feed, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)

@@ -139,6 +139,62 @@ def stream_rag_index_append(
     )
 
 
+def stream_clean_filter_state_append(
+    docs: DataFrame,
+    holder: dict,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    **knobs,
+):
+    """Streaming corpus-curation maintenance (r14): each micro-batch
+    of documents is folded into the modern cleaning stack's
+    incremental state (plans/training_data.clean_filter_dedup_apply —
+    frozen banding, rep-level stored band keys, append-only deltas),
+    so a continuously-ingesting curation run keeps its train/val/test
+    output fresh without re-filtering or re-banding the corpus — the
+    streaming twin of pipeline_clean_filter_dedup_incremental, exactly
+    as stream_rag_index_append is the streaming twin of the RAG
+    append lane.
+
+    ``holder`` is ``{"state": <clean_filter_dedup_state dict>}``; the
+    refreshed state replaces it after every batch (micro-batches run
+    sequentially, so the mutation is race-free), and ``knobs`` are the
+    clean_filter_dedup_apply filter parameters (they must match the
+    state build).
+
+    Effectively exactly-once: checkpointing pins batch ids, and a
+    SAME-ID redelivery (at-least-once replay) is dropped by the
+    survivor-id anti-join before the fold — a replayed surviving
+    document is a no-op, and a replayed filtered-OUT document re-fails
+    the same per-document filters, so at-least-once delivery converges
+    to the state one batch apply of the whole stream would produce.
+    (A NEW-id redelivery of the same text is the normal re-crawl case:
+    it joins its original's digest group and loses the rep race —
+    output unchanged, the batch contract.)
+
+    Durability matches the in-memory state contract (localCheckpoint-
+    backed frames): a restarted driver rebuilds or reloads state; the
+    production variant persists each refreshed DELTA with
+    sources/writers.save_table into bucketed state tables, per the
+    state builders' docstrings.
+    """
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        seen = holder["state"]["survivors"].select(id_col)
+        fresh = batch_df.join(seen, id_col, "left_anti")
+        holder["state"] = clean_filter_dedup_apply(fresh, holder["state"], **knobs)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_merge_to_partitioned_parquet(
     changes: DataFrame,
     target_path: str,
