@@ -842,6 +842,111 @@ def quality_classifier_score(
     )
 
 
+def quality_classifier_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    lr: float = 0.1,
+    n_iter: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Train the quality classifier's weights IN-ENGINE (r14): full-
+    batch gradient descent on logistic loss over exactly the hashed
+    bag-of-words features quality_classifier_score consumes
+    (length-normalized bucket counts, z = feat·w / n), so the
+    returned vector plugs straight into its ``weights=`` seam —
+    closing the train half of the GPT-3/CCNet LR-filter loop that the
+    inference operator (and its injected-weights pytest seam) already
+    covers.
+
+    Per iteration, ONE distributed pass:
+
+        p_d    = sigmoid(feat_d · w / n_d)          (JVM fold per doc)
+        grad_i = Σ_d feat_di / n_d · (p_d − y_d)    (posexplode +
+                                                     groupBy(dim) agg)
+        w_i   ←  round(w_i − lr · grad_i / N, round_to)
+
+    The 64-float weight vector is the only thing that ever reaches
+    the driver (one bounded control-plane collect per iteration — the
+    kmeans_train discipline); documents never leave the executors.
+    Weights round to ``round_to`` at EVERY iteration boundary so the
+    training trajectory is engine-portable: per-dim gradient sums add
+    in nondeterministic order, and the rounding pins the next
+    iteration's inputs bit-identically across engines (the
+    kmeans/centroid round_to contract — the oracle replays the same
+    two iterations in DuckDB).
+
+    Zero-token documents carry no features and are excluded (the
+    inference operator scores them NULL for the same reason). Labels
+    are 0.0/1.0 doubles in ``label_col``.
+
+    Scale shape: the feature stage is the classifier's one codegen'd
+    scan, checkpointed ONCE and re-scanned per iteration; each
+    iteration is one narrow scan + one exchange of (dim, partial-sum)
+    pairs with map-side combine — at 100 TB, n_iter scans of a slim
+    (feat, n, y) projection and dim-row shuffles.
+
+    Returns (dim, weight) — dim 0-based, dense, ``dim`` rows.
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import hash32
+
+    toks = tokens(text_col)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(F.col("__cb"), lambda b: b == i)).cast("double"),
+    )
+    base = (
+        df.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks").cast("double"))
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "__cb",
+            F.transform(F.col("__toks"), lambda t: F.pmod(hash32(t), F.lit(dim))),
+        )
+        .select(
+            F.col(id_col),
+            counts.alias("__feat"),
+            F.col("__n"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .localCheckpoint()  # n_iter consumers re-scan the slim features
+    )
+    n_docs = base.count()
+    if n_docs == 0:
+        raise ValueError("quality_classifier_train: no documents with tokens")
+
+    w = [0.0] * dim
+    for _ in range(n_iter):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        z = (
+            F.aggregate(
+                F.zip_with(F.col("__feat"), wlit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.col("__n")
+        )
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("__y")
+        grad_rows = (
+            base.withColumn("__r", resid)
+            .select(F.posexplode("__feat").alias("__d", "__v"), "__n", "__r")
+            .filter(F.col("__v") != 0.0)  # zero terms add exactly 0.0
+            .groupBy("__d")
+            .agg(F.sum(F.col("__v") / F.col("__n") * F.col("__r")).alias("__g"))
+            .collect()
+        )
+        g = {r["__d"]: r["__g"] for r in grad_rows}
+        w = [
+            round(w[i] - lr * g.get(i, 0.0) / n_docs, round_to) for i in range(dim)
+        ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, w[i]) for i in range(dim)], "dim int, weight double"
+    )
+
+
 #: Gopher stopword list (Rae et al. 2021, Appendix A1.1.3): a document
 #: must contain at least 2 of these to pass the stop-word rule.
 GOPHER_STOPWORDS: tuple[str, ...] = (

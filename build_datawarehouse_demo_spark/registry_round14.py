@@ -125,6 +125,87 @@ def register_round14_leakage_safe_split() -> None:
         )
 
 
+def register_round14_logreg_train() -> None:
+    # ------------------------------------------------------------------
+    # in-engine classifier TRAINING: two full-batch logistic-regression
+    # gradient steps over the quality classifier's hashed features,
+    # labels from the fixture's lang column. The oracle replays both
+    # iterations in DuckDB — iteration 1 from w0 = 0 (sigmoid exactly
+    # 0.5 in both engines), weights rounded at every boundary (the
+    # kmeans round_to contract), iteration 2 re-scoring with the pinned
+    # w1 — so the full training trajectory is hash-verified.
+    # ------------------------------------------------------------------
+    _DIM, _LR = 64, 0.1
+    _FEAT = (
+        f"list_transform(range(0, {_DIM}), i -> "
+        f"CAST(len(list_filter(w, t -> "
+        f"CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT) "
+        f"% {_DIM} = i)) AS DOUBLE))"
+    )
+
+    @register(
+        "ml_logreg_train_quality",
+        oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOK} AS w,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, y, CAST(len(w) AS DOUBLE) AS n, {_FEAT} AS feat
+          FROM tok WHERE len(w) > 0
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM f),
+        g1 AS (
+          SELECT i.i AS d,
+                 round(0.0 - {_LR} * coalesce(
+                     sum(f.feat[i.i + 1] / f.n * (0.5 - f.y)), 0.0) / any_value(nn.nd),
+                   6) AS w1
+          FROM nn, unnest(generate_series(0, {_DIM - 1})) AS i(i)
+          LEFT JOIN f ON TRUE
+          GROUP BY i.i
+        ),
+        w1l AS (SELECT list(w1 ORDER BY d) AS wv FROM g1),
+        p2 AS (
+          SELECT f.y, f.n, f.feat,
+                 1.0 / (1.0 + exp(-(list_dot_product(f.feat, w1l.wv) / f.n))) AS p
+          FROM f, w1l
+        ),
+        g2 AS (
+          SELECT i.i AS d,
+                 round(any_value(g1.w1) - {_LR} * coalesce(
+                     sum(p2.feat[i.i + 1] / p2.n * (p2.p - p2.y)), 0.0)
+                     / any_value(nn.nd),
+                   6) AS weight
+          FROM nn, unnest(generate_series(0, {_DIM - 1})) AS i(i)
+          JOIN g1 ON g1.d = i.i
+          LEFT JOIN p2 ON TRUE
+          GROUP BY i.i
+        )
+        SELECT CAST(d AS INTEGER) AS dim, weight FROM g2
+        """,
+    )
+    def q_logreg_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Train the quality classifier in-engine: two logistic-
+        regression gradient steps over the hashed bag-of-words
+        features (operators/text.quality_classifier_train), labels =
+        (lang == 'en'). Returns the 64 trained (dim, weight) rows —
+        the vector quality_classifier_score consumes via its
+        ``weights=`` seam."""
+        from build_datawarehouse_demo_spark.operators.text import (
+            quality_classifier_train,
+        )
+
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .withColumn("label", (F.col("lang") == "en").cast("double"))
+        )
+        return quality_classifier_train(
+            docs, dim=64, lr=0.1, n_iter=2
+        )
+
+
 def register_round14_streaming_clean_filter() -> None:
     # ------------------------------------------------------------------
     # streaming incremental cleaning stack: same oracle as the r13
