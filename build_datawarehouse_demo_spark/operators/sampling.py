@@ -423,6 +423,125 @@ def sample_token_budget_mix(
     )
 
 
+def epoch_capped_quotas(
+    counts: dict, budget: int, temperature: float, max_epochs: int
+) -> dict:
+    """Temperature token quotas with per-source REPETITION CAPS
+    (r14): quota_s <= max_epochs · tok_s, freed budget water-filled
+    back into the uncapped sources at the same temperature until
+    stable — the data-constrained-regime allocation ("Scaling
+    Data-Constrained Language Models", Muennighoff et al. 2023:
+    repeating a small source beyond ~4 epochs stops buying loss, so
+    the mix must cap epochs and re-spend the budget on sources that
+    still have fresh tokens).
+
+    Exact bigint math end to end (temperature_quotas per round, caps
+    are integer products), so the allocation is bit-identical on any
+    engine — the derive-not-reformulate oracle contract. Terminates in
+    <= len(counts) rounds (every round either finishes or caps at
+    least one source). If every source caps, the budget is
+    deliberately under-filled — there is nothing left to repeat.
+    """
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    capped: dict = {}
+    remaining = {s: int(n) for s, n in counts.items() if n and n > 0}
+    budget_left = int(budget)
+    while remaining and budget_left > 0:
+        q = temperature_quotas(remaining, budget_left, temperature)
+        over = [s for s in remaining if q.get(s, 0) > max_epochs * remaining[s]]
+        if not over:
+            capped.update(q)
+            break
+        for s in over:
+            capped[s] = max_epochs * remaining[s]
+            budget_left -= capped[s]
+            del remaining[s]
+    for s in counts:
+        capped.setdefault(s, 0)
+    return capped
+
+
+def sample_epoch_capped_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_col: str,
+    token_budget: int,
+    max_epochs: int = 4,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget corpus mixing WITH REPETITION (r14): the
+    data-constrained variant of sample_token_budget_mix. Each source's
+    epoch-capped token quota (epoch_capped_quotas) is materialized as
+    ``full_s = quota_s // tok_s`` COMPLETE passes over the source plus
+    one partial epoch filled by the greedy prefix of the deterministic
+    hash order (salt 'epochmix:' — independent of the other mixers at
+    the same seed). Output rows carry ``epoch`` (0-based pass number;
+    a document appears once per epoch it participates in) and
+    ``tok_cum`` (its running token position within a pass), so a
+    downstream packer can shuffle-by-epoch or interleave passes.
+
+    Rows with NULL id or NULL token count leave before totals are
+    taken (drawable-population discipline). A zero-token source draws
+    quota 0 and contributes nothing.
+
+    Scale shape: one bounded per-source aggregate collected (the
+    temperature_quotas contract), quotas broadcast back, ONE shuffle
+    on source_col for the running-sum window; full epochs are a
+    generator over the already-windowed rows (no extra exchange).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    df = df.where(F.col(id_col).isNotNull() & F.col(token_col).isNotNull())
+    totals = {
+        row[0]: int(row[1])
+        for row in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__t"))
+        .collect()
+    }
+    quotas = epoch_capped_quotas(totals, token_budget, temperature, max_epochs)
+    plan = [
+        (s, int(quotas[s]) // totals[s], int(quotas[s]) % totals[s])
+        for s in quotas
+        if totals.get(s, 0) > 0
+    ]
+    qdf = df.sparkSession.createDataFrame(
+        plan,
+        T.StructType(
+            [
+                df.schema[source_col],
+                T.StructField("__full", T.LongType(), False),
+                T.StructField("__rem", T.LongType(), False),
+            ]
+        ),
+    )
+    h = hash32(F.concat(F.lit("epochmix:"), F.col(id_col).cast("string")), seed=seed)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.withColumn(
+        "tok_cum", F.sum(F.col(token_col).cast("bigint")).over(w)
+    ).join(F.broadcast(qdf), source_col)
+    fulls = staged.select(
+        "*",
+        F.explode(
+            F.when(
+                F.col("__full") > 0,
+                F.sequence(F.lit(0).cast("long"), F.col("__full") - 1),
+            )
+        ).alias("epoch"),
+    )
+    partial = staged.where(F.col("tok_cum") <= F.col("__rem")).withColumn(
+        "epoch", F.col("__full")
+    )
+    return fulls.unionByName(partial).drop("__full", "__rem")
+
+
 def importance_resample_dsir(
     df: DataFrame,
     target_pred: Column,

@@ -172,6 +172,7 @@ def _load_all() -> None:
     )
     from build_datawarehouse_demo_spark.registry_round14 import (  # noqa
         register_round14_leakage_safe_split,
+        register_round14_epoch_capped_mix,
         register_round14_logreg_train,
         register_round14_streaming_clean_filter,
     )
@@ -230,6 +231,7 @@ def _load_all() -> None:
     register_round12_dup_ngrams()
     register_round13_incremental_clean()
     register_round14_leakage_safe_split()
+    register_round14_epoch_capped_mix()
     register_round14_logreg_train()
     register_round14_streaming_clean_filter()
 

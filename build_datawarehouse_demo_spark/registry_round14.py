@@ -206,6 +206,102 @@ def register_round14_logreg_train() -> None:
         )
 
 
+def register_round14_epoch_capped_mix() -> None:
+    # ------------------------------------------------------------------
+    # data-constrained mixing: temperature token quotas with per-source
+    # repetition caps (Muennighoff et al. 2023), materialized as full
+    # epochs + a greedy-prefix partial epoch. The water-filling
+    # allocation is pinned as derived VALUES (the r6 derive-never-
+    # reformulate tier — its integer arithmetic is pytest-verified
+    # against a hand-computed reference), while the SQL independently
+    # re-verifies the epoch materialization: the per-pass running sum,
+    # the full-epoch fanout and the partial prefix.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        epoch_capped_quotas,
+    )
+    from build_datawarehouse_demo_spark.registry_round10 import (
+        _driver_source_token_sums,
+    )
+
+    _EBUDGET, _EPOCHS, _ETEMP = 9000, 2, 3.0
+    _totals = _driver_source_token_sums("lang")
+    _quotas = epoch_capped_quotas(_totals, _EBUDGET, _ETEMP, _EPOCHS)
+    _plan = [
+        (s, int(_quotas[s]) // int(_totals[s]), int(_quotas[s]) % int(_totals[s]))
+        for s in sorted(_quotas)
+        if _totals.get(s, 0) > 0
+    ]
+    _values = (
+        "VALUES "
+        + ", ".join(
+            "('{}', {}, {})".format(str(s).replace("'", "''"), f, r)
+            for s, f, r in _plan
+        )
+        if _plan
+        else "VALUES (NULL, NULL, NULL) LIMIT 0"
+    )
+    _rank_hash = _HASH32.format(expr="'0:epochmix:' || CAST(doc_id AS VARCHAR)")
+
+    @register(
+        "sample_epoch_capped_mix",
+        oracle=f"""
+        WITH d AS (
+          SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens
+          FROM documents WHERE doc_id IS NOT NULL
+        ),
+        r AS (
+          SELECT doc_id, lang, n_ws_tokens,
+                 CAST(sum(n_ws_tokens) OVER (PARTITION BY lang
+                     ORDER BY {_rank_hash}, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tok_cum
+          FROM d
+        ),
+        q(lang, eful, erem) AS ({_values}),
+        fe AS (
+          SELECT r.doc_id, r.lang, r.n_ws_tokens, r.tok_cum,
+                 CAST(e.e AS BIGINT) AS epoch
+          FROM r JOIN q ON q.lang = r.lang,
+               unnest(generate_series(0, q.eful - 1)) AS e(e)
+        ),
+        pe AS (
+          SELECT r.doc_id, r.lang, r.n_ws_tokens, r.tok_cum,
+                 CAST(q.eful AS BIGINT) AS epoch
+          FROM r JOIN q ON q.lang = r.lang
+          WHERE r.tok_cum <= q.erem
+        )
+        SELECT * FROM fe UNION ALL SELECT * FROM pe
+        """,
+    )
+    def q_epoch_capped_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Epoch-capped token-budget mix over the skewed lang column
+        (operators/sampling.sample_epoch_capped_mix): T=3 flattening
+        over-draws the small languages past the 2-epoch cap, so the
+        allocation water-fills their freed budget back into the large
+        ones; output rows carry (epoch, tok_cum) — one row per
+        document per participating pass."""
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            sample_epoch_capped_mix,
+        )
+        from build_datawarehouse_demo_spark.operators.text import token_count
+
+        docs = token_count(
+            _t(spark, sf_dir, "documents", rebalance=False).select(
+                "doc_id", "lang", "text"
+            )
+        ).select("doc_id", "lang", "n_ws_tokens")
+        return sample_epoch_capped_mix(
+            docs,
+            "lang",
+            "doc_id",
+            "n_ws_tokens",
+            token_budget=_EBUDGET,
+            max_epochs=_EPOCHS,
+            temperature=_ETEMP,
+        ).select("doc_id", "lang", "n_ws_tokens", "tok_cum", "epoch")
+
+
 def register_round14_streaming_clean_filter() -> None:
     # ------------------------------------------------------------------
     # streaming incremental cleaning stack: same oracle as the r13

@@ -1,0 +1,94 @@
+"""Epoch-capped token-budget mixing (r14, the data-constrained
+regime): the water-filling allocation must cap small sources at
+max_epochs·tokens and re-spend the freed budget on uncapped sources;
+the materialization must emit exactly full-epoch passes plus a
+greedy-prefix partial pass in the deterministic hash order."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_water_filling_allocation_arithmetic():
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        epoch_capped_quotas,
+        temperature_quotas,
+    )
+
+    counts = {"big": 1000, "mid": 300, "small": 50}
+    budget, E = 2000, 2
+    # T=1 round 1: quotas ∝ tokens -> big 1481, mid 444, small 74
+    # round 1 caps: small 74 <= 100 ok, mid 444 > 600? no... compute:
+    q = epoch_capped_quotas(counts, budget, 1.0, E)
+    # hand replay of the loop:
+    rem, left, want = dict(counts), budget, {}
+    while rem and left > 0:
+        r = temperature_quotas(rem, left, 1.0)
+        over = [s for s in rem if r[s] > E * rem[s]]
+        if not over:
+            want.update(r)
+            break
+        for s in over:
+            want[s] = E * rem[s]
+            left -= want[s]
+            del rem[s]
+    assert q == want
+    # every cap respected, budget never exceeded
+    assert all(q[s] <= E * counts[s] for s in counts)
+    assert sum(q.values()) <= budget
+
+    # a budget larger than E x total caps EVERYTHING (under-filled)
+    q2 = epoch_capped_quotas(counts, 10_000, 1.0, E)
+    assert q2 == {s: E * n for s, n in counts.items()}
+
+    # flattening (T=3) must cap the small source before the big one
+    q3 = epoch_capped_quotas({"big": 10_000, "small": 100}, 6000, 3.0, E)
+    assert q3["small"] == 200  # capped at 2 epochs
+    assert q3["big"] > 200 and q3["big"] <= 2 * 10_000
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        epoch_capped_quotas(counts, budget, 1.0, 0)
+
+
+def test_epoch_materialization(spark):
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        epoch_capped_quotas,
+        sample_epoch_capped_mix,
+    )
+
+    # source a: 3 docs x 10 tokens = 30; source b: 20 docs x 10 = 200.
+    # budget 180, T=1, E=3: round 1 -> a 23, b 156; a <= 90, b <= 600,
+    # nothing caps... choose T=3 to overdraw a: weights 30^(1/3) vs
+    # 200^(1/3) -> a gets ~ 180*0.31 = 57 <= 90 still. Use E=1:
+    # a caps at 30, b water-fills to 150 <= 200.
+    rows = [(i, "a", 10) for i in range(3)] + [
+        (100 + i, "b", 10) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+    q = epoch_capped_quotas({"a": 30, "b": 200}, 180, 3.0, 1)
+    assert q["a"] == 30  # capped at one full epoch
+    assert 30 < q["b"] <= 180 - 30 + 1
+
+    out = sample_epoch_capped_mix(
+        df, "src", "doc_id", "n_tok", token_budget=180, max_epochs=1,
+        temperature=3.0,
+    )
+    got = [(r["doc_id"], r["src"], r["epoch"], r["tok_cum"]) for r in out.collect()]
+    a_rows = [g for g in got if g[1] == "a"]
+    b_rows = [g for g in got if g[1] == "b"]
+    # a: exactly one FULL pass (quota == tokens -> full=1, rem=0):
+    # every doc once at epoch 0, none at epoch 1
+    assert sorted((d, e) for d, _, e, _ in a_rows) == [(i, 0) for i in range(3)]
+    # b: partial pass only (quota < tokens): prefix of the hash order,
+    # all at epoch 0, running sums within quota
+    assert all(e == 0 for _, _, e, _ in b_rows)
+    assert len(b_rows) == q["b"] // 10
+    assert max(t for *_, t in b_rows) <= q["b"]
+
+    # with repetition: budget 90 for a alone at E=3 -> 3 full passes
+    out2 = sample_epoch_capped_mix(
+        df.where("src = 'a'"), "src", "doc_id", "n_tok",
+        token_budget=90, max_epochs=3, temperature=1.0,
+    )
+    got2 = sorted((r["doc_id"], r["epoch"]) for r in out2.collect())
+    assert got2 == sorted((i, e) for i in range(3) for e in range(3))
