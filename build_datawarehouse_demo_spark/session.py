@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # 16kb floor instead of the 1MB default (r14, measured):
+        # with parallelismFirst, sub-1MB shuffle stages coalesce to
+        # ONE partition, serializing every small stage — on the
+        # checkpoint-anchored dedup/pipeline plans that tax was ~2x
+        # wall time at sf0.1 (3.1s -> 1.55s on the collapsed minhash
+        # lane with the floor lowered; the whole residual "AQE tax"
+        # in the r14 profiling). Scale-neutral by construction: any
+        # stage whose partitions exceed 16kb coalesces exactly as
+        # before, so sf1+ plans are untouched — only metadata-sized
+        # stages keep their parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
