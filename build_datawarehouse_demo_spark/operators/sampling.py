@@ -536,9 +536,14 @@ def sample_epoch_capped_mix(
             )
         ).alias("epoch"),
     )
-    partial = staged.where(F.col("tok_cum") <= F.col("__rem")).withColumn(
-        "epoch", F.col("__full")
-    )
+    # __rem > 0 guard (r15 ADVICE): without it, a source whose quota
+    # draw is 0 but whose leading hash-order documents have 0 tokens
+    # would emit those rows (tok_cum 0 <= 0), contradicting the
+    # "quota 0 contributes nothing" contract. Token-weight impact was
+    # zero either way; the guard makes the row set honor the contract.
+    partial = staged.where(
+        (F.col("__rem") > 0) & (F.col("tok_cum") <= F.col("__rem"))
+    ).withColumn("epoch", F.col("__full"))
     return fulls.unionByName(partial).drop("__full", "__rem")
 
 

@@ -269,7 +269,7 @@ def register_round14_epoch_capped_mix() -> None:
           SELECT r.doc_id, r.lang, r.n_ws_tokens, r.tok_cum,
                  CAST(q.eful AS BIGINT) AS epoch
           FROM r JOIN q ON q.lang = r.lang
-          WHERE r.tok_cum <= q.erem
+          WHERE q.erem > 0 AND r.tok_cum <= q.erem
         )
         SELECT * FROM fe UNION ALL SELECT * FROM pe
         """,

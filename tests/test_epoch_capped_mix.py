@@ -85,6 +85,21 @@ def test_epoch_materialization(spark):
     assert len(b_rows) == q["b"] // 10
     assert max(t for *_, t in b_rows) <= q["b"]
 
+    # quota-0 contract (r15 ADVICE): a source that draws quota 0 must
+    # contribute NOTHING, even when its leading hash-order documents
+    # have 0 tokens (tok_cum 0 <= __rem 0 used to slip through the
+    # partial-epoch filter). z totals 1 token vs b's 200 at budget 50:
+    # floor quota is 0 for z, and its zero-token doc must not appear.
+    zrows = rows + [(200, "z", 0), (201, "z", 1)]
+    zdf = spark.createDataFrame(zrows, "doc_id long, src string, n_tok long")
+    qz = epoch_capped_quotas({"z": 1, "b": 200}, 50, 1.0, 3)
+    assert qz["z"] == 0
+    outz = sample_epoch_capped_mix(
+        zdf.where("src != 'a'"), "src", "doc_id", "n_tok",
+        token_budget=50, max_epochs=3, temperature=1.0,
+    )
+    assert outz.where("src = 'z'").count() == 0
+
     # with repetition: budget 90 for a alone at E=3 -> 3 full passes
     out2 = sample_epoch_capped_mix(
         df.where("src = 'a'"), "src", "doc_id", "n_tok",
