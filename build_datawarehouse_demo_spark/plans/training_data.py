@@ -653,6 +653,8 @@ def training_data_neardup_apply(
     span_min_docs: int = 2,
     val_frac: float = 0.1,
     test_frac: float = 0.1,
+    compact_to: str | None = None,
+    compact_path: str | None = None,
 ) -> dict:
     """Corpus refresh WITHOUT recompute (VERDICT r9 item 3): fold a new
     document batch into an existing training_data_neardup_state and
@@ -715,6 +717,11 @@ def training_data_neardup_apply(
     Redelivery is idempotent: re-applying a batch against the
     refreshed state exact-drops every document (digests now stored)
     and changes nothing.
+
+    ``compact_to`` (r15): when set, the refreshed state is compacted
+    to bucketed parquet tables named from that prefix before being
+    returned (see compact_state) — plan depth and retained checkpoint
+    blocks reset instead of growing one union per fold.
     """
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
@@ -724,6 +731,9 @@ def training_data_neardup_apply(
     )
     from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
 
+    retire_scope = (
+        _persistent_rdd_ids(new_df.sparkSession) if compact_to is not None else None
+    )
     bands, rows = state["bands"], state["rows"]
     old_surv = state["survivors"]
     old_pairs = state["pairs"]
@@ -850,7 +860,7 @@ def training_data_neardup_apply(
     )
     output = reused.unionByName(recomputed_out)
     refreshed = _refreshed_collapse_state(state, delta, id_col)
-    return {
+    result = {
         "bands": bands,
         "rows": rows,
         "survivors": old_surv.unionByName(new_surv),
@@ -865,6 +875,14 @@ def training_data_neardup_apply(
         "rep_grams": grams_union,
         "output": output,
     }
+    if compact_to is not None:
+        compacted = compact_state(
+            result, compact_to, base_path=compact_path, id_col=id_col
+        )
+        # hidden fold intermediates (not leaves of any result frame)
+        _retire_persistent_rdds_since(new_df.sparkSession, retire_scope)
+        return compacted
+    return result
 
 
 def prepare_training_data_neardup_incremental(
@@ -1214,6 +1232,8 @@ def clean_filter_dedup_apply(
     jaccard_threshold: float = 0.8,
     val_frac: float = 0.1,
     test_frac: float = 0.1,
+    compact_to: str | None = None,
+    compact_path: str | None = None,
 ) -> dict:
     """Fold a new document batch into a clean_filter_dedup_state and
     return the refreshed state — the continuously-ingesting form of the
@@ -1256,6 +1276,10 @@ def clean_filter_dedup_apply(
     rep race to the smaller stored id, so the output rows are
     unchanged (the duplicate itself joins the pair/survivor state like
     any other near-dup member).
+
+    ``compact_to`` (r15): when set, the refreshed state is compacted
+    to bucketed parquet tables named from that prefix before being
+    returned (see compact_state).
     """
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
@@ -1265,6 +1289,9 @@ def clean_filter_dedup_apply(
         train_val_test_split,
     )
 
+    retire_scope = (
+        _persistent_rdd_ids(new_df.sparkSession) if compact_to is not None else None
+    )
     bands, rows = state["bands"], state["rows"]
     old_surv = state["survivors"]
     old_pairs = state["pairs"]
@@ -1330,7 +1357,7 @@ def clean_filter_dedup_apply(
     )
     output = reused.unionByName(new_out)
     refreshed = _refreshed_collapse_state(state, delta, id_col)
-    return {
+    result = {
         "bands": bands,
         "rows": rows,
         "survivors": old_surv.unionByName(new_surv),
@@ -1340,6 +1367,14 @@ def clean_filter_dedup_apply(
         "pairs": pairs_all,
         "output": output,
     }
+    if compact_to is not None:
+        compacted = compact_state(
+            result, compact_to, base_path=compact_path, id_col=id_col
+        )
+        # hidden fold intermediates (not leaves of any result frame)
+        _retire_persistent_rdds_since(new_df.sparkSession, retire_scope)
+        return compacted
+    return result
 
 
 def prepare_clean_filter_dedup_incremental(
@@ -1352,3 +1387,157 @@ def prepare_clean_filter_dedup_incremental(
     frame only) — identical rows to a full prepare_clean_filter_dedup
     rebuild over old ∪ new at the state's frozen banding."""
     return clean_filter_dedup_apply(new_df, state, **params)["output"]
+
+
+# ---------------------------------------------------------------------------
+# state compaction (r15, VERDICT r14 item 1): the production answer the
+# refresh docstrings promise — write the state frames to bucketed parquet
+# and reload, so plan depth and retained checkpoint blocks stay CONSTANT
+# across folds instead of growing one union + one block set per fold.
+# ---------------------------------------------------------------------------
+
+# per-frame bucket columns: each frame is bucketed on the key its refresh
+# consumer JOINS it on, so post-compaction applies get co-located
+# shuffle-free probes (the 100 TB layout the state builders' docstrings
+# name). Frames absent from a given state shape are simply skipped.
+_STATE_BUCKET_COLS = {
+    "band_keys": ("band", "band_key"),  # new-old rep candidate equi-join
+    "dg_members": ("__rep",),  # pair re-expansion through the member map
+    "rep_digests": ("__dg",),  # batch-rep digest fold
+    "text_digests": ("__digest",),  # exact-stage anti-join
+    "survivors": None,  # id_col (filled in at call time)
+    "rep_ids": None,  # id_col
+    "rep_grams": ("gram_md5",),  # span-stat digest joins
+    "pairs": ("id_a",),  # component expansion
+    "output": None,  # id_col (reuse anti-join)
+}
+
+_COMPACT_GEN = iter(range(1, 1 << 30))
+
+
+def _persistent_rdd_ids(spark) -> set:
+    """Snapshot the ids of currently-persisted RDDs (checkpoint blocks
+    included) — the 'before' side of a retire scope."""
+    lst = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+    return {lst.apply(i)._1() for i in range(lst.size())}
+
+
+def _retire_persistent_rdds_since(spark, before_ids: set) -> int:
+    """Unpersist every RDD persisted AFTER ``before_ids`` was
+    snapshotted — the retire scope the compacting applies wrap their
+    fold in. A fold's plan-walk retirement (see
+    _unpersist_checkpoint_leaves) misses checkpoints hidden BEHIND a
+    later checkpoint (rep_cand / matched / new_rep_keys, the
+    connected-components round labels): they are not leaves of any
+    returned frame. They are, however, exactly the RDDs persisted
+    during the fold, and once the refreshed state is durably compacted
+    to tables, every one of them is garbage. Caveat: assumes no
+    CONCURRENT job in the same session persists RDDs it wants to keep
+    while a compacting fold runs (the applies are single jobs; the
+    FAIR-scheduler concurrent-writer path never persists)."""
+    lst = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+    n = 0
+    for i in range(lst.size()):
+        t = lst.apply(i)
+        if t._1() not in before_ids:
+            t._2().unpersist(False)
+            n += 1
+    return n
+
+
+def _unpersist_checkpoint_leaves(df: DataFrame) -> int:
+    """Unpersist every checkpoint-backed leaf (LogicalRDD) in a
+    DataFrame's analyzed plan — the explicit retire step of the
+    compaction two-phase swap. Deterministic, unlike waiting for the
+    ContextCleaner: a localCheckpoint's blocks otherwise live until
+    the driver GCs the last plan referencing them, which measurably
+    does not happen within a session that keeps folding. Returns the
+    number of leaves unpersisted (shared leaves across frames are
+    idempotent — unpersist on an already-freed RDD is a no-op)."""
+    n = 0
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+            n += 1
+    return n
+
+
+def compact_state(
+    state: dict,
+    prefix: str,
+    base_path: str | None = None,
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    unpersist_superseded: bool = True,
+) -> dict:
+    """Materialize an incremental curation state (the dict of
+    training_data_neardup_state / clean_filter_dedup_state, or of any
+    number of apply folds over one) as BUCKETED parquet tables and
+    reload it — the compaction operation the refresh functions'
+    append-only discipline defers to (VERDICT r14 item 1): a refresh
+    returns lazy `stored ∪ checkpointed-delta` unions, so a long-lived
+    state (365 daily folds) would otherwise carry a 365-deep union
+    plan and session-lifetime localCheckpoint blocks. Compacting
+    resets every frame to a 1-deep table scan and (by default) RETIRES
+    the superseded state: after the new generation is fully written,
+    every checkpoint-backed leaf in the old frames is unpersisted —
+    the explicit second phase of the two-phase table swap, and the
+    only deterministic release (measured: the driver does not GC the
+    old plans within a folding session, so the ContextCleaner never
+    fires). ``unpersist_superseded=False`` keeps the old state's
+    blocks alive for callers that still hold and read the
+    pre-compaction dict — with it retired, reading the OLD dict's
+    frames fails on the missing checkpoint blocks.
+
+    Each frame is bucketed (and sorted) on the key its refresh
+    consumer joins it on — band_keys by (band, band_key) for the
+    new-old candidate join, dg_members by __rep for pair
+    re-expansion, rep_grams by gram_md5 for the span-stat joins — so
+    post-compaction applies probe co-located buckets, the durable
+    twin of the in-memory layout. Non-DataFrame entries (bands, rows)
+    pass through unchanged.
+
+    Tables are named ``{prefix}_g{generation}_{frame}`` with a
+    per-process generation counter: a state being compacted may
+    lazily READ its own previous compaction's tables (fold output
+    unions the stored scan), and Spark refuses to overwrite a table
+    it is reading from — fresh generation names make repeated
+    compaction safe. Old generations stay until dropped; a production
+    run retires them once the new generation is committed (the usual
+    two-phase table swap).
+
+    Rebuild parity is exact: writing and re-reading parquet changes
+    bytes' location, not values (pinned by tests/test_state_compaction
+    and the pipeline_*_incremental oracles, which compact
+    mid-sequence).
+    """
+    from build_datawarehouse_demo_spark.sources.writers import save_table
+
+    gen = next(_COMPACT_GEN)
+    out: dict = {}
+    for frame, val in state.items():
+        if not isinstance(val, DataFrame):
+            out[frame] = val
+            continue
+        cols = _STATE_BUCKET_COLS.get(frame)
+        if cols is None:
+            cols = (id_col,)
+        name = f"{prefix}_g{gen}_{frame}"
+        save_table(
+            val,
+            name,
+            bucket_by=(n_buckets, cols),
+            skip_empty=False,
+            path=f"{base_path}/{name}" if base_path else None,
+        )
+        out[frame] = val.sparkSession.table(name)
+    if unpersist_superseded:
+        # phase 2 of the swap — everything is durably in the new
+        # generation's tables, so the old frames' checkpoint blocks
+        # are garbage; free them now rather than never
+        for frame, val in state.items():
+            if isinstance(val, DataFrame):
+                _unpersist_checkpoint_leaves(val)
+    return out

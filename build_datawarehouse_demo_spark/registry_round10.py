@@ -72,26 +72,44 @@ def register_round10_incremental() -> None:
         """Corpus refresh without recompute: build the pipeline state
         on the first 3/4 of the corpus (by doc_id — batches append with
         monotone ids, the log-structured contract), then fold the last
-        1/4 in as a new batch via training_data_neardup_apply. Old
-        documents' signatures, near-dup pairs, span-gram index and
-        output rows are REUSED from the state — only the batch is
-        scanned, only affected documents are re-span-checked. The
-        oracle runs the full chain over the UNION at the state's
-        frozen banding, so the hash match is the refresh ≡ rebuild
-        parity proof (plans/training_data.py docstring has the
+        1/4 in as TWO monotone batches with a state COMPACTION between
+        them (r15 — the fold1 apply compacts the refreshed state to
+        bucketed parquet tables and retires the superseded checkpoint
+        blocks; fold2 runs against pure table scans). Old documents'
+        signatures, near-dup pairs, span-gram index and output rows
+        are REUSED from the state — only each batch is scanned, only
+        affected documents are re-span-checked. The oracle runs the
+        full chain over the UNION at the state's frozen banding, so
+        the hash match is the refresh ≡ rebuild parity proof THROUGH
+        the compaction (plans/training_data.py docstrings have the
         stage-by-stage argument)."""
+        import uuid
+
         from build_datawarehouse_demo_spark.plans.training_data import (
             prepare_training_data_neardup_incremental,
+            training_data_neardup_apply,
             training_data_neardup_state,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
         )
 
         docs = _t(spark, sf_dir, "documents")
         n = docs.count()
         split_at = (3 * n) // 4
+        mid = (7 * n) // 8
         old = docs.filter(F.col("doc_id") < split_at)
-        new = docs.filter(F.col("doc_id") >= split_at)
+        b1 = docs.filter((F.col("doc_id") >= split_at) & (F.col("doc_id") < mid))
+        b2 = docs.filter(F.col("doc_id") >= mid)
         state = training_data_neardup_state(old, corpus_n=old.count())
-        return prepare_training_data_neardup_incremental(new, state)
+        tag = uuid.uuid4().hex[:8]
+        state = training_data_neardup_apply(
+            b1,
+            state,
+            compact_to=f"ndinc_{tag}",
+            compact_path=f"{_bucketed_scratch_dir()}/ndinc_{tag}",
+        )
+        return prepare_training_data_neardup_incremental(b2, state)
 
 
 def register_round10_fetch() -> None:

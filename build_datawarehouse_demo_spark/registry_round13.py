@@ -60,25 +60,37 @@ def register_round13_incremental_clean() -> None:
         """Corpus refresh of the modern cleaning stack without
         recompute: build clean_filter_dedup_state on the first 3/4 of
         the pageified corpus (by doc_id — monotone-id append, the
-        log-structured contract), then fold the last 1/4 in via
-        clean_filter_dedup_apply. Old documents' filter verdicts, LSH
-        band keys, near-dup pairs and output rows are REUSED from the
-        state — only the batch is filtered and signed, only candidate
-        old survivors are re-shingled. The oracle runs the full batch
-        chain over the union at the state's frozen banding, so the
-        hash match is the refresh ≡ rebuild proof
-        (plans/training_data.py clean_filter_dedup_apply docstring has
-        the stage-by-stage argument)."""
+        log-structured contract), then fold the last 1/4 in as TWO
+        monotone batches with a state COMPACTION between them (r15 —
+        the fold1 apply compacts the refreshed state to bucketed
+        parquet tables and retires the superseded checkpoint blocks;
+        fold2 then runs against pure table scans). Old documents'
+        filter verdicts, LSH band keys, near-dup pairs and output rows
+        are REUSED from the state — only each batch is filtered and
+        signed, only candidate old survivors are re-shingled. The
+        oracle runs the full batch chain over the union at the state's
+        frozen banding, so the hash match is the refresh ≡ rebuild
+        proof THROUGH the compaction (plans/training_data.py
+        clean_filter_dedup_apply / compact_state docstrings have the
+        stage-by-stage argument)."""
+        import uuid
+
         from build_datawarehouse_demo_spark.plans.training_data import (
+            clean_filter_dedup_apply,
             clean_filter_dedup_state,
             prepare_clean_filter_dedup_incremental,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
         )
 
         docs = pageify(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         n = docs.count()
         split_at = (3 * n) // 4
+        mid = (7 * n) // 8
         old = docs.filter(F.col("doc_id") < split_at)
-        new = docs.filter(F.col("doc_id") >= split_at)
+        b1 = docs.filter((F.col("doc_id") >= split_at) & (F.col("doc_id") < mid))
+        b2 = docs.filter(F.col("doc_id") >= mid)
         knobs = dict(
             min_words=_GQ_MINW,
             min_stopword_hits=_GQ_STOP,
@@ -87,4 +99,12 @@ def register_round13_incremental_clean() -> None:
             clf_threshold=_CLF_T,
         )
         state = clean_filter_dedup_state(old, corpus_n=old.count(), **knobs)
-        return prepare_clean_filter_dedup_incremental(new, state, **knobs)
+        tag = uuid.uuid4().hex[:8]
+        state = clean_filter_dedup_apply(
+            b1,
+            state,
+            compact_to=f"cfinc_{tag}",
+            compact_path=f"{_bucketed_scratch_dir()}/cfinc_{tag}",
+            **knobs,
+        )
+        return prepare_clean_filter_dedup_incremental(b2, state, **knobs)

@@ -144,6 +144,9 @@ def stream_clean_filter_state_append(
     holder: dict,
     checkpoint_dir: str,
     id_col: str = "doc_id",
+    compact_every: int = 0,
+    compact_to: str | None = None,
+    compact_path: str | None = None,
     **knobs,
 ):
     """Streaming corpus-curation maintenance (r14): each micro-batch
@@ -177,15 +180,38 @@ def stream_clean_filter_state_append(
     production variant persists each refreshed DELTA with
     sources/writers.save_table into bucketed state tables, per the
     state builders' docstrings.
+
+    Lifetime (r15 ADVICE): each fold returns lazy `stored ∪ delta`
+    unions and retains the delta's checkpoint blocks, so plan depth
+    and block count grow per micro-batch. Under ``availableNow`` /
+    bounded catch-up runs (the tested path) that growth is bounded by
+    the run; for LONG-RUNNING streams pass ``compact_every=N`` (with
+    ``compact_to`` as the table-name prefix and optionally
+    ``compact_path``): every N folds the refreshed state is compacted
+    to bucketed parquet tables and the superseded blocks are retired
+    (plans/training_data.compact_state), holding plan depth and
+    retained blocks constant at the compaction cadence.
     """
     from build_datawarehouse_demo_spark.plans.training_data import (
         clean_filter_dedup_apply,
     )
 
+    if compact_every and not compact_to:
+        raise ValueError("compact_every requires compact_to (table-name prefix)")
+    folds = {"n": 0}
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         seen = holder["state"]["survivors"].select(id_col)
         fresh = batch_df.join(seen, id_col, "left_anti")
-        holder["state"] = clean_filter_dedup_apply(fresh, holder["state"], **knobs)
+        folds["n"] += 1
+        compact_now = compact_every and folds["n"] % compact_every == 0
+        holder["state"] = clean_filter_dedup_apply(
+            fresh,
+            holder["state"],
+            compact_to=compact_to if compact_now else None,
+            compact_path=compact_path if compact_now else None,
+            **knobs,
+        )
 
     return (
         docs.writeStream.foreachBatch(_apply)

@@ -1,0 +1,184 @@
+"""State compaction for the incremental curation lanes (r15, VERDICT
+r14 item 1): the refresh functions' append-only discipline returns
+lazy `stored ∪ checkpointed-delta` unions, so a long-lived state grows
+one union + one retained checkpoint-block set per fold. compact_state
+writes the frames to bucketed parquet tables and reloads — plan depth
+resets to a 1-deep table scan, values unchanged, and the superseded
+checkpoint blocks become releasable (nothing references them once the
+caller drops the pre-compaction dict).
+"""
+
+from __future__ import annotations
+
+from tests.test_incremental_state_skew import LOOSE, _corpus, _rows
+
+
+def _plan(df):
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _union_depth(df) -> int:
+    return _plan(df).count("Union")
+
+
+def _batch(base_id: int, n: int = 4):
+    return [
+        (base_id + i, " ".join(f"tok{base_id}_{i}_{j}" for j in range(20)) + ".")
+        for i in range(n)
+    ] + [(base_id + n, "copyme " + " ".join(f"dup{j}" for j in range(19)) + ".")]
+
+
+def test_compacted_folds_keep_plan_depth_constant_and_rebuild_parity(
+    spark, tmp_path
+):
+    """Three folds with a compaction after each: every state frame's
+    plan stays a ZERO-union bucketed-table scan after each cycle (the
+    constant-depth contract), and the output matches a full rebuild at
+    the frozen banding at EVERY step — compaction is value-lossless."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+        prepare_clean_filter_dedup,
+    )
+
+    old_rows = _batch(0, 6)
+    old = _corpus(spark, old_rows)
+    n_old = old.count()
+    state = clean_filter_dedup_state(old, corpus_n=n_old, **LOOSE)
+
+    frames = ("survivors", "band_keys", "dg_members", "rep_digests", "pairs", "output")
+    all_rows = list(old_rows)
+    depths_after_compact = []
+    for fold in range(3):
+        rows = _batch(100 * (fold + 1))
+        all_rows += rows
+        state = clean_filter_dedup_apply(
+            _corpus(spark, rows),
+            state,
+            compact_to=f"cmp_test_f{fold}",
+            compact_path=str(tmp_path / f"f{fold}"),
+            **LOOSE,
+        )
+        # every frame is now a table scan: no Union, no checkpoint leaf
+        for key in frames:
+            p = _plan(state[key])
+            assert _union_depth(state[key]) == 0, (fold, key, p)
+            assert "LogicalRDD" not in p and "ExistingRDD" not in p, (fold, key)
+        depths_after_compact.append(
+            sum(_union_depth(state[k]) for k in frames)
+        )
+        # rebuild parity THROUGH the compaction, at every step
+        full = prepare_clean_filter_dedup(
+            _corpus(spark, all_rows), corpus_n=n_old, **LOOSE
+        )
+        assert _rows(state["output"]) == _rows(full), fold
+
+    # constant across >= 3 fold+compact cycles (trivially all zero)
+    assert depths_after_compact == [0, 0, 0]
+
+    # a fold WITHOUT compaction grows exactly the documented one thin
+    # union on the collapse frames — compaction is what resets it
+    state_nc = clean_filter_dedup_apply(
+        _corpus(spark, _batch(900)), state, **LOOSE
+    )
+    for key in ("band_keys", "dg_members", "rep_digests", "pairs"):
+        assert _union_depth(state_nc[key]) >= 1, key
+
+
+def test_compaction_buckets_frames_on_their_join_keys(spark, tmp_path):
+    """The compacted tables are BUCKETED on the key each frame's
+    refresh consumer joins on (band_keys by (band, band_key),
+    dg_members by __rep) — the durable layout the state docstrings
+    promise for the 100 TB run."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_state,
+        compact_state,
+    )
+
+    old = _corpus(spark, _batch(0, 6))
+    state = clean_filter_dedup_state(old, corpus_n=old.count(), **LOOSE)
+    frames = ("band_keys", "dg_members", "rep_digests", "pairs", "output")
+    expected = {key: _rows(state[key]) for key in frames}
+    compacted = compact_state(
+        state, "cmp_bucket_test", base_path=str(tmp_path), n_buckets=4
+    )
+    # find the generation-stamped table names back from the catalog
+    tables = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("cmp_bucket_test_")
+    }
+
+    def table_for(frame):
+        return next(t for t in tables if t.endswith("_" + frame))
+
+    # bucket spec survives in the catalog (DESCRIBE EXTENDED)
+    def bucket_line(table):
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        return {r.col_name: r.data_type for r in rows}
+
+    bk = bucket_line(table_for("band_keys"))
+    assert "Bucket Columns" in bk and "band" in bk["Bucket Columns"]
+    dg = bucket_line(table_for("dg_members"))
+    assert "__rep" in dg["Bucket Columns"]
+    # values identical to the source frames
+    for key in frames:
+        assert _rows(compacted[key]) == expected[key], key
+    # scalars pass through
+    assert compacted["bands"] == state["bands"]
+    assert compacted["rows"] == state["rows"]
+    # the retire contract: compaction's phase 2 unpersisted the
+    # superseded state's checkpoint blocks, so reading the OLD dict's
+    # frames now fails on the missing blocks (the documented
+    # two-phase-swap semantic; pass unpersist_superseded=False to
+    # keep the old generation readable)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError, match="CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"):
+        state["band_keys"].count()
+
+
+def test_compaction_retires_superseded_checkpoint_blocks(spark, tmp_path):
+    """Compaction's phase 2: once the new generation's tables are
+    written, the superseded state's checkpoint-backed leaves are
+    unpersisted DETERMINISTICALLY (measured: the driver never GCs the
+    old plans within a folding session, so ContextCleaner-based
+    release simply does not happen). Pinned: across 3 fold+compact
+    cycles the persistent-RDD count returns to (or below) the
+    post-build baseline instead of growing one block set per fold —
+    the build's own checkpoints are retired by the first fold's
+    compaction, so the count must not exceed the baseline."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    old = _corpus(spark, _batch(0, 6))
+    state = clean_filter_dedup_state(old, corpus_n=old.count(), **LOOSE)
+    state["output"].count()
+    baseline = n_persistent()
+
+    counts = []
+    for fold in range(3):
+        state = clean_filter_dedup_apply(
+            _corpus(spark, _batch(100 * (fold + 1))),
+            state,
+            compact_to=f"cmp_gc_f{fold}",
+            compact_path=str(tmp_path / f"g{fold}"),
+            **LOOSE,
+        )
+        counts.append(n_persistent())
+    state["output"].count()
+    # no growth across cycles: every fold's deltas AND the previous
+    # generation's blocks were retired at compaction time
+    assert counts == sorted(counts, reverse=True) or max(counts) <= baseline, (
+        baseline,
+        counts,
+    )
+    assert counts[-1] <= baseline, (baseline, counts)

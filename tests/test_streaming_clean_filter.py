@@ -24,7 +24,7 @@ SCHEMA = T.StructType(
 )
 
 
-def _run_stream(spark, tmp_path, old_rows, batches):
+def _run_stream(spark, tmp_path, old_rows, batches, **sink_opts):
     from build_datawarehouse_demo_spark.plans.training_data import (
         clean_filter_dedup_state,
     )
@@ -47,6 +47,7 @@ def _run_stream(spark, tmp_path, old_rows, batches):
         .load(feed),
         holder,
         checkpoint_dir=str(tmp_path / "ckpt"),
+        **sink_opts,
         **LOOSE,
     )
     assert q.awaitTermination(180)
@@ -109,3 +110,54 @@ def test_stream_fold_of_fully_redelivered_batch_is_noop(spark, tmp_path):
         tuple(r) for r in want["output"].collect()
     )
     assert state["survivors"].count() == len(old_rows) + 1
+
+
+def test_stream_compaction_hook_keeps_state_flat_and_correct(spark, tmp_path):
+    """compact_every=1 (r15 ADVICE): every fold compacts the refreshed
+    state to bucketed tables and retires the superseded blocks, so
+    after the stream drains the state frames are ZERO-union table
+    scans (no per-fold plan growth) and the output still equals the
+    full batch rebuild over the union."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        prepare_clean_filter_dedup,
+    )
+
+    old_rows = [(i, " ".join(f"c{i}_{j}" for j in range(22)) + ".") for i in range(4)]
+    b1 = [(50, " ".join(f"s1_{j}" for j in range(20)) + ".")]
+    b2 = [(60, " ".join(f"s2_{j}" for j in range(20)) + ".")]
+    state = _run_stream(
+        spark,
+        tmp_path,
+        old_rows,
+        [b1, b2],
+        compact_every=1,
+        compact_to="strm_cmp_test",
+        compact_path=str(tmp_path / "cmp"),
+    )
+    for key in ("survivors", "band_keys", "dg_members", "rep_digests", "pairs", "output"):
+        p = state[key]._jdf.queryExecution().analyzed().toString()
+        assert "Union" not in p and "LogicalRDD" not in p, key
+    full = prepare_clean_filter_dedup(
+        spark.createDataFrame(old_rows + b1 + b2, "doc_id long, text string"),
+        corpus_n=len(old_rows),
+        **LOOSE,
+    )
+    assert sorted(tuple(r) for r in state["output"].collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+
+
+def test_stream_compact_every_requires_prefix(spark):
+    import pytest
+
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_clean_filter_state_append,
+    )
+
+    with pytest.raises(ValueError, match="compact_to"):
+        stream_clean_filter_state_append(
+            spark.readStream.format("rate").load(),
+            {"state": {}},
+            checkpoint_dir="/tmp/never",
+            compact_every=2,
+        )
