@@ -1390,6 +1390,151 @@ def prepare_clean_filter_dedup_incremental(
 
 
 # ---------------------------------------------------------------------------
+# frozen-banding migration (r15, VERDICT r14 item 2): re-train the
+# incremental state's LSH banding when the corpus outgrows its build point.
+# ---------------------------------------------------------------------------
+
+
+def _rebanded_collapse_frames(
+    state: dict,
+    new_bands: int,
+    new_rows: int,
+    id_col: str,
+    shingle_k: int,
+    threshold: float,
+) -> dict:
+    """Re-sign the state's digest-group REPS at a new (bands, rows) and
+    recompute the rep-level pair set — the shared core of a banding
+    migration. Reps-only cost: ONE distinct-content scan (survivors
+    semi-joined to the rep ids, re-shingled), one signature pass over
+    reps, one banded self-join, one verify, one expansion through the
+    stored member map. The member map, digests and survivors are
+    untouched — no member is ever re-shingled.
+
+    Returns {band_keys, pairs}, both checkpointed. The recomputed
+    pairs are exactly what a full rebuild at the new banding verifies:
+    candidacy and jaccard depend only on the shingle set (the digest-
+    collapse losslessness argument), and within-group pairs regenerate
+    at jaccard 1.0 regardless of banding (identical signatures collide
+    in every band)."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures_from_arrays,
+        shingle_arrays,
+    )
+
+    rep_ids = state["rep_digests"].select(id_col)
+    rep_sh = shingle_arrays(
+        state["survivors"].join(rep_ids, id_col, "left_semi"),
+        id_col,
+        "cleaned",
+        shingle_k,
+    ).select(id_col, "shingles")
+    sigs = minhash_signatures_from_arrays(rep_sh, new_bands * new_rows, id_col)
+    band_keys = lsh_band_keys(
+        sigs, new_bands * new_rows, new_bands, id_col
+    ).localCheckpoint()
+    rep_cand = _rep_band_self_candidates(band_keys, id_col)
+    rep_pairs = _verify_jaccard_pairs(rep_cand, rep_sh, rep_sh, threshold, id_col)
+    # rep-level self rows for _expand_rep_pairs' within-group pass:
+    # (id == __rep, group size, shingle count) — derived from the
+    # stored member map + the rep arrays, never from member text
+    gn = state["dg_members"].groupBy("__rep").agg(F.count("*").alias("__gn"))
+    self_reps = (
+        rep_sh.select(F.col(id_col), F.size("shingles").alias("__nsh"))
+        .join(gn, F.col(id_col) == F.col("__rep"))
+        .select(F.col(id_col), "__rep", "__gn", "__nsh")
+    )
+    pairs = _expand_rep_pairs(
+        rep_pairs, self_reps, state["dg_members"], id_col, threshold
+    ).localCheckpoint()
+    return {"band_keys": band_keys, "pairs": pairs}
+
+
+def migrate_clean_filter_banding(
+    state: dict,
+    corpus_n: int,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> dict:
+    """Re-train a clean_filter_dedup_state's FROZEN banding for the
+    corpus size it has grown to (VERDICT r14 item 2). The frozen
+    banding is correct forever — per-pair recall is n-independent —
+    but candidate volume per band key grows with the distinct-rep
+    count: once the corpus outgrows the build-time auto-params point,
+    minhash_auto_params would have chosen more rows per band (the
+    background-collision law), and every subsequent apply pays the
+    difference (the measured 0.241 neardup-apply exponent's visible
+    edge). Migration re-signs the REPS at
+    ``minhash_auto_params(corpus_n)`` and swaps the state's band keys
+    and pair set — reps-only cost, one distinct-content scan — then
+    rebuilds components and output from the new pairs (rep-scale; the
+    filter front and member shingling are never re-run).
+
+    No-op when the auto params are unchanged, so callers can invoke it
+    on a corpus-size ratio trigger (e.g. every fold with
+    ``corpus_n=<running count>`` — the boundary crossings are sparse:
+    auto params move at ~100/2k/50k/1M docs).
+
+    EXACT rebuild parity at the NEW params (the oracle contract,
+    pipeline_clean_filter_dedup_migrated): the recomputed pair set is
+    what a full rebuild at the new banding verifies (see
+    _rebanded_collapse_frames); components and the hash split are pure
+    functions of pairs and ids. A pair the OLD banding caught that the
+    new banding misses is dropped — matching the rebuild, which never
+    sees it.
+
+    Returns the same dict shape; survivors / dg_members / rep_digests
+    pass through untouched. The superseded band_keys/pairs/output
+    frames are NOT retired here (the caller may still hold the old
+    state); compact the migrated state to retire them.
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        minhash_auto_params,
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    new_bands, new_rows = minhash_auto_params(
+        corpus_n, threshold=jaccard_threshold
+    )
+    if (new_bands, new_rows) == (state["bands"], state["rows"]):
+        return state
+    rebanded = _rebanded_collapse_frames(
+        state, new_bands, new_rows, id_col, shingle_k, jaccard_threshold
+    )
+    pairs = rebanded["pairs"]
+    comp = connected_components_star(pairs)
+    reps = (
+        state["survivors"]
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .filter(F.col("component_id") == F.col(id_col))
+        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
+    )
+    output = (
+        train_val_test_split(reps, id_col, val_frac=val_frac, test_frac=test_frac)
+        .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+        .localCheckpoint()
+    )
+    return {
+        "bands": new_bands,
+        "rows": new_rows,
+        "survivors": state["survivors"],
+        "band_keys": rebanded["band_keys"],
+        "dg_members": state["dg_members"],
+        "rep_digests": state["rep_digests"],
+        "pairs": pairs,
+        "output": output,
+    }
+
+
+# ---------------------------------------------------------------------------
 # state compaction (r15, VERDICT r14 item 1): the production answer the
 # refresh docstrings promise — write the state frames to bucketed parquet
 # and reload, so plan depth and retained checkpoint blocks stay CONSTANT

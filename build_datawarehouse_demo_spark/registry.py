@@ -176,6 +176,9 @@ def _load_all() -> None:
         register_round14_logreg_train,
         register_round14_streaming_clean_filter,
     )
+    from build_datawarehouse_demo_spark.registry_round15 import (  # noqa
+        register_round15_banding_migration,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -234,6 +237,7 @@ def _load_all() -> None:
     register_round14_epoch_capped_mix()
     register_round14_logreg_train()
     register_round14_streaming_clean_filter()
+    register_round15_banding_migration()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}
