@@ -104,9 +104,12 @@ def pageify(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-def _pageify_sql(tok_text: str) -> str:
+def _pageify_sql(tok_text: str, doc_where: str = "") -> str:
     """The pageify view in DuckDB — same 8-word chunks, same
-    punctuation cycle, same marker lines."""
+    punctuation cycle, same marker lines. ``doc_where`` (r15) bounds
+    the corpus (e.g. " WHERE doc_id < 250") so an expensive composed
+    key can run on a smaller fixed slice — the Spark side must apply
+    the identical filter."""
     return rf"""pages AS (
           SELECT doc_id,
                  array_to_string(
@@ -121,11 +124,13 @@ def _pageify_sql(tok_text: str) -> str:
                      CASE WHEN doc_id % 19 = 0
                           THEN ['{_BRACE_LINE}'] ELSE CAST([] AS VARCHAR[]) END),
                    chr(10)) AS text
-          FROM documents
+          FROM documents{doc_where}
         )"""
 
 
-def _clean_filter_dedup_sql(mb: int, mr: int, w_sql: str) -> str:
+def _clean_filter_dedup_sql(
+    mb: int, mr: int, w_sql: str, doc_where: str = ""
+) -> str:
     """The WHOLE composed chain as one DuckDB query: pageify → C4 →
     Gopher quality → Gopher repetition → classifier → MinHash-LSH
     near-dup (banding supplied, candidates bucket-joined, exact-Jaccard
@@ -139,7 +144,7 @@ def _clean_filter_dedup_sql(mb: int, mr: int, w_sql: str) -> str:
     mnh = mb * mr
     split_hash = _HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")
     return rf"""
-        WITH RECURSIVE {_pageify_sql(_tok_of("text"))},
+        WITH RECURSIVE {_pageify_sql(_tok_of("text"), doc_where)},
         c4d AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM pages),
         c4k AS (
           SELECT doc_id, text, lines,

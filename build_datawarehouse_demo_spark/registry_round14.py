@@ -325,14 +325,24 @@ def register_round14_streaming_clean_filter() -> None:
     )
 
     _N_DOCS = _driver_rows("documents", 500)
-    _SPLIT_AT = (3 * _N_DOCS) // 4
+    # r15 (VERDICT r14 item 6): this was the slowest correctness key in
+    # the registry — the streaming semantics (two micro-batches + a
+    # redelivery + the state fold) are corpus-size-independent, so the
+    # key runs on a FIXED HALF-CORPUS slice; the oracle bounds its
+    # corpus with the identical doc_id predicate. Banding pins derive
+    # from the slice through the same functions the implementation
+    # calls (the fixture-derived-pin discipline).
+    _LIM = _N_DOCS // 2
+    _SPLIT_AT = (3 * _LIM) // 4
     _N_OLD = _driver_old_subset_count(_SPLIT_AT)
     _MB, _MR = minhash_auto_params(_N_OLD)
     _W_SQL = "[" + ", ".join(repr(x) for x in default_classifier_weights(_QC_DIM)) + "]"
 
     @register(
         "streaming_clean_filter_incremental",
-        oracle=_clean_filter_dedup_sql(_MB, _MR, _W_SQL),
+        oracle=_clean_filter_dedup_sql(
+            _MB, _MR, _W_SQL, doc_where=f" WHERE doc_id < {_LIM}"
+        ),
     )
     def q_streaming_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming curation maintenance end-to-end
@@ -363,11 +373,16 @@ def register_round14_streaming_clean_filter() -> None:
             stream_clean_filter_state_append,
         )
 
-        docs = pageify(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        all_docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        n_all = all_docs.count()
+        lim = n_all // 2
+        docs = pageify(all_docs.filter(F.col("doc_id") < lim))
         n = docs.count()
         split_at = (3 * n) // 4
         old = docs.filter(F.col("doc_id") < split_at)
-        new = docs.filter(F.col("doc_id") >= split_at)
+        new = docs.filter(
+            (F.col("doc_id") >= split_at) & (F.col("doc_id") < lim)
+        )
         knobs = dict(
             min_words=_GQ_MINW,
             min_stopword_hits=_GQ_STOP,
