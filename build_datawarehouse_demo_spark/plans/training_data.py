@@ -1534,6 +1534,156 @@ def migrate_clean_filter_banding(
     }
 
 
+def migrate_training_data_neardup_banding(
+    state: dict,
+    corpus_n: int,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    span_window: int = 5,
+    span_min_docs: int = 2,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> dict:
+    """Re-train a training_data_neardup_state's FROZEN banding — the
+    neardup-pipeline twin of migrate_clean_filter_banding, sharing the
+    same rep-resign core (_rebanded_collapse_frames: one distinct-
+    content scan, band keys + member-level pairs recomputed at
+    ``minhash_auto_params(corpus_n)``). The extra work here is the
+    SPAN stage: the pipeline's output carries span-cleaned text whose
+    gram statistics are computed over the REP set, and re-banding can
+    change that set (components merge under pairs the new banding
+    catches; they can split under pairs it misses). The refresh is the
+    apply's span-delta machinery re-aimed at the rep-set diff:
+
+    - dropped reps (component min fell below them under new pairs) and
+      ADDED reps (their component lost its bridging pair) mark their
+      grams' digests changed;
+    - affected docs = any refreshed rep sharing a changed digest, plus
+      every added rep; they rebuild with remove_spans_given_owners
+      against stats over the refreshed global gram table restricted to
+      their digests; untouched reps reuse their stored output rows
+      verbatim (their grams' dup status and owner provably did not
+      change — counts and owners move only via dropped/added reps'
+      grams, and those digests are all marked).
+
+    No-op when the auto params are unchanged. Returns the same dict
+    shape; survivors / dg_members / rep_digests / text_digests pass
+    through untouched. EXACT rebuild parity at the NEW params (oracle
+    pipeline_training_data_neardup_migrated): pairs match the rebuild
+    by the rep-resign argument, components and the split are pure
+    functions of pairs and ids, and the span stage recomputes exactly
+    the rows whose statistics could differ.
+    """
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+        minhash_auto_params,
+        remove_spans_given_owners,
+        _window_gram_rows,
+    )
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    new_bands, new_rows = minhash_auto_params(
+        corpus_n, threshold=jaccard_threshold
+    )
+    if (new_bands, new_rows) == (state["bands"], state["rows"]):
+        return state
+    rebanded = _rebanded_collapse_frames(
+        state, new_bands, new_rows, id_col, shingle_k, jaccard_threshold
+    )
+    pairs = rebanded["pairs"]
+    surv = state["survivors"]
+    old_rep_ids = state["rep_ids"]
+    old_grams = state["rep_grams"]
+
+    comp = connected_components_star(pairs)
+    rep_ids = (
+        surv.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .filter(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
+        .select(id_col)
+        .localCheckpoint()
+    )
+    dropped = old_rep_ids.join(rep_ids, id_col, "left_anti").localCheckpoint()
+    added = rep_ids.join(old_rep_ids, id_col, "left_anti").localCheckpoint()
+
+    # span refresh over the rep-set diff (the apply's delta machinery)
+    added_grams = _window_gram_rows(
+        surv.join(added, id_col, "left_semi").select(id_col, "cleaned"),
+        id_col,
+        "cleaned",
+        span_window,
+    ).localCheckpoint()
+    dropped_grams = old_grams.join(dropped, id_col)
+    kept_old_grams = old_grams.join(dropped, id_col, "left_anti")
+    grams_union = kept_old_grams.union(added_grams)
+    changed_digests = (
+        added_grams.select("gram_md5")
+        .union(dropped_grams.select("gram_md5"))
+        .distinct()
+    )
+    affected_ids = (
+        grams_union.join(changed_digests, "gram_md5")
+        .select(id_col)
+        .union(added.select(id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    digests_needed = (
+        grams_union.join(affected_ids, id_col).select("gram_md5").distinct()
+    )
+    owners = (
+        grams_union.join(digests_needed, "gram_md5")
+        .groupBy("gram_md5")
+        .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__owner"))
+        .filter(F.col("__nd") >= span_min_docs)
+        .select("gram_md5", "__owner")
+    )
+    affected_docs = (
+        surv.join(rep_ids, id_col, "left_semi")
+        .join(affected_ids, id_col)
+        .localCheckpoint()
+    )
+    rebuilt = remove_spans_given_owners(
+        affected_docs.select(id_col, "cleaned"), owners, id_col, "cleaned", span_window
+    )
+    recomputed = (
+        affected_docs.select(id_col, "pred_lang", "quality")
+        .join(rebuilt, id_col)
+        .select(
+            id_col,
+            "pred_lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            F.col(id_col).alias("component_id"),
+            "cleaned_text",
+            "n_tokens_removed",
+        )
+    )
+    recomputed_out = train_val_test_split(
+        recomputed, id_col, val_frac=val_frac, test_frac=test_frac
+    ).localCheckpoint()
+    reused = state["output"].join(rep_ids, id_col, "left_semi").join(
+        affected_ids, id_col, "left_anti"
+    )
+    output = reused.unionByName(recomputed_out)
+    return {
+        "bands": new_bands,
+        "rows": new_rows,
+        "survivors": surv,
+        "band_keys": rebanded["band_keys"],
+        "dg_members": state["dg_members"],
+        "rep_digests": state["rep_digests"],
+        "text_digests": state["text_digests"],
+        "pairs": pairs,
+        "rep_ids": rep_ids,
+        "rep_grams": grams_union,
+        "output": output,
+    }
+
+
 # ---------------------------------------------------------------------------
 # state compaction (r15, VERDICT r14 item 1): the production answer the
 # refresh docstrings promise — write the state frames to bucketed parquet

@@ -178,6 +178,7 @@ def _load_all() -> None:
     )
     from build_datawarehouse_demo_spark.registry_round15 import (  # noqa
         register_round15_banding_migration,
+        register_round15_neardup_migration,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
@@ -238,6 +239,7 @@ def _load_all() -> None:
     register_round14_logreg_train()
     register_round14_streaming_clean_filter()
     register_round15_banding_migration()
+    register_round15_neardup_migration()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -260,7 +260,7 @@ def register_extensions() -> None:
         "dedup_cluster_components",
         oracle=f"""
         WITH RECURSIVE {_simhash_pair_ctes},
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT id_a AS s, id_b AS d FROM pairs
           UNION SELECT id_b, id_a FROM pairs
         ),

@@ -103,3 +103,54 @@ def register_round15_banding_migration() -> None:
         state = migrate_clean_filter_banding(state, corpus_n=b1.count() + old.count())
         assert (state["bands"], state["rows"]) == (_MB1, _MR1)
         return prepare_clean_filter_dedup_incremental(b2, state, **knobs)
+
+
+def register_round15_neardup_migration() -> None:
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.registry_round9 import neardup_full_chain_sql
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _BUILD_AT = _N_DOCS // 5
+    _MIGRATE_AT = (3 * _N_DOCS) // 4
+    _N_MIG = _driver_old_subset_count(_MIGRATE_AT)
+    _MB1, _MR1 = minhash_auto_params(_N_MIG)
+
+    @register(
+        "pipeline_training_data_neardup_migrated",
+        oracle=neardup_full_chain_sql(_MB1, _MR1),
+    )
+    def q_training_neardup_migrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Banding migration for the NEARDUP pipeline state
+        (plans/training_data.migrate_training_data_neardup_banding):
+        same rep-resign core as the clean-stack key, plus the SPAN
+        refresh — re-banding can change the component-rep set, so the
+        migration re-runs the apply's span-delta machinery over the
+        rep-set diff (dropped + added reps mark their grams' digests
+        changed; only affected docs rebuild). Build at n/5 (banding
+        (3,2) on the driver fixture), fold [n/5, 3n/4) frozen, migrate
+        at 3n/4 → (4,3), fold the last quarter at the migrated
+        banding; the oracle runs the full chain over ALL documents at
+        the MIGRATED params."""
+        from build_datawarehouse_demo_spark.plans.training_data import (
+            migrate_training_data_neardup_banding,
+            prepare_training_data_neardup_incremental,
+            training_data_neardup_apply,
+            training_data_neardup_state,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        n = docs.count()
+        build_at = n // 5
+        migrate_at = (3 * n) // 4
+        old = docs.filter(F.col("doc_id") < build_at)
+        b1 = docs.filter(
+            (F.col("doc_id") >= build_at) & (F.col("doc_id") < migrate_at)
+        )
+        b2 = docs.filter(F.col("doc_id") >= migrate_at)
+        state = training_data_neardup_state(old, corpus_n=old.count())
+        state = training_data_neardup_apply(b1, state)
+        state = migrate_training_data_neardup_banding(
+            state, corpus_n=b1.count() + old.count()
+        )
+        assert (state["bands"], state["rows"]) == (_MB1, _MR1)
+        return prepare_training_data_neardup_incremental(b2, state)

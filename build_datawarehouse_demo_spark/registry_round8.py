@@ -570,7 +570,7 @@ def register_round8_simhash_components() -> None:
           FROM reps a JOIN reps b ON a.rep_id < b.rep_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT id_a AS s, id_b AS d FROM rpairs
           UNION SELECT id_b, id_a FROM rpairs
         ),

@@ -182,7 +182,7 @@ def neardup_full_chain_sql(mb: int, mr: int) -> str:
                     AND a.doc_id < b.doc_id
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT i.id_a, i.id_b
           FROM (
             SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -195,7 +195,7 @@ def neardup_full_chain_sql(mb: int, mr: int) -> str:
           JOIN sizes nb ON nb.doc_id = i.id_b
           WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.8
         ),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT id_a AS s, id_b AS d FROM pairs
           UNION SELECT id_b, id_a FROM pairs
         ),
