@@ -101,7 +101,10 @@ def register_round15_banding_migration() -> None:
         state = clean_filter_dedup_state(old, corpus_n=old.count(), **knobs)
         state = clean_filter_dedup_apply(b1, state, **knobs)
         state = migrate_clean_filter_banding(state, corpus_n=b1.count() + old.count())
-        assert (state["bands"], state["rows"]) == (_MB1, _MR1)
+        if n == _N_DOCS:
+            # the pinned-fixture honesty check (see docstring); at other
+            # SFs the banding derives from the runtime count instead
+            assert (state["bands"], state["rows"]) == (_MB1, _MR1)
         return prepare_clean_filter_dedup_incremental(b2, state, **knobs)
 
 
@@ -152,5 +155,6 @@ def register_round15_neardup_migration() -> None:
         state = migrate_training_data_neardup_banding(
             state, corpus_n=b1.count() + old.count()
         )
-        assert (state["bands"], state["rows"]) == (_MB1, _MR1)
+        if n == _N_DOCS:
+            assert (state["bands"], state["rows"]) == (_MB1, _MR1)
         return prepare_training_data_neardup_incremental(b2, state)
