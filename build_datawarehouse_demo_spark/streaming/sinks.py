@@ -147,6 +147,7 @@ def stream_clean_filter_state_append(
     compact_every: int = 0,
     compact_to: str | None = None,
     compact_path: str | None = None,
+    migrate_banding: bool = False,
     **knobs,
 ):
     """Streaming corpus-curation maintenance (r14): each micro-batch
@@ -188,30 +189,80 @@ def stream_clean_filter_state_append(
     the run; for LONG-RUNNING streams pass ``compact_every=N`` (with
     ``compact_to`` as the table-name prefix and optionally
     ``compact_path``): every N folds the refreshed state is compacted
-    to bucketed parquet tables and the superseded blocks are retired
-    (plans/training_data.compact_state), holding plan depth and
-    retained blocks constant at the compaction cadence.
+    to bucketed parquet tables, the superseded blocks are retired, and
+    superseded table generations are garbage-collected
+    (plans/training_data.compact_state), holding plan depth, retained
+    blocks AND warehouse table count constant at the compaction
+    cadence. The cadence is derived from ``batch_id`` (r15 ADVICE), so
+    foreachBatch retries and checkpoint restarts neither double-count
+    nor reset it: compaction fires exactly on batches where
+    ``batch_id % compact_every == compact_every - 1``.
+
+    ``migrate_banding=True`` (r15 VERDICT) closes the frozen-banding
+    staleness loop for long-running streams: after every fold the
+    state's banding is re-trained for the corpus size it has grown to
+    (plans/training_data.migrate_clean_filter_banding with the running
+    survivor count) — a documented no-op between
+    minhash_auto_params boundaries (~100/2k/50k/1M docs), so the
+    per-fold cost between boundaries is one count over the survivor
+    frame's cached blocks; at a boundary it pays one reps-only re-sign
+    and the candidate volume stays bounded forever after (the measured
+    10.6x candidate blowup of a 400x-stale banding,
+    BENCH_BANDING_MIGRATION_r15_b100.json, is what this prevents).
+    Checkpoint leaves the migrated state no longer references are
+    retired immediately (retire_superseded_state).
     """
     from build_datawarehouse_demo_spark.plans.training_data import (
+        _persistent_rdd_ids,
+        _retire_persistent_rdds_since,
         clean_filter_dedup_apply,
+        compact_state,
+        migrate_clean_filter_banding,
+        retire_superseded_state,
     )
 
     if compact_every and not compact_to:
         raise ValueError("compact_every requires compact_to (table-name prefix)")
-    folds = {"n": 0}
+    # the migration op shares these knobs with the apply — they must
+    # describe the same pipeline parameters in both calls
+    mig_knobs = {
+        k: knobs[k]
+        for k in ("shingle_k", "jaccard_threshold", "val_frac", "test_frac")
+        if k in knobs
+    }
+    # retire scope for compaction, snapshotted at WIRING time: after a
+    # compacting fold, every frame is a table scan, so every RDD
+    # persisted since the stream started (hidden fold intermediates
+    # from ALL folds in the window, not just the compacting one) is
+    # garbage and is retired in one sweep — the bounded-blocks
+    # lifetime contract. Same concurrency caveat as the applies'
+    # compact_retire_fold_rdds: the sweep diffs the session-global
+    # persistent-RDD set, so do not run this stream alongside another
+    # job that persists RDDs it wants to keep.
+    scope0 = _persistent_rdd_ids(docs.sparkSession) if compact_every else None
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         seen = holder["state"]["survivors"].select(id_col)
         fresh = batch_df.join(seen, id_col, "left_anti")
-        folds["n"] += 1
-        compact_now = compact_every and folds["n"] % compact_every == 0
-        holder["state"] = clean_filter_dedup_apply(
-            fresh,
-            holder["state"],
-            compact_to=compact_to if compact_now else None,
-            compact_path=compact_path if compact_now else None,
-            **knobs,
+        compact_now = bool(compact_every) and (
+            batch_id % compact_every == compact_every - 1
         )
+        st = clean_filter_dedup_apply(fresh, holder["state"], id_col=id_col, **knobs)
+        if migrate_banding:
+            migrated = migrate_clean_filter_banding(
+                st, corpus_n=st["survivors"].count(), id_col=id_col, **mig_knobs
+            )
+            if migrated is not st:
+                # boundary crossed: free the replaced frames' blocks
+                # (band_keys/pairs/output), keep everything the
+                # migrated state still reads (survivors, member maps)
+                retire_superseded_state(st, migrated)
+                st = migrated
+        if compact_now:
+            st = compact_state(st, compact_to, base_path=compact_path, id_col=id_col)
+            _retire_persistent_rdds_since(spark, scope0)
+        holder["state"] = st
 
     return (
         docs.writeStream.foreachBatch(_apply)

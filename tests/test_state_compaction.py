@@ -139,6 +139,91 @@ def test_compaction_buckets_frames_on_their_join_keys(spark, tmp_path):
         state["band_keys"].count()
 
 
+def _prefix_tables(spark, prefix):
+    return sorted(
+        t.name for t in spark.catalog.listTables() if t.name.startswith(prefix + "_g")
+    )
+
+
+def test_compaction_gc_drops_superseded_generations(spark, tmp_path):
+    """Generation GC (r16, VERDICT r15 item 3): across 3 fold+compact
+    cycles on ONE prefix the warehouse holds exactly one generation's
+    tables — constant table count, the older generations' tables AND
+    their external files dropped once the new generation is committed
+    — and the generation number is seeded from the catalog (monotone
+    1, 2, 3), so a restarted process can never overwrite a live
+    predecessor generation. Output stays rebuild-exact with GC on."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+        prepare_clean_filter_dedup,
+    )
+
+    old_rows = _batch(0, 6)
+    old = _corpus(spark, old_rows)
+    n_old = old.count()
+    state = clean_filter_dedup_state(old, corpus_n=n_old, **LOOSE)
+
+    all_rows = list(old_rows)
+    counts = []
+    for fold in range(3):
+        rows = _batch(100 * (fold + 1))
+        all_rows += rows
+        state = clean_filter_dedup_apply(
+            _corpus(spark, rows),
+            state,
+            compact_to="cmp_gcgen",
+            compact_path=str(tmp_path / f"p{fold}"),
+            **LOOSE,
+        )
+        tables = _prefix_tables(spark, "cmp_gcgen")
+        counts.append(len(tables))
+        # only the newest generation remains, catalog-seeded monotone
+        assert tables and all(f"_g{fold + 1}_" in t for t in tables), tables
+        if fold > 0:
+            prev = tmp_path / f"p{fold - 1}"
+            leftover = list(prev.glob("cmp_gcgen_*"))
+            assert not leftover, leftover
+    # constant warehouse footprint across cycles
+    assert len(set(counts)) == 1 and counts[0] > 0, counts
+    full = prepare_clean_filter_dedup(
+        _corpus(spark, all_rows), corpus_n=n_old, **LOOSE
+    )
+    assert _rows(state["output"]) == _rows(full)
+
+
+def test_compaction_keep_superseded_retains_previous_generation(spark, tmp_path):
+    """unpersist_superseded=False keeps the pre-compaction dict
+    READABLE end-to-end: its checkpoint blocks stay persisted AND its
+    backing table generation survives the GC (effective keep >= 2);
+    a later default compaction retires both older generations."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_state,
+        compact_state,
+    )
+
+    old = _corpus(spark, _batch(0, 6))
+    state = clean_filter_dedup_state(old, corpus_n=old.count(), **LOOSE)
+    c1 = compact_state(state, "cmp_keepgen", base_path=str(tmp_path / "a"))
+    want = _rows(c1["output"])
+    c2 = compact_state(
+        c1,
+        "cmp_keepgen",
+        base_path=str(tmp_path / "b"),
+        unpersist_superseded=False,
+    )
+    tables = _prefix_tables(spark, "cmp_keepgen")
+    assert any("_g1_" in t for t in tables) and any("_g2_" in t for t in tables)
+    # the superseded dict still reads (its generation survived the GC)
+    assert _rows(c1["output"]) == want
+    assert _rows(c2["output"]) == want
+    # default compaction then drops BOTH older generations
+    c3 = compact_state(c2, "cmp_keepgen", base_path=str(tmp_path / "c"))
+    tables = _prefix_tables(spark, "cmp_keepgen")
+    assert tables and all("_g3_" in t for t in tables), tables
+    assert _rows(c3["output"]) == want
+
+
 def test_compaction_retires_superseded_checkpoint_blocks(spark, tmp_path):
     """Compaction's phase 2: once the new generation's tables are
     written, the superseded state's checkpoint-backed leaves are
