@@ -1749,10 +1749,22 @@ _STATE_BUCKET_COLS = {
     "output": None,  # id_col (reuse anti-join)
 }
 
-def _prefix_generations(spark, prefix: str) -> list[int]:
-    """Generation numbers of existing ``{prefix}_g{N}_{frame}`` tables
-    in the current database, sorted ascending."""
+def _prefix_generations(
+    spark, prefix: str, base_path: str | None = None
+) -> list[int]:
+    """Generation numbers of existing ``{prefix}_g{N}_{frame}`` state
+    tables, sorted ascending — from the CATALOG, the warehouse
+    directory, and ``base_path`` (external tables). The filesystem
+    scans matter for the restart case: with the default in-memory
+    catalog a new process sees no tables, but the previous process's
+    table DIRECTORIES survive, and saveAsTable refuses a managed
+    location that already exists (LOCATION_ALREADY_EXISTS) — so the
+    generation must be seeded past them. Non-posix warehouse schemes
+    (hdfs/s3a) skip the listing — deployments there run a persistent
+    metastore, which the catalog scan covers."""
+    import os
     import re
+    from urllib.parse import urlparse
 
     pat = re.compile(re.escape(prefix) + r"_g(\d+)_")
     gens = set()
@@ -1760,29 +1772,50 @@ def _prefix_generations(spark, prefix: str) -> list[int]:
         m = pat.match(t.name)
         if m:
             gens.add(int(m.group(1)))
+    dirs = [spark.conf.get("spark.sql.warehouse.dir", None), base_path]
+    for d in dirs:
+        if not d:
+            continue
+        u = urlparse(d)
+        if u.scheme not in ("", "file"):
+            continue
+        path = u.path or d
+        if not os.path.isdir(path):
+            continue
+        for name in os.listdir(path):
+            m = pat.match(name)
+            if m:
+                gens.add(int(m.group(1)))
     return sorted(gens)
 
 
-def _next_generation(spark, prefix: str) -> int:
-    """Seed the compaction generation from the CATALOG, not a process
-    counter (r15 ADVICE): a restarted process compacting to the same
-    prefix against a persistent warehouse must not overwrite the
-    previous process's generation-1 tables (a recovered reader may
-    still reference them) — max existing generation + 1 is monotone
-    across restarts by construction. In-session repeats are covered
-    too: saveAsTable registers each generation before the next is
-    numbered. (Concurrent compactions on the SAME prefix are not
-    supported — generations assume one compactor per prefix.)"""
-    gens = _prefix_generations(spark, prefix)
+def _next_generation(spark, prefix: str, base_path: str | None = None) -> int:
+    """Seed the compaction generation from the catalog AND the
+    warehouse/base_path directories, not a process counter (r15
+    ADVICE): a restarted process compacting to the same prefix must
+    not overwrite the previous process's tables — a recovered reader
+    may still reference them, and saveAsTable hard-fails on the
+    leftover managed location regardless. Max existing generation + 1
+    is monotone across restarts by construction; in-session repeats
+    are covered too (saveAsTable registers each generation before the
+    next is numbered). Concurrent compactions on the SAME prefix are
+    not supported — generations assume one compactor per prefix."""
+    gens = _prefix_generations(spark, prefix, base_path)
     return (gens[-1] + 1) if gens else 1
 
 
-def _drop_generation(spark, prefix: str, gen: int) -> None:
+def _drop_generation(
+    spark, prefix: str, gen: int, base_path: str | None = None
+) -> None:
     """Drop every table of one superseded generation, including the
     FILES of external tables (DROP TABLE removes only their metadata;
     the location is read from the catalog, so generations written under
     different ``compact_path`` roots GC correctly) — the storage half
-    of the two-phase swap's GC."""
+    of the two-phase swap's GC. Orphaned directories with no catalog
+    entry (a previous PROCESS's generation under an in-memory catalog)
+    are removed from the warehouse dir and ``base_path`` too, posix
+    schemes only."""
+    import os
     import re
     import shutil
     from urllib.parse import urlparse
@@ -1804,6 +1837,18 @@ def _drop_generation(spark, prefix: str, gen: int) -> None:
                 shutil.rmtree(u.path or loc, ignore_errors=True)
             # non-posix schemes (s3a, hdfs): leave files to the store's
             # lifecycle rules — the driver has no client for them here
+    for d in (spark.conf.get("spark.sql.warehouse.dir", None), base_path):
+        if not d:
+            continue
+        u = urlparse(d)
+        if u.scheme not in ("", "file"):
+            continue
+        path = u.path or d
+        if not os.path.isdir(path):
+            continue
+        for name in os.listdir(path):
+            if pat.match(name):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def _persistent_rdd_ids(spark) -> set:
@@ -1952,7 +1997,7 @@ def compact_state(
     spark = next(
         v.sparkSession for v in state.values() if isinstance(v, DataFrame)
     )
-    gen = _next_generation(spark, prefix)
+    gen = _next_generation(spark, prefix, base_path)
     out: dict = {}
     for frame, val in state.items():
         if not isinstance(val, DataFrame):
@@ -1981,6 +2026,6 @@ def compact_state(
     # blocks retired — drop everything older than the newest
     # `keep_generations` (a kept pre-compaction dict keeps one extra)
     eff_keep = max(keep_generations, 1 if unpersist_superseded else 2)
-    for old_gen in _prefix_generations(spark, prefix)[:-eff_keep]:
-        _drop_generation(spark, prefix, old_gen)
+    for old_gen in _prefix_generations(spark, prefix, base_path)[:-eff_keep]:
+        _drop_generation(spark, prefix, old_gen, base_path)
     return out

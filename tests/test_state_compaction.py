@@ -224,6 +224,36 @@ def test_compaction_keep_superseded_retains_previous_generation(spark, tmp_path)
     assert _rows(c3["output"]) == want
 
 
+def test_compaction_seeds_generation_past_orphaned_directories(spark):
+    """The restart case (r15 ADVICE, hit live by the r16 outlier
+    tool): with the default in-memory catalog a NEW process sees no
+    tables, but the previous process's managed table directories
+    survive in the warehouse — saveAsTable hard-fails on an existing
+    location (LOCATION_ALREADY_EXISTS), so the generation seeds past
+    orphaned directories from the filesystem scan, and GC removes the
+    orphan once the new generation is committed."""
+    import os
+    from urllib.parse import urlparse
+
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_state,
+        compact_state,
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, "cmp_orphan_g1_survivors")
+    os.makedirs(orphan, exist_ok=True)
+    state = clean_filter_dedup_state(
+        _corpus(spark, _batch(0, 6)), corpus_n=7, **LOOSE
+    )
+    want = _rows(state["output"])
+    c = compact_state(state, "cmp_orphan")
+    tables = _prefix_tables(spark, "cmp_orphan")
+    assert tables and all("_g2_" in t for t in tables), tables
+    assert not os.path.isdir(orphan), "orphaned generation dir not GC'd"
+    assert _rows(c["output"]) == want
+
+
 def test_compaction_retires_superseded_checkpoint_blocks(spark, tmp_path):
     """Compaction's phase 2: once the new generation's tables are
     written, the superseded state's checkpoint-backed leaves are
