@@ -47,14 +47,14 @@ AUDITED = {
     "sim_ivf_trained": "trained IVF, linearized r8 + amortized quantizer r12 — centroids come from the persisted index's single-slot memo (supers/groups re-derived deterministically from the stored table), so the lane pays only the full-corpus two-level assignment + search per run; routing goes through ~sqrt(nlist) broadcast super-centroids then the gprobe routed groups (BNLJ stages are broadcast-centroid cross-scores BY DESIGN — the coarse-quantizer pattern; per-row width n^0.25, not sqrt(n)); the search join on the list id is an equi-join",
     "sim_ann_rp_lsh_auto_directed": "query-directed multiprobe — one staged projection pass per side; probe side fans out a CONSTANT 2^T subset-variants explode (no n_planes growth), bucket equi-join, exact-cosine rerank; NO dedup exchange (variants are distinct signatures) and NO cross/nested-loop join",
     "dedup_substring_spans": "substring-span dedup — tokenize+window explode (token-stream volume), partial/final count-distinct agg on 16-byte digests, equi-join of digest counts back to window rows; documents never shuffle",
-    "text_remove_duplicate_spans": "span removal — gram digests + owner agg, foreign-minus-protected cover anti-join, token-stream anti-join, ONE per-doc ordered re-aggregation; text crosses the wire once (the rebuild)",
+    "text_remove_duplicate_spans": "span removal (r16 shape) — gram digests + owner agg on ONE gram-keyed exchange, removed-position classification as a single (doc,pos) min-over-foreign-flags aggregate, per-doc array rebuild (array_except + element_at); documents never leave their rows — only removed positions shuffle",
     "dedup_simhash_collapse": "radius-0 simhash dedup — signature partial-aggs + ONE exchange on the signature for the min/count window; linear however clustered the corpus",
     "sample_temperature_mix": "temperature mixing — tiny per-source count agg, scalar-sum broadcast crossJoin, quota broadcast join, ONE exchange on source for the rank window",
     "graph_triangle_count": "degree-ordered triangles — hash aggs + equi-joins over (int,int) pairs only, edge list + oriented list checkpointed once (they are read 4x/2x; uncheckpointed the basket-pair derivation re-executed per reference: 166 Exchanges); never nested-loop",
     "join_interval_overlap": "gridded overlap join — both sides explode to grid cells, ONE equi-join on the cell id, residual overlap + overlap-start-cell claim as filters; the two BroadcastNestedLoopJoin lanes are the r8 long-interval SIDE-CHANNEL (>max_cells-span outliers broadcast against the other side — BY DESIGN, empty at this SF), never the row product",
     "streaming_session_window": "session windows — partial/final SessionWindow aggregation around one Exchange on (user_id); no join, no global window",
     "pipeline_star_schema_build": "full warehouse build — one composite DAG; dims broadcast into every date resolution, surrogate windows only above deduped dim-scale inputs",
-    "pipeline_training_data_neardup": "composed near-dup corpus prep (r9) — the final DAG reads the localCheckpoint'ed survivor/pair/representative tables (features, components' node+edge derivation and the rep join each paid ONCE; the un-checkpointed tail measured 40 repeated SortMergeJoins, now 12 joins / 13 exchanges at sf0.1); remaining wide ops are the span-removal digest exchanges and the per-doc rebuild",
+    "pipeline_training_data_neardup": "composed near-dup corpus prep (r9; span stage restructured r16) — the final DAG reads the localCheckpoint'ed survivor/pair/representative tables (features, components' node+edge derivation and the rep join each paid ONCE); the span stage reuses the checkpointed rep_grams-shaped gram frame, classifies removed positions in one (doc,pos) aggregate and rebuilds docs with array arithmetic — the former posexploded token-stream shuffle and sort-collect are gone (normalized 5.56 -> ~4.2-4.6 local)",
     "text_token_count_bpe": "BPE subword counting — a single codegen'd projection: 48 chained literal regexp_replace passes over the per-row symbol encoding; zero Exchange anywhere",
     "sim_ivf_index_append": "IVF append — build on the old corpus (sampled training + two-level assignment), then the batch assignment broadcasts the STORED centroids/supers (tiny), anti-joins stored ids, and appends through the bucketed writer; the only corpus-wide exchange is the bucketed write itself",
     "streaming_neardup_collapse_batch": "narrow simhash collapse — per-row signature folds in ONE projection (no explode), then a single exchange on the signature for the min/count window",
