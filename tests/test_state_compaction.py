@@ -224,6 +224,88 @@ def test_compaction_keep_superseded_retains_previous_generation(spark, tmp_path)
     assert _rows(c3["output"]) == want
 
 
+def test_apply_compact_keep_superseded_keeps_prefold_state_readable(
+    spark, tmp_path
+):
+    """The r15 ADVICE path: a compacting APPLY invalidates the caller's
+    pre-fold dict by default (phase 2 retires its blocks);
+    compact_keep_superseded=True threads unpersist_superseded=False
+    through, so a library caller that retains the old dict (e.g. for a
+    diff or rollback) can still read it, while the returned state is
+    fully compacted."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    old = _corpus(spark, _batch(0, 6))
+    state = clean_filter_dedup_state(old, corpus_n=old.count(), **LOOSE)
+    pre_fold_rows = _rows(state["output"])
+    refreshed = clean_filter_dedup_apply(
+        _corpus(spark, _batch(300)),
+        state,
+        compact_to="cmp_keepdict",
+        compact_path=str(tmp_path / "k"),
+        compact_keep_superseded=True,
+        **LOOSE,
+    )
+    # the PRE-FOLD dict is still readable (blocks kept)
+    assert _rows(state["output"]) == pre_fold_rows
+    # the returned state is compacted all the same
+    for key in ("survivors", "band_keys", "pairs", "output"):
+        p = refreshed[key]._jdf.queryExecution().analyzed().toString()
+        assert "Union" not in p and "LogicalRDD" not in p, key
+    # the fold folded something: the batch's copyme doc survives the
+    # front and joins the stored duplicate group (output unchanged —
+    # it loses the rep race; the other batch docs fail the digit-heavy
+    # hard filters by fixture design)
+    assert _rows(refreshed["survivors"]) != _rows(state["survivors"])
+    assert _rows(refreshed["output"]) == pre_fold_rows
+
+
+def test_apply_compact_retire_fold_rdds_opt_out(spark, tmp_path):
+    """compact_retire_fold_rdds=False (r15 ADVICE): the session-global
+    sweep of RDDs persisted during the fold is skipped — the opt-out
+    for callers whose CONCURRENT jobs persist RDDs in that window.
+    Observable single-threaded: after a compacting fold with the
+    sweep OFF, the fold's hidden intermediates stay persisted
+    (count > baseline); an identical fold with the default sweep
+    returns the count to <= baseline (the existing retire test)."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        _persistent_rdd_ids,
+        _retire_persistent_rdds_since,
+    )
+
+    old = _corpus(spark, _batch(0, 6))
+    state = clean_filter_dedup_state(old, corpus_n=old.count(), **LOOSE)
+    state["output"].count()
+    scope = _persistent_rdd_ids(spark)
+    refreshed = clean_filter_dedup_apply(
+        _corpus(spark, _batch(400)),
+        state,
+        compact_to="cmp_nosweep",
+        compact_path=str(tmp_path / "n"),
+        compact_retire_fold_rdds=False,
+        **LOOSE,
+    )
+    # fold-window RDDs retained: the sweep did not run (phase 2 still
+    # retired the superseded frames' LEAVES, but the hidden
+    # intermediates — components round labels etc. — are not leaves)
+    leftover = _persistent_rdd_ids(spark) - scope
+    assert leftover, "opted-out fold retained no fold-window RDDs"
+    # the manual sweep (what the default flag runs) clears exactly them
+    n = _retire_persistent_rdds_since(spark, scope)
+    assert n == len(leftover), (n, len(leftover))
+    assert not (_persistent_rdd_ids(spark) - scope)
+    # the compacted state is table-backed and unaffected by the sweep
+    assert refreshed["output"].count() > 0
+
+
 def test_compaction_seeds_generation_past_orphaned_directories(spark):
     """The restart case (r15 ADVICE, hit live by the r16 outlier
     tool): with the default in-memory catalog a NEW process sees no
@@ -240,7 +322,18 @@ def test_compaction_seeds_generation_past_orphaned_directories(spark):
         compact_state,
     )
 
+    import shutil
+
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # pre-clean: managed cmp_orphan_* directories PERSIST in the
+    # warehouse across pytest invocations (that persistence is the
+    # very thing under test) — start from a known slate
+    for name in os.listdir(wh):
+        if name.startswith("cmp_orphan_g"):
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    for t in list(spark.catalog.listTables()):
+        if t.name.startswith("cmp_orphan_g"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     orphan = os.path.join(wh, "cmp_orphan_g1_survivors")
     os.makedirs(orphan, exist_ok=True)
     state = clean_filter_dedup_state(
