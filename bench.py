@@ -174,6 +174,38 @@ HEADLINE = [
     # codegen'd projection family, already represented.
 ]
 
+#: Contention class of each headline lane (r17, VERDICT r16 item 2:
+#: the bench artifacts carried a shuffle anchor since r16 but nothing
+#: consumed it). "shuffle" lanes are normalized by the shuffle-JOIN
+#: anchor (_calibration_shuffle), everything else by the scan/agg
+#: anchor (_calibration) — so a box-state drift that hits exchange
+#: traffic differently than codegen scans (the measured r16 pattern:
+#: ±11.6% full-set swing on identical code) normalizes out per class
+#: instead of smearing across it. Rule, applied to the audited sf0.1
+#: physical plans (PLANS.md + a plan-only pass for the lanes not in
+#: the 59-plan audit): shuffle-class iff the plan has a
+#: ShuffledHashJoin/SortMergeJoin that actually exchanges, OR >= 8
+#: exchanges in the single-section plan — i.e. exchange traffic, not
+#: the scan/agg codegen span, dominates. join_bucketed_shuffle_free
+#: has SMJs but ZERO exchanges by design (that is the lane's point):
+#: scan-class. Unlisted lanes (BENCH_EXTRA/BENCH_ONLY additions)
+#: default to scan-class.
+LANE_CLASS = {
+    "dedup_minhash_lsh": "shuffle",
+    "dedup_minhash_lsh_auto": "shuffle",
+    "dedup_embedding_cosine_auto": "shuffle",
+    "dedup_substring_spans": "shuffle",
+    "sim_ivf_trained": "shuffle",
+    "graph_pagerank": "shuffle",
+    "join_levenshtein_band": "shuffle",
+    "sample_importance_dsir": "shuffle",
+    "text_perplexity_buckets": "shuffle",
+    "pipeline_training_data_neardup": "shuffle",
+    "pipeline_clean_filter_dedup": "shuffle",
+    "pipeline_rag_index_search": "shuffle",
+}
+
+
 WRITE_TABLES = ("lineitem", "orders", "events", "documents")
 
 #: calibration workload size — pinned forever so the anchor means the
@@ -349,6 +381,40 @@ def main() -> None:
     cal = round(statistics.median(cal_samples), 3)
     cal_shuffle = round(statistics.median(cal_shuffle_samples), 3)
     normalized = {name: round(t / cal, 3) for name, t in timings.items()}
+    # per-class normalization (r17): each lane divided by ITS class's
+    # anchor, plus per-class geomeans — the round-over-round comparison
+    # should read these, not the single-anchor map above (kept for
+    # artifact continuity with r1-r16).
+    normalized_class = {
+        name: round(t / (cal_shuffle if LANE_CLASS.get(name) == "shuffle" else cal), 3)
+        for name, t in timings.items()
+    }
+
+    def _geomean(vals: list[float]) -> float | None:
+        vals = [v for v in vals if v > 0]
+        if not vals:
+            return None
+        return round(
+            statistics.geometric_mean(vals), 3
+        )
+
+    gm_scan = _geomean(
+        [v for k, v in normalized_class.items() if LANE_CLASS.get(k) != "shuffle"]
+    )
+    gm_shuffle = _geomean(
+        [v for k, v in normalized_class.items() if LANE_CLASS.get(k) == "shuffle"]
+    )
+    # per-key sample spread (IQR), the stated noise band for each lane:
+    # a round-over-round delta inside a lane's own IQR/median band is
+    # box noise, not a regression (r16's measured ±11.6% full-set
+    # swing on identical code)
+    iqr = {}
+    for name, s in samples.items():
+        if len(s) >= 4:
+            q = statistics.quantiles(s, n=4)
+            iqr[name] = round(q[2] - q[0], 3)
+        else:
+            iqr[name] = round(max(s) - min(s), 3)
     # `value` keeps its round-over-round meaning: QUERY medians only.
     # The write-path median rides alongside in queries/samples but is
     # excluded from the sum (it measures the sink, not the queries).
@@ -364,6 +430,8 @@ def main() -> None:
         "sf": sf_val,
         "calibration_samples": cal_samples,
         "calibration_shuffle_samples": cal_shuffle_samples,
+        "iqr": iqr,
+        "lane_class": {n: LANE_CLASS.get(n, "scan") for n in timings},
     }
     # Stamp the side file per round (SPARK_GRAFT_ROUND, if the driver
     # exports one) so successive runs don't clobber a round's audit
@@ -393,6 +461,13 @@ def main() -> None:
                 "calibration": cal,
                 "calibration_shuffle": cal_shuffle,
                 "queries_normalized": normalized,
+                # r17: per-class normalization — each lane over ITS
+                # anchor (shuffle lanes over calibration_shuffle, the
+                # rest over calibration; see LANE_CLASS) + per-class
+                # geomeans. Round-over-round comparisons read these.
+                "queries_normalized_class": normalized_class,
+                "normalized_geomean_scan": gm_scan,
+                "normalized_geomean_shuffle": gm_shuffle,
             }
         )
     )

@@ -196,16 +196,23 @@ def stream_clean_filter_state_append(
     cadence. The cadence is derived from ``batch_id`` (r15 ADVICE), so
     foreachBatch retries and checkpoint restarts neither double-count
     nor reset it: compaction fires exactly on batches where
-    ``batch_id % compact_every == compact_every - 1``.
+    ``batch_id % compact_every == compact_every - 1``. The compacting
+    batch itself is retry-safe (r16 ADVICE): nothing is unpersisted or
+    GC'd until the new generation is fully written AND the holder
+    swap has committed, so a retry at any point either re-folds
+    against the intact pre-compaction state or replays an empty fold
+    against the compacted one.
 
     ``migrate_banding=True`` (r15 VERDICT) closes the frozen-banding
     staleness loop for long-running streams: after every fold the
     state's banding is re-trained for the corpus size it has grown to
     (plans/training_data.migrate_clean_filter_banding with the running
-    survivor count) — a documented no-op between
-    minhash_auto_params boundaries (~100/2k/50k/1M docs), so the
-    per-fold cost between boundaries is one count over the survivor
-    frame's cached blocks; at a boundary it pays one reps-only re-sign
+    survivor count, maintained INCREMENTALLY: seeded with one count at
+    wiring, then += the fold's O(batch) survivor delta — r16 ADVICE,
+    no corpus-sized count per micro-batch) — a documented no-op
+    between minhash_auto_params boundaries (~100/2k/50k/1M docs), so
+    the per-fold cost between boundaries is one cached-delta count;
+    at a boundary it pays one reps-only re-sign
     and the candidate volume stays bounded forever after (the measured
     10.6x candidate blowup of a 400x-stale banding,
     BENCH_BANDING_MIGRATION_r15_b100.json, is what this prevents).
@@ -217,6 +224,7 @@ def stream_clean_filter_state_append(
         _retire_persistent_rdds_since,
         clean_filter_dedup_apply,
         compact_state,
+        gc_generations,
         migrate_clean_filter_banding,
         retire_superseded_state,
     )
@@ -240,6 +248,14 @@ def stream_clean_filter_state_append(
     # persistent-RDD set, so do not run this stream alongside another
     # job that persists RDDs it wants to keep.
     scope0 = _persistent_rdd_ids(docs.sparkSession) if compact_every else None
+    if migrate_banding and holder["state"].get("n_survivors") is None:
+        # seed the incremental survivor counter ONCE at wiring (r16
+        # ADVICE: the hook formerly recounted the full survivor frame
+        # — a corpus-sized job — every micro-batch). Each fold's apply
+        # then adds its O(batch) delta count; a replayed batch folds
+        # an empty fresh set and adds 0, so the counter survives
+        # at-least-once delivery and restarts with the same holder.
+        holder["state"]["n_survivors"] = holder["state"]["survivors"].count()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -251,7 +267,7 @@ def stream_clean_filter_state_append(
         st = clean_filter_dedup_apply(fresh, holder["state"], id_col=id_col, **knobs)
         if migrate_banding:
             migrated = migrate_clean_filter_banding(
-                st, corpus_n=st["survivors"].count(), id_col=id_col, **mig_knobs
+                st, corpus_n=st["n_survivors"], id_col=id_col, **mig_knobs
             )
             if migrated is not st:
                 # boundary crossed: free the replaced frames' blocks
@@ -260,8 +276,32 @@ def stream_clean_filter_state_append(
                 retire_superseded_state(st, migrated)
                 st = migrated
         if compact_now:
-            st = compact_state(st, compact_to, base_path=compact_path, id_col=id_col)
+            # retry safety (r16 ADVICE): write the new generation and
+            # SWAP the live state before retiring anything — a
+            # foreachBatch retry between compaction and the swap must
+            # still find the pre-swap blocks and generation files
+            # readable (the former order unpersisted and GC'd first,
+            # so a retry failed permanently on missing checkpoint
+            # blocks). keep_generations=2 through the write; after
+            # the swap commits, retire the superseded leaves (the new
+            # frames are pure table scans, so this frees every old
+            # leaf), sweep hidden fold intermediates, and GC down to
+            # one generation. A crash mid-retire replays against the
+            # compacted holder state — the fold is then empty and the
+            # re-compaction supersedes this generation normally.
+            old = st
+            st = compact_state(
+                old,
+                compact_to,
+                base_path=compact_path,
+                id_col=id_col,
+                unpersist_superseded=False,
+                keep_generations=2,
+            )
+            holder["state"] = st
+            retire_superseded_state(old, st)
             _retire_persistent_rdds_since(spark, scope0)
+            gc_generations(spark, compact_to, base_path=compact_path)
         holder["state"] = st
 
     return (

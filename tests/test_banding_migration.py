@@ -107,3 +107,91 @@ def test_migration_composes_with_compaction(spark, tmp_path):
         _corpus(spark, old_rows + b1), corpus_n=2000, **LOOSE
     )
     assert _rows(state["output"]) == _rows(full)
+
+
+def test_apply_migrate_banding_flag_rebands_at_boundary(spark):
+    """migrate_banding=True on the BATCH apply (r17, VERDICT r16 item
+    4): folding across the ~100-doc auto-params boundary with the flag
+    on leaves the state re-banded at the grown corpus size and the
+    output identical to a full rebuild at the NEW params — the same
+    staleness loop the streaming sink's per-fold hook closes, without
+    the caller remembering migrate_clean_filter_banding itself. The
+    optional n_survivors counter (seeded once) supplies the corpus
+    size and is maintained per fold at O(batch) cost."""
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+        prepare_clean_filter_dedup,
+    )
+
+    old_rows = [
+        (i, " ".join(f"bm{i}_{j}" for j in range(20)) + ".") for i in range(80)
+    ]
+    b1 = [
+        (100 + i, " ".join(f"y1_{i}_{j}" for j in range(20)) + ".")
+        for i in range(15)
+    ]
+    b2 = [
+        (200 + i, " ".join(f"y2_{i}_{j}" for j in range(20)) + ".")
+        for i in range(14)
+    ]
+    # near-dup of old doc 10 arriving after the boundary crossing
+    b2.append((250, " ".join(f"bm10_{j}" for j in range(18)) + " qq1 qq2."))
+
+    state = clean_filter_dedup_state(
+        _corpus(spark, old_rows), corpus_n=len(old_rows), **LOOSE
+    )
+    state["n_survivors"] = state["survivors"].count()
+    p0 = (state["bands"], state["rows"])
+
+    st1 = clean_filter_dedup_apply(
+        _corpus(spark, b1), state, migrate_banding=True, **LOOSE
+    )
+    # 95 survivors: below the boundary, the hook is a no-op
+    assert st1["n_survivors"] == 95
+    assert (st1["bands"], st1["rows"]) == p0
+
+    st2 = clean_filter_dedup_apply(
+        _corpus(spark, b2), st1, migrate_banding=True, **LOOSE
+    )
+    n_final = st2["survivors"].count()
+    assert st2["n_survivors"] == n_final == 110
+    assert (st2["bands"], st2["rows"]) == minhash_auto_params(n_final) != p0
+
+    full = prepare_clean_filter_dedup(
+        _corpus(spark, old_rows + b1 + b2), corpus_n=n_final, **LOOSE
+    )
+    assert _rows(st2["output"]) == _rows(full)
+
+
+def test_neardup_apply_migrate_banding_flag(spark):
+    """The neardup-pipeline twin of the apply-level migration flag
+    (span stage included): one fold crossing the auto-params boundary
+    with migrate_banding=True — and WITHOUT a seeded n_survivors, so
+    the one-count fallback path is exercised — ends at the new params
+    with output identical to the full rebuild there."""
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        prepare_training_data_neardup,
+        training_data_neardup_apply,
+        training_data_neardup_state,
+    )
+    from tests.test_incremental_state_skew import _doc as _endoc
+
+    old_rows = [(i, _endoc(i)) for i in range(80)]
+    batch = [(100 + i, _endoc(100 + i)) for i in range(30)]
+    state = training_data_neardup_state(
+        _corpus(spark, old_rows), corpus_n=len(old_rows)
+    )
+    p0 = (state["bands"], state["rows"])
+    st = training_data_neardup_apply(
+        _corpus(spark, batch), state, migrate_banding=True
+    )
+    n_final = st["survivors"].count()
+    assert n_final > 100  # the boundary was crossed
+    assert (st["bands"], st["rows"]) == minhash_auto_params(n_final) != p0
+    full = prepare_training_data_neardup(
+        _corpus(spark, old_rows + batch), corpus_n=n_final
+    )
+    assert _rows(st["output"]) == _rows(full)

@@ -390,3 +390,38 @@ def test_compaction_retires_superseded_checkpoint_blocks(spark, tmp_path):
         counts,
     )
     assert counts[-1] <= baseline, (baseline, counts)
+
+
+def test_compaction_mixed_case_prefix_seeds_and_gcs(spark, tmp_path):
+    """Mixed-case compact_to (r16 ADVICE): Spark lowercases catalog
+    identifiers, so generation discovery must match case-insensitively
+    — otherwise _next_generation returns 1 forever, the second
+    compaction tries to overwrite the table the state is still
+    reading, and GC never fires. Two compaction cycles under a
+    MixedCase prefix must produce generations 1 then 2, leave exactly
+    one generation after GC, and keep rebuild parity."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        _prefix_generations,
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+        compact_state,
+        prepare_clean_filter_dedup,
+    )
+
+    old_rows = _batch(0, 5)
+    state = clean_filter_dedup_state(
+        _corpus(spark, old_rows), corpus_n=len(old_rows), **LOOSE
+    )
+    state = compact_state(state, "MixedCase_STATE", base_path=str(tmp_path))
+    assert _prefix_generations(spark, "mixedcase_state", str(tmp_path)) == [1]
+
+    rows2 = _batch(300)
+    state = clean_filter_dedup_apply(_corpus(spark, rows2), state, **LOOSE)
+    state = compact_state(state, "MixedCase_STATE", base_path=str(tmp_path))
+    # seeded past generation 1, which the GC then dropped
+    assert _prefix_generations(spark, "MixedCase_STATE", str(tmp_path)) == [2]
+
+    full = prepare_clean_filter_dedup(
+        _corpus(spark, old_rows + rows2), corpus_n=len(old_rows), **LOOSE
+    )
+    assert _rows(state["output"]) == _rows(full)

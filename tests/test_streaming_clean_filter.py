@@ -179,6 +179,9 @@ def test_stream_migration_hook_rebands_at_boundary(spark, tmp_path):
     )
     n_final = state["survivors"].count()
     assert n_final == 110
+    # the incremental survivor counter (r17: seeded once at wiring,
+    # += fold delta) tracks the frame count exactly
+    assert state["n_survivors"] == n_final
     # mid-stream: after batch 1 the count (95) is below the boundary
     assert minhash_auto_params(95) == minhash_auto_params(80)
     # the state was re-banded to the grown corpus's params
@@ -262,6 +265,9 @@ def test_stream_soak_compaction_gc_and_cadence_across_restarts(spark, tmp_path):
         )
         assert q.awaitTermination(300), session
         state = holder["state"]
+        # incremental survivor counter equals the frame count at every
+        # compaction point, across restarts with the same holder (r17)
+        assert state["n_survivors"] == state["survivors"].count(), session
         # the drain ended on batch_id 4/9/14/19 -> compacted state
         for key in frames:
             p = state[key]._jdf.queryExecution().analyzed().toString()
