@@ -112,10 +112,44 @@ def ivf_assign(
     (broadcast centroids, one narrow pass — this is the 'build the IVF
     index' step; at 100 TB it's a single map stage). top_n=1 is index
     build (each vector lives in ONE inverted list); top_n>1 is the
-    probe-side ``nprobe`` routing."""
+    probe-side ``nprobe`` routing.
+
+    top_n=1 (the hot path: every Lloyd iteration, every index build)
+    computes the argmax with a map-side-combining ``max_by`` aggregate
+    instead of a row_number window (r17): the scored join emits
+    |corpus|·|centroids| rows, and the former window SHUFFLED AND
+    SORTED all of them, where the aggregate collapses each vector's
+    centroid scores to one row inside the join's own partitions before
+    any exchange. Winner identical to the window's (sim desc,
+    centroid_id asc): the ordering key coalesces NULL cosines to -2 —
+    below the cosine range, so a zero-norm vector still loses to every
+    real score and an all-null row still assigns to the smallest
+    centroid id, exactly as nulls-last desc ordering did (cosine()
+    returns NULL, never NaN, for zero norms — see its docstring)."""
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
     cent = centroids.select(F.col(centroid_id_col), _as_double(vec_col).alias("__c"))
     scored = c.join(F.broadcast(cent)).withColumn("sim", cosine(F.col("__v"), F.col("__c")))
+    if top_n == 1:
+        ordk = F.struct(
+            F.coalesce(F.col("sim"), F.lit(-2.0)).alias("s"),
+            (-F.col(centroid_id_col)).alias("nc"),
+        )
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col(centroid_id_col).alias("__cid"), F.col("__v")
+                    ),
+                    ordk,
+                ).alias("__b")
+            )
+            .select(
+                id_col,
+                F.col("__b.__cid").alias(centroid_id_col),
+                F.col("__b.__v").alias("__v"),
+            )
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -788,14 +788,21 @@ def quality_classifier_score(
         clf_score = sigmoid(z),  kept = clf_score >= threshold
 
     Features are the ml_feature_hashing buckets (md5 token hash mod
-    ``dim``), assembled densely and length-normalized so the score is
-    scale-free in document length. Entirely inside one codegen'd scan:
-    a transform/filter HOF for the counts, the zip_with+aggregate fold
-    for the dot (the measured-fastest JVM-exact form — see the r9 note
-    at operators/similarity.dot), built-in exp for the sigmoid. Scores
-    round to 6dp before the threshold so verdicts are engine-portable.
-    Zero-token documents score NULL (no features = no verdict — kept
-    null, like the samplers' null-id discipline).
+    ``dim``), length-normalized so the score is scale-free in document
+    length. Entirely inside one codegen'd scan, and the dense feature
+    vector is never materialized (r17, the lane's measured hot term):
+    w · (bucket_counts / n) ≡ (Σ_t w[bucket(t)]) / n, so the dot is
+    ONE O(n_tokens) aggregate fold over the staged per-token buckets —
+    the former dense form (a filter scan of the bucket array per
+    feature index) was O(dim · n_tokens) per document in interpreted
+    HOF land and profiled as ~60% of pipeline_clean_filter_dedup's
+    sf0.1 wall. Summation order changes (per-token instead of
+    per-index), which moves the double by ~n·ulp ≪ the 6dp rounding
+    granularity — scores still round to 6dp before the threshold so
+    verdicts stay engine-portable (the same argument that already
+    covered Spark-vs-DuckDB accumulation order). Zero-token documents
+    score NULL (no features = no verdict — kept null, like the
+    samplers' null-id discipline).
     """
     from build_datawarehouse_demo_spark.operators.dedup import hash32
 
@@ -804,21 +811,14 @@ def quality_classifier_score(
     if len(weights) != dim:
         raise ValueError(f"need {dim} weights, got {len(weights)}")
     toks = tokens(text_col)
-    # stage per-token buckets first (ONE md5 per token), then count
-    # buckets with int comparisons: the direct transform-over-buckets/
-    # filter-over-tokens form recomputes the md5 `dim` times per token
-    # (HOFs are outside codegen subexpression elimination — the
-    # quality_score staging lesson; measured as the dominant term of
-    # the RAG lane's pre-fix 1.827 scale exponent, same shape).
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(F.filter(F.col("__cb"), lambda b: b == i)).cast("double"),
-    )
+    # stage per-token buckets first (ONE md5 per token — HOFs are
+    # outside codegen subexpression elimination, the quality_score
+    # staging lesson), then fold the weight lookup per token.
     wlit = F.array(*[F.lit(float(w)) for w in weights])
     dot = F.aggregate(
-        F.zip_with(F.col("__feat"), wlit, lambda x, y: x * y),
+        F.col("__cb"),
         F.lit(0.0),
-        lambda acc, v: acc + v,
+        lambda acc, b: acc + F.element_at(wlit, (b + F.lit(1)).cast("int")),
     )
     staged = (
         df.withColumn("__toks", toks)
@@ -827,7 +827,6 @@ def quality_classifier_score(
             "__cb",
             F.transform(F.col("__toks"), lambda t: F.pmod(hash32(t), F.lit(dim))),
         )
-        .withColumn("__feat", counts)
     )
     z = F.lit(float(bias)) + dot / F.col("__n")
     score = F.when(

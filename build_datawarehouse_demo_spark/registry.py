@@ -180,6 +180,9 @@ def _load_all() -> None:
         register_round15_banding_migration,
         register_round15_neardup_migration,
     )
+    from build_datawarehouse_demo_spark.registry_round17 import (  # noqa
+        register_round17_streaming_migration,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -240,6 +243,7 @@ def _load_all() -> None:
     register_round14_streaming_clean_filter()
     register_round15_banding_migration()
     register_round15_neardup_migration()
+    register_round17_streaming_migration()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -1,0 +1,169 @@
+"""Round-17 registry entries.
+
+Theme (VERDICT r16 item 7): oracle-pin the STREAMING banding-migration
+contract. r16's `migrate_banding=True` sink hook was pytest-pinned
+only; this key runs the real checkpointed stream whose survivor count
+crosses the minhash_auto_params boundary MID-STREAM, so the hook's
+incremental survivor counter, the rep-level re-sign, the
+retire-superseded step, and the post-migration fold are all under the
+DuckDB-oracle hash, end-to-end.
+
+Fixture geometry (no survivor-count pin needed — the plateau trick):
+the state is built on the first n/5 documents at their RAW count
+(~100 at the driver fixture → banding (3, 2)); the remaining 4n/5
+stream in TWO micro-batches. The filter front's survivor count is not
+statically knowable, but it only has to LAND IN A PLATEAU of the auto
+params step function — measured at the driver fixture: 28 survivors
+after the build, 82 after batch 1 (still (3, 2) — the hook no-ops),
+136 after batch 2 (→ (4, 3), the hook fires on the last fold). Any
+count in (100, 2000] yields (4, 3), so the oracle pins the MIGRATED
+params through the same plateau witness the r15 batch key uses
+(minhash_auto_params at the 3n/4 raw subset), and the in-key assert
+hard-fails if the fixture ever drifts out of the plateau — honest
+failure, never a silent param mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_datawarehouse_demo_spark.registry import register
+from build_datawarehouse_demo_spark.registry_round7 import _driver_rows, _t
+from build_datawarehouse_demo_spark.registry_round10 import _driver_old_subset_count
+
+
+def register_round17_streaming_migration() -> None:
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.operators.text import (
+        default_classifier_weights,
+    )
+    from build_datawarehouse_demo_spark.registry_round12 import (
+        _CLF_T,
+        _GQ_MINW,
+        _GQ_STOP,
+        _QC_DIM,
+        _TOPG,
+        _clean_filter_dedup_sql,
+        pageify,
+    )
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _BUILD_AT = _N_DOCS // 5
+    # plateau witness (see module docstring): the final SURVIVOR count
+    # lands in the same auto-params plateau as the 3n/4 raw subset
+    # (driver fixture: survivors 136, witness 375 — both (4, 3))
+    _N_MIG_WITNESS = _driver_old_subset_count((3 * _N_DOCS) // 4)
+    _MB1, _MR1 = minhash_auto_params(_N_MIG_WITNESS)
+    _W_SQL = "[" + ", ".join(repr(x) for x in default_classifier_weights(_QC_DIM)) + "]"
+
+    @register(
+        "streaming_clean_filter_migrated",
+        oracle=_clean_filter_dedup_sql(_MB1, _MR1, _W_SQL),
+    )
+    def q_streaming_clean_filter_migrated(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming banding migration end-to-end
+        (streaming/sinks.stream_clean_filter_state_append with
+        ``migrate_banding=True``): build clean_filter_dedup_state on
+        the first n/5 of the pageified corpus (banding auto-sized at
+        the RAW build count), stream the remaining 4n/5 through a
+        checkpointed availableNow parquet stream in TWO micro-batches,
+        and return the final state's output rows. The sink's per-fold
+        hook — fed by the incremental survivor counter it seeds at
+        wiring — re-bands the state when the survivor count crosses
+        the auto-params boundary mid-stream (measured: on the driver
+        fixture the crossing happens on batch 2) and retires the
+        superseded frames. The oracle is the full batch chain over ALL
+        documents at the MIGRATED params, so the hash match proves
+        stream folds + in-stream migration ≡ rebuild-at-new-params —
+        the oracle-level twin of the r16 pytest
+        test_stream_migration_hook_rebands_at_boundary. The in-key
+        asserts keep the key honest: the final banding must equal the
+        pinned migrated params (a fixture drift out of the plateau
+        fails loudly) and must differ from the build banding (a
+        vacuous no-op migration fails loudly too)."""
+        import shutil
+        import uuid
+
+        import pyspark.sql.types as T
+
+        from build_datawarehouse_demo_spark.plans.training_data import (
+            clean_filter_dedup_state,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+        from build_datawarehouse_demo_spark.streaming.sinks import (
+            stream_clean_filter_state_append,
+        )
+
+        docs = pageify(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        n = docs.count()
+        build_at = n // 5
+        mid = (build_at + n) // 2
+        old = docs.filter(F.col("doc_id") < build_at)
+        b1 = docs.filter((F.col("doc_id") >= build_at) & (F.col("doc_id") < mid))
+        b2 = docs.filter(F.col("doc_id") >= mid)
+        knobs = dict(
+            min_words=_GQ_MINW,
+            min_stopword_hits=_GQ_STOP,
+            max_top_gram_char_frac=_TOPG,
+            clf_dim=_QC_DIM,
+            clf_threshold=_CLF_T,
+        )
+        state0 = clean_filter_dedup_state(old, corpus_n=old.count(), **knobs)
+        p_build = (state0["bands"], state0["rows"])
+        holder = {"state": state0}
+
+        tag = uuid.uuid4().hex[:8]
+        scratch = _bucketed_scratch_dir()
+        feed = f"{scratch}/clean_mig_stream_{tag}_feed"
+        ckpt = f"{scratch}/clean_mig_stream_{tag}_ckpt"
+        try:
+            b1.coalesce(1).write.mode("overwrite").parquet(feed)
+            b2.coalesce(1).write.mode("append").parquet(feed)
+            sch = T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            )
+            q = stream_clean_filter_state_append(
+                spark.readStream.format("parquet")
+                .schema(sch)
+                .option("maxFilesPerTrigger", "1")
+                .load(feed),
+                holder,
+                checkpoint_dir=ckpt,
+                migrate_banding=True,
+                **knobs,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming_clean_filter_migrated: the availableNow "
+                    "stream did not finish within 300s — failing loudly "
+                    "rather than returning a stale (pre-fold) state"
+                )
+            st = holder["state"]
+            if n == _N_DOCS:
+                # driver-fixture honesty checks (see docstring)
+                assert (st["bands"], st["rows"]) == (_MB1, _MR1), (
+                    "survivor count left the pinned auto-params plateau: "
+                    f"got {(st['bands'], st['rows'])}, oracle pinned {(_MB1, _MR1)}"
+                )
+                assert (st["bands"], st["rows"]) != p_build, (
+                    "migration never fired — the fixture no longer crosses "
+                    "an auto-params boundary mid-stream"
+                )
+            assert st["n_survivors"] == st["survivors"].count()
+            return (
+                st["output"]
+                .select("doc_id", "n_ws_tokens", "clf_score", "component_id", "split")
+                .localCheckpoint()
+            )
+        finally:
+            shutil.rmtree(feed, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
