@@ -1,0 +1,89 @@
+"""Round-over-round bench comparison that CONSUMES both calibration
+anchors (r17, VERDICT r16 item 2): each headline lane is normalized by
+its own class's anchor (shuffle-dominated lanes by the shuffle-join
+anchor, scan/agg lanes by the sort/agg anchor — see bench.LANE_CLASS),
+per-class geomeans are reported separately, and per-key noise bands
+(sample IQR from the BENCH_LOCAL_DETAIL side file, when present) mark
+which deltas are separable from the measured ±11.6% box-noise floor.
+
+Usage:
+  python tools/bench_compare.py BENCH_new.json BENCH_old.json \
+      [DETAIL_new.json]
+
+Output: per-class normalized geomeans for both artifacts, the
+round-over-round ratio per class and overall, and a per-key table
+flagging deltas that exceed the key's own IQR/median band.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+ROOT = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, ROOT)
+
+from bench import LANE_CLASS  # noqa: E402
+
+
+def _norm(art: dict) -> dict[str, float]:
+    cal = art["calibration"]
+    cal_sh = art.get("calibration_shuffle") or cal
+    return {
+        k: v / (cal_sh if LANE_CLASS.get(k) == "shuffle" else cal)
+        for k, v in art["queries"].items()
+    }
+
+
+def _geomean(vals) -> float | None:
+    vals = [v for v in vals if v and v > 0]
+    if not vals:
+        return None
+    return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+
+def main() -> None:
+    new = json.load(open(sys.argv[1]))
+    old = json.load(open(sys.argv[2]))
+    detail = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else {}
+    nn, no = _norm(new), _norm(old)
+    shared = sorted(set(nn) & set(no))
+    iqr = detail.get("iqr", {})
+
+    def cls(k):
+        return LANE_CLASS.get(k, "scan")
+
+    print(f"shared keys: {len(shared)}")
+    for c in ("scan", "shuffle"):
+        keys = [k for k in shared if cls(k) == c]
+        gn, go = _geomean([nn[k] for k in keys]), _geomean([no[k] for k in keys])
+        ratio = gn / go if gn and go else None
+        print(
+            f"class {c:7s} ({len(keys):2d} keys): normalized geomean "
+            f"new={gn:.3f} old={go:.3f} ratio={ratio:.3f}"
+        )
+    g_all_n = _geomean([nn[k] for k in shared])
+    g_all_o = _geomean([no[k] for k in shared])
+    print(
+        f"ALL (own-anchor)     : new={g_all_n:.3f} old={g_all_o:.3f} "
+        f"ratio={g_all_n / g_all_o:.3f}"
+    )
+    print()
+    hdr = f"{'key':38s} {'cls':7s} {'new':>7s} {'old':>7s} {'ratio':>6s} {'band':>6s} sig"
+    print(hdr)
+    for k in sorted(shared, key=lambda k: nn[k] / no[k]):
+        ratio = nn[k] / no[k]
+        med = new["queries"][k]
+        band = (iqr.get(k, 0.0) / med) if med else 0.0
+        # a delta is flagged significant only when it exceeds the
+        # key's own sample spread (IQR/median) — the stated noise band
+        sig = "*" if abs(ratio - 1) > max(band, 0.116) else ""
+        print(
+            f"{k:38s} {cls(k):7s} {nn[k]:7.3f} {no[k]:7.3f} {ratio:6.3f} "
+            f"{band:6.3f} {sig}"
+        )
+
+
+if __name__ == "__main__":
+    main()
