@@ -1449,6 +1449,72 @@ def dedup_keep_representatives(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    rank_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup keep (the Dolma/FineWeb 'keep the
+    preferred copy' policy): annotate every row with its component and
+    a keep decision where the survivor is the member MAXIMIZING
+    (``rank_col``, then smallest id) — prefer the longest / highest
+    quality / highest source-priority copy instead of
+    dedup_keep_representatives' pure min-id. Rows in no pair are their
+    own singleton component and keep themselves.
+
+    Scale shape: the argmax is ONE map-side-combining max_by over slim
+    (component_id, rank, id) rows — documents never move; the keep map
+    is a per-component scalar broadcast-joined back onto the stream.
+    Ties on rank fall to the smaller id, so the decision is total and
+    engine-portable (DuckDB restates it as a row_number window)."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("component_id")
+    )
+    memb = df.join(comp, id_col, "left").withColumn(
+        "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    keep = memb.groupBy("component_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(rank_col).alias("r"), (-F.col(id_col)).alias("ni")),
+        ).alias("__keep_id")
+    )
+    return memb.join(keep, "component_id").withColumn(
+        "is_kept", F.col(id_col) == F.col("__keep_id")
+    ).drop("__keep_id")
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    rank_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the PREFERRED copy per identical-text group
+    — (digest, keep_id, n_copies) where keep_id maximizes
+    (``rank_col``, then smallest id). The exact-duplicate form of
+    dedup_keep_best: identical text can still differ in metadata
+    (source priority, crawl recency), and a curation policy keeps the
+    best-provenance copy, not the smallest id. Shuffles 16-byte
+    digests + (rank, id) only — the exact_dedup discipline."""
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("digest"),
+            F.col(id_col),
+            F.col(rank_col),
+        )
+        .groupBy("digest")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(rank_col).alias("r"), (-F.col(id_col)).alias("ni")),
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

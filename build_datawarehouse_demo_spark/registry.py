@@ -181,6 +181,7 @@ def _load_all() -> None:
         register_round15_neardup_migration,
     )
     from build_datawarehouse_demo_spark.registry_round17 import (  # noqa
+        register_round17_keep_best,
         register_round17_streaming_migration,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -244,6 +245,7 @@ def _load_all() -> None:
     register_round15_banding_migration()
     register_round15_neardup_migration()
     register_round17_streaming_migration()
+    register_round17_keep_best()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -167,3 +167,98 @@ def register_round17_streaming_migration() -> None:
         finally:
             shutil.rmtree(feed, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def register_round17_keep_best() -> None:
+    # ------------------------------------------------------------------
+    # quality-aware dedup keep (r17): the Dolma/FineWeb "keep the
+    # preferred copy" policy — the component survivor is the member
+    # maximizing (n_chars, then smallest id), not the min id. Same
+    # simhash pair graph as dedup_cluster_components, so the two keys
+    # differ ONLY in the keep rule and the oracle pins exactly that.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    pair_ctes = f"""
+        tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {_HASH32.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, 31)) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        ),
+        blocked AS (
+          SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+          FROM sigs, unnest(generate_series(0, 3)) AS g(blk)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM blocked a
+          JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        )"""
+
+    @register(
+        "dedup_cluster_keep_best",
+        oracle=f"""
+        WITH RECURSIVE {pair_ctes},
+        edges AS MATERIALIZED (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s),
+        memb AS (
+          SELECT doc.doc_id, doc.n_chars,
+                 COALESCE(c.component, doc.doc_id) AS component_id
+          FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        ),
+        keep AS (
+          SELECT component_id, doc_id AS keep_id FROM (
+            SELECT component_id, doc_id,
+                   row_number() OVER (PARTITION BY component_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM memb) WHERE rn = 1
+        )
+        SELECT m.doc_id, m.component_id, m.doc_id = k.keep_id AS is_kept
+        FROM memb m JOIN keep k ON k.component_id = m.component_id
+        """,
+    )
+    def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup clustering with a QUALITY-AWARE keep rule
+        (operators/dedup.dedup_keep_best): same simhash pair graph and
+        star components as dedup_cluster_components, but each cluster
+        keeps its LONGEST member (n_chars, id tiebreak) — the
+        Dolma/FineWeb keep-the-preferred-copy policy (longest copy,
+        highest source priority, best quality score all plug into the
+        same rank_col seam). The argmax is one map-side max_by over
+        slim (component, rank, id) rows; documents never shuffle. The
+        oracle restates the keep rule as a row_number window over the
+        recursive-CTE components."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            connected_components_star,
+            dedup_keep_best,
+            simhash,
+            simhash_near_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = simhash_near_pairs(simhash(docs), max_hamming=3, blocks=4)
+        comp = connected_components_star(pairs)
+        return dedup_keep_best(docs, comp, rank_col="n_chars").select(
+            "doc_id", "component_id", "is_kept"
+        )

@@ -555,3 +555,68 @@ def test_ngram_containment_matches_quadratic_truth(spark):
                 if c >= 0.5:
                     truth[(a, b)] = c
     assert got == truth
+
+
+def test_dedup_keep_best_prefers_rank_then_min_id(spark):
+    """Quality-aware keep (r17): per component the survivor maximizes
+    (rank, then smallest id) — NOT the min id; singletons keep
+    themselves; a rank tie falls back to the smaller id."""
+    from build_datawarehouse_demo_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            # component {1,2,3}: doc 2 is longest -> kept over min id 1
+            (1, 10), (2, 99), (3, 50),
+            # component {7,8}: rank TIE -> smaller id 7 kept
+            (7, 20), (8, 20),
+            # singleton
+            (9, 5),
+        ],
+        "doc_id long, n_chars long",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "node long, component long"
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["is_kept"])
+        for r in dedup_keep_best(docs, comp, rank_col="n_chars").collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        7: (7, True), 8: (7, False),
+        9: (9, True),
+    }
+
+
+def test_exact_dedup_keep_best_vs_min_id(spark):
+    """Exact variant: identical text, different metadata — the keeper
+    maximizes the rank column (source priority), tiebreak smaller id;
+    exact_dedup would have kept the min id regardless."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", 1),
+            (2, "same text here", 9),   # highest priority -> keeper
+            (3, "same text here", 9),   # tie with 2 -> 2 keeps (smaller id)
+            (4, "unique text", 0),
+        ],
+        "doc_id long, text string, prio long",
+    )
+    best = {
+        r["digest"]: (r["keep_id"], r["n_copies"])
+        for r in exact_dedup_keep_best(docs, rank_col="prio").collect()
+    }
+    base = {
+        r["digest"]: r["keep_id"] for r in exact_dedup(docs).collect()
+    }
+    import hashlib as _h
+
+    dg = _h.md5(b"same text here").hexdigest()
+    assert best[dg] == (2, 3)
+    assert base[dg] == 1  # the policy difference this operator exists for
+    dg_u = _h.md5(b"unique text").hexdigest()
+    assert best[dg_u] == (4, 1)
