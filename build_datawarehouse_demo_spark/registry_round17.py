@@ -262,3 +262,101 @@ def register_round17_keep_best() -> None:
         return dedup_keep_best(docs, comp, rank_col="n_chars").select(
             "doc_id", "component_id", "is_kept"
         )
+
+
+def register_round17_streaming_neardup_state() -> None:
+    # ------------------------------------------------------------------
+    # streaming NEARDUP-pipeline maintenance (r17): the span-bearing
+    # twin of streaming_clean_filter_incremental — the entry RUNS the
+    # real checkpointed stream through the new
+    # stream_training_data_state_append sink; the oracle is the r10
+    # batch-incremental proof (full DuckDB chain over the union at the
+    # OLD-subset frozen banding), so a hash match = stream folds ≡
+    # rebuild, exact dedup / LSH / components / span removal included.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.registry_round9 import neardup_full_chain_sql
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SPLIT_AT = (3 * _N_DOCS) // 4
+    _N_OLD = _driver_old_subset_count(_SPLIT_AT)
+    _MB, _MR = minhash_auto_params(_N_OLD)
+
+    @register(
+        "streaming_training_data_incremental",
+        oracle=neardup_full_chain_sql(_MB, _MR),
+    )
+    def q_streaming_training_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming neardup-pipeline maintenance end-to-end
+        (streaming/sinks.stream_training_data_state_append): build
+        training_data_neardup_state on the first 3/4 of the corpus,
+        feed the last 1/4 through a checkpointed availableNow parquet
+        stream in TWO micro-batches (maxFilesPerTrigger=1) with the
+        first even-id new document REDELIVERED in batch 2, and return
+        the final state's output rows. The oracle runs the full batch
+        chain over the union at the frozen banding — a hash match
+        proves two chained streamed folds + the redelivery anti-join
+        reproduce the rebuild exactly, span stage included (batch-2
+        ids interleave below batch-1 ids by parity, exercising the
+        smaller-new-id rep-takeover path)."""
+        import shutil
+        import uuid
+
+        import pyspark.sql.types as T
+
+        from build_datawarehouse_demo_spark.plans.training_data import (
+            training_data_neardup_state,
+        )
+        from build_datawarehouse_demo_spark.registry_extensions import (
+            _bucketed_scratch_dir,
+        )
+        from build_datawarehouse_demo_spark.streaming.sinks import (
+            stream_training_data_state_append,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        split_at = (3 * n) // 4
+        old = docs.filter(F.col("doc_id") < split_at)
+        new = docs.filter(F.col("doc_id") >= split_at)
+        holder = {
+            "state": training_data_neardup_state(old, corpus_n=old.count())
+        }
+
+        tag = uuid.uuid4().hex[:8]
+        scratch = _bucketed_scratch_dir()
+        feed = f"{scratch}/nd_stream_{tag}_feed"
+        ckpt = f"{scratch}/nd_stream_{tag}_ckpt"
+        try:
+            redeliver = split_at if split_at % 2 == 0 else split_at + 1
+            b1 = new.filter(F.col("doc_id") % 2 == 0)
+            b2 = new.filter(F.col("doc_id") % 2 == 1).unionByName(
+                new.filter(F.col("doc_id") == redeliver)
+            )
+            b1.coalesce(1).write.mode("overwrite").parquet(feed)
+            b2.coalesce(1).write.mode("append").parquet(feed)
+            sch = T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            )
+            q = stream_training_data_state_append(
+                spark.readStream.format("parquet")
+                .schema(sch)
+                .option("maxFilesPerTrigger", "1")
+                .load(feed),
+                holder,
+                checkpoint_dir=ckpt,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming_training_data_incremental: the availableNow "
+                    "stream did not finish within 300s — failing loudly "
+                    "rather than returning a stale (pre-fold) state"
+                )
+            return holder["state"]["output"].localCheckpoint()
+        finally:
+            shutil.rmtree(feed, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)

@@ -312,6 +312,121 @@ def stream_clean_filter_state_append(
     )
 
 
+def stream_training_data_state_append(
+    docs: DataFrame,
+    holder: dict,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    compact_every: int = 0,
+    compact_to: str | None = None,
+    compact_path: str | None = None,
+    migrate_banding: bool = False,
+    **knobs,
+):
+    """Streaming maintenance for the NEARDUP corpus pipeline's
+    incremental state (r17) — the span-removal-bearing twin of
+    stream_clean_filter_state_append, closing the one streaming
+    asymmetry the r16 surface left: the clean stack could be
+    stream-maintained, the neardup stack (exact dedup → frozen-banding
+    LSH → components → Lee-et-al span removal → split) only had batch
+    applies. Each micro-batch folds through
+    plans/training_data.training_data_neardup_apply, so stored
+    signatures, pairs, the gram index and untouched output rows are
+    REUSED — only the batch is scanned, only span-affected documents
+    rebuild.
+
+    Contract-identical to the clean sink, delegated to the same
+    machinery (read its docstring for the details):
+    - ``holder`` = {"state": <training_data_neardup_state dict>},
+      refreshed after every batch; ``knobs`` are the apply's filter /
+      banding / span parameters and must match the state build.
+    - effectively exactly-once: checkpoint-pinned batch ids + the
+      survivor-id anti-join drop same-id redeliveries; a new-id
+      re-crawl joins its original's digest group and loses the rep
+      race (output unchanged — the batch contract).
+    - ``compact_every=N`` / ``compact_to`` / ``compact_path``: every
+      N batches (batch_id-derived cadence, retry/restart-stable) the
+      state compacts to bucketed parquet generations with the
+      retry-safe order — write keeping 2 generations, SWAP the
+      holder, then retire superseded blocks + hidden fold RDDs and GC
+      to one generation.
+    - ``migrate_banding=True``: per-fold frozen-banding migration at
+      the incremental survivor count (seeded once at wiring, += each
+      fold's O(batch) delta), through
+      migrate_training_data_neardup_banding — span output repaired
+      for exactly the rep-set diff; superseded frames retired.
+    """
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        _persistent_rdd_ids,
+        _retire_persistent_rdds_since,
+        compact_state,
+        gc_generations,
+        migrate_training_data_neardup_banding,
+        retire_superseded_state,
+        training_data_neardup_apply,
+    )
+
+    if compact_every and not compact_to:
+        raise ValueError("compact_every requires compact_to (table-name prefix)")
+    mig_knobs = {
+        k: knobs[k]
+        for k in (
+            "shingle_k",
+            "jaccard_threshold",
+            "span_window",
+            "span_min_docs",
+            "val_frac",
+            "test_frac",
+        )
+        if k in knobs
+    }
+    scope0 = _persistent_rdd_ids(docs.sparkSession) if compact_every else None
+    if migrate_banding and holder["state"].get("n_survivors") is None:
+        holder["state"]["n_survivors"] = holder["state"]["survivors"].count()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = holder["state"]["survivors"].select(id_col)
+        fresh = batch_df.join(seen, id_col, "left_anti")
+        compact_now = bool(compact_every) and (
+            batch_id % compact_every == compact_every - 1
+        )
+        st = training_data_neardup_apply(
+            fresh, holder["state"], id_col=id_col, **knobs
+        )
+        if migrate_banding:
+            migrated = migrate_training_data_neardup_banding(
+                st, corpus_n=st["n_survivors"], id_col=id_col, **mig_knobs
+            )
+            if migrated is not st:
+                retire_superseded_state(st, migrated)
+                st = migrated
+        if compact_now:
+            # same retry-safe order as the clean sink: write keeping 2
+            # generations, swap, THEN retire and GC to 1
+            old = st
+            st = compact_state(
+                old,
+                compact_to,
+                base_path=compact_path,
+                id_col=id_col,
+                unpersist_superseded=False,
+                keep_generations=2,
+            )
+            holder["state"] = st
+            retire_superseded_state(old, st)
+            _retire_persistent_rdds_since(spark, scope0)
+            gc_generations(spark, compact_to, base_path=compact_path)
+        holder["state"] = st
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_merge_to_partitioned_parquet(
     changes: DataFrame,
     target_path: str,
