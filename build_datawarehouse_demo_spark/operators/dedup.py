@@ -1485,6 +1485,38 @@ def dedup_keep_best(
     ).drop("__keep_id")
 
 
+def dedup_soft_weights(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup (the drop-free policy: SoftDeDup / data-reweighting
+    — He et al. 2024): KEEP every near-duplicate and attach a training
+    weight of 1 / |component| instead, so each duplicate CLASS
+    contributes one unit of loss mass while intra-class diversity
+    (typo variants, boilerplate deltas) stays in the corpus. The
+    hard-dedup operators (dedup_keep_representatives/dedup_keep_best)
+    are the special case weight ∈ {0, 1}.
+
+    Output: every input row + (component_id, n_members, weight);
+    singletons weigh 1.0. Weights round to 6dp (engine portability).
+    Scale shape: one slim (component, count) aggregate map-side
+    combined, joined back — documents shuffle once on component_id,
+    never on content."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("component_id")
+    )
+    memb = df.join(comp, id_col, "left").withColumn(
+        "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    sizes = memb.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return memb.join(sizes, "component_id").withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("n_members"), 6)
+    )
+
+
 def exact_dedup_keep_best(
     df: DataFrame,
     rank_col: str,

@@ -183,6 +183,7 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round17 import (  # noqa
         register_round17_keep_best,
         register_round17_streaming_migration,
+        register_round17_soft_dedup,
         register_round17_streaming_neardup_state,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
@@ -248,6 +249,7 @@ def _load_all() -> None:
     register_round17_streaming_migration()
     register_round17_keep_best()
     register_round17_streaming_neardup_state()
+    register_round17_soft_dedup()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

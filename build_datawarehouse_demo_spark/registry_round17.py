@@ -360,3 +360,93 @@ def register_round17_streaming_neardup_state() -> None:
         finally:
             shutil.rmtree(feed, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def register_round17_soft_dedup() -> None:
+    # ------------------------------------------------------------------
+    # soft dedup (r17): the drop-free dedup policy — keep every
+    # near-duplicate, weight each row 1/|component| so a duplicate
+    # CLASS contributes one unit of loss mass (SoftDeDup-style
+    # reweighting). Same simhash pair graph as the cluster keys.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32, _TOK
+
+    pair_ctes = f"""
+        tok AS (
+          SELECT DISTINCT doc_id, tok
+          FROM documents, unnest({_TOK}) AS t(tok)
+        ),
+        hashed AS (
+          SELECT doc_id, {_HASH32.format(expr="'0:' || tok")} AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, i AS bit,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, unnest(generate_series(0, 31)) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        ),
+        blocked AS (
+          SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+          FROM sigs, unnest(generate_series(0, 3)) AS g(blk)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM blocked a
+          JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        )"""
+
+    @register(
+        "dedup_soft_weights",
+        oracle=f"""
+        WITH RECURSIVE {pair_ctes},
+        edges AS MATERIALIZED (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s),
+        memb AS (
+          SELECT doc.doc_id,
+                 COALESCE(c.component, doc.doc_id) AS component_id
+          FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        ),
+        sizes AS (
+          SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM memb GROUP BY component_id
+        )
+        SELECT m.doc_id, m.component_id, s.n_members,
+               round(1.0 / s.n_members, 6) AS weight
+        FROM memb m JOIN sizes s ON s.component_id = m.component_id
+        """,
+    )
+    def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Drop-free near-dup handling
+        (operators/dedup.dedup_soft_weights): every document keeps a
+        training weight of 1/|near-dup component| — each duplicate
+        class contributes one unit of loss mass while its intra-class
+        variants stay in the corpus (the SoftDeDup reweighting policy;
+        hard dedup is the weight ∈ {0,1} special case). One slim
+        (component, count) aggregate joined back; documents never
+        shuffle on content."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            connected_components_star,
+            dedup_soft_weights,
+            simhash,
+            simhash_near_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = simhash_near_pairs(simhash(docs), max_hamming=3, blocks=4)
+        comp = connected_components_star(pairs)
+        return dedup_soft_weights(docs, comp).select(
+            "doc_id", "component_id", "n_members", "weight"
+        )

@@ -620,3 +620,22 @@ def test_exact_dedup_keep_best_vs_min_id(spark):
     assert base[dg] == 1  # the policy difference this operator exists for
     dg_u = _h.md5(b"unique text").hexdigest()
     assert best[dg_u] == (4, 1)
+
+
+def test_dedup_soft_weights_one_unit_per_class(spark):
+    """Soft dedup (r17): every member kept, weight 1/|component| — a
+    duplicate class contributes exactly one unit of loss mass;
+    singletons weigh 1.0."""
+    from build_datawarehouse_demo_spark.operators.dedup import dedup_soft_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, component long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_soft_weights(docs, comp).collect()}
+    assert len(rows) == 4  # nothing dropped
+    assert rows[9]["n_members"] == 1 and rows[9]["weight"] == 1.0
+    assert all(rows[i]["component_id"] == 1 for i in (1, 2, 3))
+    assert abs(sum(rows[i]["weight"] for i in (1, 2, 3)) - 1.0) < 1e-5
