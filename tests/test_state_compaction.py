@@ -425,3 +425,43 @@ def test_compaction_mixed_case_prefix_seeds_and_gcs(spark, tmp_path):
         _corpus(spark, old_rows + rows2), corpus_n=len(old_rows), **LOOSE
     )
     assert _rows(state["output"]) == _rows(full)
+
+
+def test_compaction_gc_with_scheme_qualified_base_path(spark, tmp_path):
+    """The Hadoop-FS generation handling (r17) must treat an
+    EXPLICITLY scheme-qualified base_path ('file:///...') exactly like
+    a bare posix path — the same code path an s3a:// or hdfs:// root
+    takes. Two compactions under a file:// root: seeding advances past
+    generation 1, GC leaves exactly one generation of directories, and
+    rebuild parity holds."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        _prefix_generations,
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+        compact_state,
+        prepare_clean_filter_dedup,
+    )
+
+    root = f"file://{tmp_path}/gen_store"
+    old_rows = _batch(0, 5)
+    state = clean_filter_dedup_state(
+        _corpus(spark, old_rows), corpus_n=len(old_rows), **LOOSE
+    )
+    state = compact_state(state, "uri_state", base_path=root)
+    assert _prefix_generations(spark, "uri_state", root) == [1]
+
+    rows2 = _batch(400)
+    state = clean_filter_dedup_apply(_corpus(spark, rows2), state, **LOOSE)
+    state = compact_state(state, "uri_state", base_path=root)
+    assert _prefix_generations(spark, "uri_state", root) == [2]
+
+    import os
+
+    names = os.listdir(f"{tmp_path}/gen_store")
+    gens = {n.split("_g", 1)[1].split("_", 1)[0] for n in names}
+    assert gens == {"2"}, names
+
+    full = prepare_clean_filter_dedup(
+        _corpus(spark, old_rows + rows2), corpus_n=len(old_rows), **LOOSE
+    )
+    assert _rows(state["output"]) == _rows(full)
