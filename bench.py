@@ -398,8 +398,15 @@ def main() -> None:
             statistics.geometric_mean(vals), 3
         )
 
+    # the sink lane is excluded from the per-class geomeans for the
+    # same reason `value` excludes it — it measures the write path,
+    # not a query (r17 ADVICE; tools/bench_compare.py matches)
     gm_scan = _geomean(
-        [v for k, v in normalized_class.items() if LANE_CLASS.get(k) != "shuffle"]
+        [
+            v
+            for k, v in normalized_class.items()
+            if LANE_CLASS.get(k) != "shuffle" and k != "write_tables_concurrent"
+        ]
     )
     gm_shuffle = _geomean(
         [v for k, v in normalized_class.items() if LANE_CLASS.get(k) == "shuffle"]

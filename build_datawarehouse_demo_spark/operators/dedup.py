@@ -1449,6 +1449,23 @@ def dedup_keep_representatives(
     )
 
 
+def keep_best_key(rank_col: str, id_col: str) -> Column:
+    """The ordering key of the keep-best policy, for ``F.min_by``: the
+    member MAXIMIZING (rank, then smallest id) is the member MINIMIZING
+    (rank IS NULL, -rank, id) — a NULL rank loses to any non-null rank
+    (the explicit flag; Spark's struct comparator would otherwise sort
+    a null field FIRST in min_by and a null-rank row would win), a
+    rank tie falls to the smaller id. Negating only the RANK keeps the
+    id side type-generic (r17 ADVICE: the former ``max_by(id,
+    struct(rank, -id))`` required a numeric id and raised on string
+    ids); the rank must be numeric — it is a score by construction."""
+    return F.struct(
+        F.col(rank_col).isNull().cast("int").alias("z"),
+        (-F.col(rank_col)).alias("nr"),
+        F.col(id_col).alias("i"),
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     components: DataFrame,
@@ -1461,13 +1478,20 @@ def dedup_keep_best(
     (``rank_col``, then smallest id) — prefer the longest / highest
     quality / highest source-priority copy instead of
     dedup_keep_representatives' pure min-id. Rows in no pair are their
-    own singleton component and keep themselves.
+    own singleton component and keep themselves. ``rank_col`` must be
+    numeric (it is a score); the id may be any orderable type — the
+    argmax is ``min_by(id, keep_best_key(...))``, which never negates
+    the id (r17 ADVICE). A NULL rank loses to any non-null rank.
 
-    Scale shape: the argmax is ONE map-side-combining max_by over slim
+    Scale shape: the argmax is ONE map-side-combining min_by over slim
     (component_id, rank, id) rows — documents never move; the keep map
-    is a per-component scalar broadcast-joined back onto the stream.
-    Ties on rank fall to the smaller id, so the decision is total and
-    engine-portable (DuckDB restates it as a row_number window)."""
+    is a per-component scalar joined back on component_id (AQE turns
+    it into a broadcast when the map is small, the sandbox case; at
+    10^9 components the map is itself large and the join correctly
+    degrades to a co-partitioned shuffle on component_id — never on
+    content). Ties on rank fall to the smaller id, so the decision is
+    total and engine-portable (DuckDB restates it as a row_number
+    window)."""
     comp = components.select(
         F.col("node").alias(id_col), F.col("component").alias("component_id")
     )
@@ -1475,10 +1499,7 @@ def dedup_keep_best(
         "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
     )
     keep = memb.groupBy("component_id").agg(
-        F.max_by(
-            F.col(id_col),
-            F.struct(F.col(rank_col).alias("r"), (-F.col(id_col)).alias("ni")),
-        ).alias("__keep_id")
+        F.min_by(F.col(id_col), keep_best_key(rank_col, id_col)).alias("__keep_id")
     )
     return memb.join(keep, "component_id").withColumn(
         "is_kept", F.col(id_col) == F.col("__keep_id")
@@ -1529,7 +1550,9 @@ def exact_dedup_keep_best(
     dedup_keep_best: identical text can still differ in metadata
     (source priority, crawl recency), and a curation policy keeps the
     best-provenance copy, not the smallest id. Shuffles 16-byte
-    digests + (rank, id) only — the exact_dedup discipline."""
+    digests + (rank, id) only — the exact_dedup discipline.
+    ``rank_col`` must be numeric; the id may be any orderable type
+    (min_by over keep_best_key — r17 ADVICE)."""
     return (
         df.select(
             F.md5(F.col(text_col)).alias("digest"),
@@ -1538,10 +1561,9 @@ def exact_dedup_keep_best(
         )
         .groupBy("digest")
         .agg(
-            F.max_by(
-                F.col(id_col),
-                F.struct(F.col(rank_col).alias("r"), (-F.col(id_col)).alias("ni")),
-            ).alias("keep_id"),
+            F.min_by(F.col(id_col), keep_best_key(rank_col, id_col)).alias(
+                "keep_id"
+            ),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )

@@ -19,9 +19,13 @@ this is: one scan, one digest-keyed exchange, done.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+log = logging.getLogger(__name__)
 
 
 def _featured_survivors(
@@ -915,6 +919,15 @@ def training_data_neardup_apply(
         # (r16 VERDICT item 4); no-op between auto-params boundaries.
         n = result.get("n_survivors")
         if n is None:
+            # observable fallback (r17 ADVICE) — see
+            # clean_filter_dedup_apply
+            log.warning(
+                "migrate_banding=True without a seeded n_survivors "
+                "counter: falling back to a corpus-sized "
+                "survivors.count() this fold. Seed it once with "
+                'state["n_survivors"] = state["survivors"].count() '
+                "to make the per-fold cost O(batch)."
+            )
             n = result["survivors"].count()
         migrated = migrate_training_data_neardup_banding(
             result,
@@ -1468,6 +1481,16 @@ def clean_filter_dedup_apply(
         # (unless the caller keeps the pre-fold dict readable).
         n = result.get("n_survivors")
         if n is None:
+            # observable fallback (r17 ADVICE): without the seeded
+            # counter this pays a corpus-sized count EVERY fold — the
+            # exact cost the r16 incremental counter removed
+            log.warning(
+                "migrate_banding=True without a seeded n_survivors "
+                "counter: falling back to a corpus-sized "
+                "survivors.count() this fold. Seed it once with "
+                'state["n_survivors"] = state["survivors"].count() '
+                "to make the per-fold cost O(batch)."
+            )
             n = result["survivors"].count()
         migrated = migrate_clean_filter_banding(
             result,
@@ -1956,10 +1979,12 @@ def gc_generations(
     """Drop every ``{prefix}_g{N}_*`` state-table generation older than
     the newest ``keep_generations`` — tables AND files. The GC half of
     compact_state, exposed for callers that must defer GC past a swap
-    point: the streaming sink compacts with keep_generations=2, swaps
-    the live state, THEN calls this with keep=1, so a foreachBatch
-    retry between compaction and the swap still finds the pre-swap
-    generation's files readable (r16 ADVICE retry-safety fix)."""
+    point: the streaming sinks compact with ``gc_superseded=False``
+    (no GC at all through the write — r17 ADVICE: a pre-swap GC could
+    strand a twice-retried, still-unswapped holder), swap the live
+    state, THEN call this with keep=1, so a foreachBatch retry at any
+    point before the swap still finds every generation the holder may
+    read (r16/r17 ADVICE retry-safety fixes)."""
     prefix = prefix.lower()
     keep = max(keep_generations, 1)
     for old_gen in _prefix_generations(spark, prefix, base_path)[:-keep]:
@@ -2056,6 +2081,7 @@ def compact_state(
     n_buckets: int = 8,
     unpersist_superseded: bool = True,
     keep_generations: int = 1,
+    gc_superseded: bool = True,
 ) -> dict:
     """Materialize an incremental curation state (the dict of
     training_data_neardup_state / clean_filter_dedup_state, or of any
@@ -2150,7 +2176,14 @@ def compact_state(
                 _unpersist_checkpoint_leaves(val)
     # generation GC: the new generation is committed and the old
     # blocks retired — drop everything older than the newest
-    # `keep_generations` (a kept pre-compaction dict keeps one extra)
-    eff_keep = max(keep_generations, 1 if unpersist_superseded else 2)
-    gc_generations(spark, prefix, base_path, keep_generations=eff_keep)
+    # `keep_generations` (a kept pre-compaction dict keeps one extra).
+    # ``gc_superseded=False`` suppresses this entirely for callers
+    # that must defer ALL GC past an external swap point (r17 ADVICE:
+    # the streaming sinks' pre-swap internal GC could, under two
+    # consecutive crash-before-swap retries, drop the generation the
+    # still-unswapped holder reads — the sinks now GC only after the
+    # swap commits, via gc_generations).
+    if gc_superseded:
+        eff_keep = max(keep_generations, 1 if unpersist_superseded else 2)
+        gc_generations(spark, prefix, base_path, keep_generations=eff_keep)
     return out

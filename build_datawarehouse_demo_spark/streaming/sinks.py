@@ -282,8 +282,12 @@ def stream_clean_filter_state_append(
             # still find the pre-swap blocks and generation files
             # readable (the former order unpersisted and GC'd first,
             # so a retry failed permanently on missing checkpoint
-            # blocks). keep_generations=2 through the write; after
-            # the swap commits, retire the superseded leaves (the new
+            # blocks). NO GC through the write (r17 ADVICE closed the
+            # consecutive-retry hole: the former pre-swap internal GC
+            # kept only 2 generations counting the one just written,
+            # so a second crash-before-swap retry could drop the
+            # generation the still-unswapped holder reads); after the
+            # swap commits, retire the superseded leaves (the new
             # frames are pure table scans, so this frees every old
             # leaf), sweep hidden fold intermediates, and GC down to
             # one generation. A crash mid-retire replays against the
@@ -296,7 +300,7 @@ def stream_clean_filter_state_append(
                 base_path=compact_path,
                 id_col=id_col,
                 unpersist_superseded=False,
-                keep_generations=2,
+                gc_superseded=False,
             )
             holder["state"] = st
             retire_superseded_state(old, st)
@@ -402,8 +406,10 @@ def stream_training_data_state_append(
                 retire_superseded_state(st, migrated)
                 st = migrated
         if compact_now:
-            # same retry-safe order as the clean sink: write keeping 2
-            # generations, swap, THEN retire and GC to 1
+            # same retry-safe order as the clean sink: write with ALL
+            # GC suppressed (r17 ADVICE — pre-swap GC could strand a
+            # twice-retried unswapped holder), swap, THEN retire and
+            # GC to 1
             old = st
             st = compact_state(
                 old,
@@ -411,7 +417,7 @@ def stream_training_data_state_append(
                 base_path=compact_path,
                 id_col=id_col,
                 unpersist_superseded=False,
-                keep_generations=2,
+                gc_superseded=False,
             )
             holder["state"] = st
             retire_superseded_state(old, st)

@@ -639,3 +639,44 @@ def test_dedup_soft_weights_one_unit_per_class(spark):
     assert rows[9]["n_members"] == 1 and rows[9]["weight"] == 1.0
     assert all(rows[i]["component_id"] == 1 for i in (1, 2, 3))
     assert abs(sum(rows[i]["weight"] for i in (1, 2, 3)) - 1.0) < 1e-5
+
+
+def test_keep_best_supports_string_ids(spark):
+    """r17 ADVICE portability fix: the keep-best tiebreak never negates
+    the ID (min_by over (rank IS NULL, -rank, id)), so string ids work
+    — rank preference, rank-tie -> lexicographically smaller id, and a
+    NULL rank loses to any non-null rank."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        dedup_keep_best,
+        exact_dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("url/a", 10.0), ("url/b", 99.0), ("url/c", None),
+            ("url/x", 7.0), ("url/y", 7.0),
+            ("url/z", None),  # singleton with NULL rank keeps itself
+        ],
+        "doc_id string, score double",
+    )
+    comp = spark.createDataFrame(
+        [("url/a", "url/a"), ("url/b", "url/a"), ("url/c", "url/a"),
+         ("url/x", "url/x"), ("url/y", "url/x")],
+        "node string, component string",
+    )
+    got = {
+        r["doc_id"]: r["is_kept"]
+        for r in dedup_keep_best(docs, comp, rank_col="score").collect()
+    }
+    assert got == {
+        "url/a": False, "url/b": True, "url/c": False,  # rank wins
+        "url/x": True, "url/y": False,                  # tie -> smaller id
+        "url/z": True,
+    }
+
+    texts = spark.createDataFrame(
+        [("id9", "dup text", 1.0), ("id1", "dup text", None)],
+        "doc_id string, text string, prio double",
+    )
+    row = exact_dedup_keep_best(texts, rank_col="prio").collect()
+    assert len(row) == 1 and row[0]["keep_id"] == "id9"  # NULL rank loses

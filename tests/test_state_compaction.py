@@ -465,3 +465,75 @@ def test_compaction_gc_with_scheme_qualified_base_path(spark, tmp_path):
         _corpus(spark, old_rows + rows2), corpus_n=len(old_rows), **LOOSE
     )
     assert _rows(state["output"]) == _rows(full)
+
+
+def test_compaction_gc_superseded_false_defers_all_gc(spark, tmp_path):
+    """The streaming sinks' retry-safety contract (r17 ADVICE): with
+    ``gc_superseded=False`` a compaction performs NO generation GC at
+    all — every prior generation's tables and files survive the write
+    (so a foreachBatch retry chain that crashes before the holder swap
+    any number of times always finds the generation the unswapped
+    holder reads) — and a later explicit gc_generations(keep=1) trims
+    to exactly the newest."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_state,
+        compact_state,
+        gc_generations,
+        _prefix_generations,
+    )
+
+    root = str(tmp_path / "nogc")
+    state = clean_filter_dedup_state(
+        _corpus(spark, _batch(0, 5)), corpus_n=6, **LOOSE
+    )
+    c1 = compact_state(
+        state, "cmp_nogc", base_path=root,
+        unpersist_superseded=False, gc_superseded=False,
+    )
+    c2 = compact_state(
+        c1, "cmp_nogc", base_path=root,
+        unpersist_superseded=False, gc_superseded=False,
+    )
+    c3 = compact_state(
+        c2, "cmp_nogc", base_path=root,
+        unpersist_superseded=False, gc_superseded=False,
+    )
+    # all three generations retained — the consecutive-retry window is
+    # covered no matter how many re-compactions precede the swap
+    assert _prefix_generations(spark, "cmp_nogc", root) == [1, 2, 3]
+    want = _rows(c1["output"])
+    assert _rows(c2["output"]) == want and _rows(c3["output"]) == want
+    # the post-swap GC half then trims to the newest generation only
+    gc_generations(spark, "cmp_nogc", base_path=root)
+    assert _prefix_generations(spark, "cmp_nogc", root) == [3]
+    assert _rows(c3["output"]) == want
+
+
+def test_migrate_banding_warns_exactly_when_counter_unseeded(spark, caplog):
+    """The r17 ADVICE observability fix: ``migrate_banding=True``
+    without a seeded ``n_survivors`` counter falls back to a
+    corpus-sized count and must WARN (naming the seed instruction);
+    with the counter seeded the fold is silent."""
+    import logging
+
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    state = clean_filter_dedup_state(
+        _corpus(spark, _batch(0, 5)), corpus_n=6, **LOOSE
+    )
+    logger = "build_datawarehouse_demo_spark.plans.training_data"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        state = clean_filter_dedup_apply(
+            _corpus(spark, _batch(100)), state, migrate_banding=True, **LOOSE
+        )
+    assert any("n_survivors" in r.message for r in caplog.records)
+    caplog.clear()
+    state["n_survivors"] = state["survivors"].count()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        clean_filter_dedup_apply(
+            _corpus(spark, _batch(200)), state, migrate_banding=True, **LOOSE
+        )
+    assert not [r for r in caplog.records if "n_survivors" in r.message]

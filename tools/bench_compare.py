@@ -19,20 +19,36 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
-ROOT = __file__.rsplit("/", 2)[0]
+# robust to any invocation cwd (r17 ADVICE: the old rsplit('/') trick
+# broke when run as `python bench_compare.py` from inside tools/)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from bench import LANE_CLASS  # noqa: E402
 
 
-def _norm(art: dict) -> dict[str, float]:
+def _norm(art: dict, label: str = "") -> dict[str, float]:
     cal = art["calibration"]
-    cal_sh = art.get("calibration_shuffle") or cal
+    cal_sh = art.get("calibration_shuffle")
+    if cal_sh is None:
+        # pre-r16 artifacts carry one anchor only; flag it so a mixed
+        # comparison's shuffle-class ratios are visibly anchor-mixed
+        # (r17 ADVICE) instead of silently falling back
+        print(
+            f"WARNING: {label or 'artifact'} has no calibration_shuffle — "
+            "shuffle-class lanes normalized by the scan anchor on this side",
+            file=sys.stderr,
+        )
+        cal_sh = cal
     return {
         k: v / (cal_sh if LANE_CLASS.get(k) == "shuffle" else cal)
         for k, v in art["queries"].items()
+        # the sink lane measures the write path, not a query — keep it
+        # out of the query geomeans (r17 ADVICE), matching bench.py
+        if k != "write_tables_concurrent"
     }
 
 
@@ -47,12 +63,17 @@ def main() -> None:
     new = json.load(open(sys.argv[1]))
     old = json.load(open(sys.argv[2]))
     detail = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else {}
-    nn, no = _norm(new), _norm(old)
+    nn, no = _norm(new, sys.argv[1]), _norm(old, sys.argv[2])
     shared = sorted(set(nn) & set(no))
     iqr = detail.get("iqr", {})
 
     def cls(k):
         return LANE_CLASS.get(k, "scan")
+
+    def _fmt(x) -> str:
+        # a class with no shared keys has no geomean (r17 ADVICE: the
+        # unconditional :.3f crashed on scale/BENCH_ONLY artifacts)
+        return f"{x:.3f}" if x is not None else "n/a"
 
     print(f"shared keys: {len(shared)}")
     for c in ("scan", "shuffle"):
@@ -61,13 +82,14 @@ def main() -> None:
         ratio = gn / go if gn and go else None
         print(
             f"class {c:7s} ({len(keys):2d} keys): normalized geomean "
-            f"new={gn:.3f} old={go:.3f} ratio={ratio:.3f}"
+            f"new={_fmt(gn)} old={_fmt(go)} ratio={_fmt(ratio)}"
         )
     g_all_n = _geomean([nn[k] for k in shared])
     g_all_o = _geomean([no[k] for k in shared])
+    g_ratio = g_all_n / g_all_o if g_all_n and g_all_o else None
     print(
-        f"ALL (own-anchor)     : new={g_all_n:.3f} old={g_all_o:.3f} "
-        f"ratio={g_all_n / g_all_o:.3f}"
+        f"ALL (own-anchor)     : new={_fmt(g_all_n)} old={_fmt(g_all_o)} "
+        f"ratio={_fmt(g_ratio)}"
     )
     print()
     hdr = f"{'key':38s} {'cls':7s} {'new':>7s} {'old':>7s} {'ratio':>6s} {'band':>6s} sig"

@@ -16,10 +16,12 @@ Usage: python tools/profile_clean_lane.py <sf_dir> [repeats]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-ROOT = __file__.rsplit("/", 2)[0]
+# robust to any invocation cwd (r17 ADVICE)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
