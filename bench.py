@@ -439,6 +439,14 @@ def main() -> None:
         "calibration_shuffle_samples": cal_shuffle_samples,
         "iqr": iqr,
         "lane_class": {n: LANE_CLASS.get(n, "scan") for n in timings},
+        # the per-key normalized maps moved here from the headline line
+        # (r18): with them inline the line was ~3.7 KB and the driver's
+        # 2 KB stdout tail has truncated it since r10 — every driver
+        # BENCH_r{N}.json carried parsed=null and the judge had to
+        # reconstruct values by hand. They are pure derivations of
+        # queries/calibration(_shuffle), which stay on the line.
+        "queries_normalized": normalized,
+        "queries_normalized_class": normalized_class,
     }
     # Stamp the side file per round (SPARK_GRAFT_ROUND, if the driver
     # exports one) so successive runs don't clobber a round's audit
@@ -452,6 +460,12 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError as e:
         print(f"bench: could not write {detail_name}: {e}", file=sys.stderr)
+    # the ONE headline line must fit the driver's ~2 KB stdout tail
+    # (r18: measured 3.7 KB with the normalized maps inline — the
+    # driver recorded parsed=null every round since r10). Essentials
+    # only: raw per-key medians + both anchors + per-class geomeans;
+    # the per-key normalized maps (pure derivations) live in the
+    # detail side file. separators= drops whitespace for extra slack.
     print(
         json.dumps(
             {
@@ -462,20 +476,18 @@ def main() -> None:
                 "runs": runs,
                 "sf": sf_val,
                 # box-state anchors (see _calibration and
-                # _calibration_shuffle): compare rounds on
-                # queries_normalized, not wall-clock; the shuffle
+                # _calibration_shuffle): compare rounds on the
+                # normalized values, not wall-clock; the shuffle
                 # anchor disambiguates contention class (r16)
                 "calibration": cal,
                 "calibration_shuffle": cal_shuffle,
-                "queries_normalized": normalized,
-                # r17: per-class normalization — each lane over ITS
-                # anchor (shuffle lanes over calibration_shuffle, the
-                # rest over calibration; see LANE_CLASS) + per-class
-                # geomeans. Round-over-round comparisons read these.
-                "queries_normalized_class": normalized_class,
+                # r17: per-class geomeans — each lane over ITS anchor
+                # (see LANE_CLASS). Round-over-round reads these; the
+                # per-key normalized maps are in BENCH_LOCAL_DETAIL.
                 "normalized_geomean_scan": gm_scan,
                 "normalized_geomean_shuffle": gm_shuffle,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

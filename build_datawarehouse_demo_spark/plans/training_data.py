@@ -248,6 +248,7 @@ def training_data_neardup_state(
     val_frac: float = 0.1,
     test_frac: float = 0.1,
     corpus_n: int | None = None,
+    rank_col: str | None = None,
 ) -> dict:
     """Run the full near-dup pipeline AND keep the incremental state a
     corpus-refresh run needs (VERDICT r9 item 3) — the pipeline twin of
@@ -315,13 +316,41 @@ def training_data_neardup_state(
     band_keys = collapsed["band_keys"]
     pairs = collapsed["pairs"]
     comp = connected_components_star(pairs)
-    reps = (
-        survivors.join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
-        .filter(F.col("component_id") == F.col(id_col))
-        .drop("component")
-        .localCheckpoint()
-    )
+    memb = survivors.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+    if rank_col is None:
+        reps = (
+            memb.filter(F.col("component_id") == F.col(id_col))
+            .drop("component")
+            .localCheckpoint()
+        )
+    else:
+        # keep-best policy (r18, VERDICT r17 item 1): the survivor of
+        # each component maximizes (rank_col, then smallest id) — the
+        # winner id from ONE slim min_by, the heavy survivor columns
+        # semi-joined back (documents never enter the aggregate)
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            keep_best_key,
+        )
+
+        if rank_col not in ("n_tokens", "quality"):
+            raise ValueError(
+                f"rank_col must be a numeric survivor feature column "
+                f"(n_tokens or quality), got {rank_col!r}"
+            )
+        win = memb.groupBy("component_id").agg(
+            F.min_by(F.col(id_col), keep_best_key(rank_col, id_col)).alias(
+                "__keep"
+            )
+        )
+        reps = (
+            memb.join(
+                win.select(F.col("__keep").alias(id_col)), id_col, "left_semi"
+            )
+            .drop("component")
+            .localCheckpoint()
+        )
     rep_grams = _window_gram_rows(
         reps.select(id_col, "cleaned"), id_col, "cleaned", span_window
     ).localCheckpoint()
@@ -358,7 +387,7 @@ def training_data_neardup_state(
     output = train_val_test_split(
         out, id_col, val_frac=val_frac, test_frac=test_frac
     ).localCheckpoint()
-    return {
+    state = {
         "bands": bands,
         "rows": rows,
         "survivors": survivors,
@@ -375,6 +404,11 @@ def training_data_neardup_state(
         "rep_grams": rep_grams,
         "output": output,
     }
+    if rank_col is not None:
+        # the keep policy is part of the state's identity (see
+        # clean_filter_dedup_state)
+        state["rank_col"] = rank_col
+    return state
 
 
 def _rep_band_self_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
@@ -664,6 +698,7 @@ def training_data_neardup_apply(
     span_min_docs: int = 2,
     val_frac: float = 0.1,
     test_frac: float = 0.1,
+    rank_col: str | None = None,
     migrate_banding: bool = False,
     compact_to: str | None = None,
     compact_path: str | None = None,
@@ -756,6 +791,28 @@ def training_data_neardup_apply(
     migrate_training_data_neardup_banding (span stage included).
     Corpus size from the optional ``n_survivors`` counter when
     present, else one survivors count.
+
+    ``rank_col`` (r18, VERDICT r17 item 1): the KEEP-BEST policy, run
+    incrementally — the state must have been built with the SAME
+    rank_col (guarded; a numeric survivor feature: ``quality`` or
+    ``n_tokens``). Representative selection changes from min-id to
+    per-component argmax (rank, then smallest id): only components
+    TOUCHED by the batch can change their keep (new edges always
+    involve new documents, and an old non-keep member can never
+    out-rank its component's stored keep — the argmax over a merged
+    component is the max of the parts' argmaxes and the new members),
+    so the fold compares the touched components' stored keeps against
+    the batch's survivors in ONE slim min_by. A later higher-rank
+    re-crawl of a NEAR-duplicate therefore DISPLACES the stored
+    representative — its grams leave the span index, the winner's
+    enter, and span-affected documents rebuild through the same delta
+    machinery. (An EXACT re-crawl is still digest-dropped by the exact
+    stage before the rep race — identical text carries no new
+    information; keep-best displacement is a near-dup policy here.)
+    Stored keeps of touched components re-emit their output rows even
+    when they win again, because a merge can lower their component
+    label. output.component_id is the component's star label under
+    keep-best, not necessarily the kept row's own id.
     """
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
@@ -765,6 +822,12 @@ def training_data_neardup_apply(
     )
     from build_datawarehouse_demo_spark.operators.sampling import train_val_test_split
 
+    if state.get("rank_col") != rank_col:
+        raise ValueError(
+            f"keep-policy mismatch: state was built with "
+            f"rank_col={state.get('rank_col')!r}, apply called with "
+            f"{rank_col!r} — the policy is part of the state's identity"
+        )
     retire_scope = (
         _persistent_rdd_ids(new_df.sparkSession) if compact_to is not None else None
     )
@@ -816,20 +879,69 @@ def training_data_neardup_apply(
 
     # -- components over the refreshed edge set (pair-graph volume)
     comp = connected_components_star(pairs_all)
-    dropped_old = (
-        old_rep_ids.join(comp.withColumnRenamed("node", id_col), id_col)
-        .filter(F.col("component") != F.col(id_col))
-        .select(id_col)
-        .localCheckpoint()
-    )
-    kept_old_rep_ids = old_rep_ids.join(dropped_old, id_col, "left_anti")
-    new_rep_ids = (
-        new_surv.select(id_col)
-        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .filter(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
-        .select(id_col)
-        .localCheckpoint()
-    )
+    compR = comp.withColumnRenamed("node", id_col)
+    if rank_col is None:
+        dropped_old = (
+            old_rep_ids.join(compR, id_col)
+            .filter(F.col("component") != F.col(id_col))
+            .select(id_col)
+            .localCheckpoint()
+        )
+        kept_old_rep_ids = old_rep_ids.join(dropped_old, id_col, "left_anti")
+        new_rep_ids = (
+            new_surv.select(id_col)
+            .join(compR, id_col, "left")
+            .filter(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
+            .select(id_col)
+            .localCheckpoint()
+        )
+        touched_labels = None
+    else:
+        # keep-best rep selection over the TOUCHED components only
+        # (see docstring): candidates = those components' stored keeps
+        # + the batch's survivors; one slim min_by picks each winner
+        from build_datawarehouse_demo_spark.operators.dedup import keep_best_key
+
+        def _labeled(frame: DataFrame) -> DataFrame:
+            return (
+                frame.join(compR, id_col, "left")
+                .withColumn(
+                    "__cid", F.coalesce(F.col("component"), F.col(id_col))
+                )
+                .drop("component")
+            )
+
+        new_lab = _labeled(new_surv.select(id_col, rank_col))
+        touched_labels = new_lab.select("__cid").distinct().localCheckpoint()
+        old_keep_lab = _labeled(
+            old_surv.join(old_rep_ids, id_col, "left_semi").select(
+                id_col, rank_col
+            )
+        ).join(touched_labels, "__cid", "left_semi")
+        cand = old_keep_lab.unionByName(
+            new_lab.join(touched_labels, "__cid", "left_semi")
+        )
+        win_ids = (
+            cand.groupBy("__cid")
+            .agg(
+                F.min_by(F.col(id_col), keep_best_key(rank_col, id_col)).alias(
+                    "__keep"
+                )
+            )
+            .select(F.col("__keep").alias(id_col))
+            .localCheckpoint()
+        )
+        dropped_old = (
+            old_keep_lab.select(id_col)
+            .join(win_ids, id_col, "left_anti")
+            .localCheckpoint()
+        )
+        kept_old_rep_ids = old_rep_ids.join(dropped_old, id_col, "left_anti")
+        new_rep_ids = (
+            new_surv.select(id_col)
+            .join(win_ids, id_col, "left_semi")
+            .localCheckpoint()
+        )
 
     # -- span refresh: delta the gram stats, rebuild only affected docs
     new_grams = _window_gram_rows(
@@ -873,15 +985,27 @@ def training_data_neardup_apply(
     rebuilt = remove_spans_given_owners(
         affected_docs.select(id_col, "cleaned"), owners, id_col, "cleaned", span_window
     )
+    if rank_col is None:
+        # min-id policy: every rep IS its component's label
+        cid = F.col(id_col).alias("component_id")
+        aff = affected_docs.select(id_col, "pred_lang", "quality")
+    else:
+        # keep-best: the label is the component min, not the winner's
+        # own id — attach it from the refreshed component map
+        cid = F.col("__cid").alias("component_id")
+        aff = affected_docs.select(id_col, "pred_lang", "quality").join(
+            compR, id_col, "left"
+        ).withColumn(
+            "__cid", F.coalesce(F.col("component"), F.col(id_col))
+        ).drop("component")
     recomputed = (
-        affected_docs.select(id_col, "pred_lang", "quality")
-        .join(rebuilt, id_col)
+        aff.join(rebuilt, id_col)
         .select(
             id_col,
             "pred_lang",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             "quality",
-            F.col(id_col).alias("component_id"),
+            cid,
             "cleaned_text",
             "n_tokens_removed",
         )
@@ -892,6 +1016,32 @@ def training_data_neardup_apply(
     reused = old_output.join(kept_old_rep_ids, id_col, "left_semi").join(
         affected_ids, id_col, "left_anti"
     )
+    if rank_col is not None:
+        # a kept winner in a TOUCHED component may carry a stale label
+        # (a merge lowers the component min without changing its text
+        # or gram stats): re-emit those rows with the refreshed label
+        # — a touched-scale projection, never a span rebuild
+        ru_lab = (
+            reused.select(id_col)
+            .join(compR, id_col, "left")
+            .withColumn("__cid", F.coalesce(F.col("component"), F.col(id_col)))
+            .drop("component")
+            .join(touched_labels, "__cid", "left_semi")
+            .localCheckpoint()
+        )
+        relabeled = reused.drop("component_id").join(ru_lab, id_col).select(
+            id_col,
+            "pred_lang",
+            "n_tokens",
+            "quality",
+            F.col("__cid").alias("component_id"),
+            "cleaned_text",
+            "n_tokens_removed",
+            "split",
+        )
+        reused = reused.join(
+            ru_lab.select(id_col), id_col, "left_anti"
+        ).unionByName(relabeled)
     output = reused.unionByName(recomputed_out)
     refreshed = _refreshed_collapse_state(state, delta, id_col)
     result = {
@@ -909,6 +1059,8 @@ def training_data_neardup_apply(
         "rep_grams": grams_union,
         "output": output,
     }
+    if rank_col is not None:
+        result["rank_col"] = rank_col
     if state.get("n_survivors") is not None:
         # O(batch): counts the checkpoint-backed fold delta, not the
         # corpus (r16 ADVICE) — opt-in incremental survivor counter,
@@ -939,6 +1091,7 @@ def training_data_neardup_apply(
             span_min_docs=span_min_docs,
             val_frac=val_frac,
             test_frac=test_frac,
+            rank_col=rank_col,
         )
         if migrated is not result:
             if not compact_keep_superseded:
@@ -985,6 +1138,49 @@ def _barrier_keep(df: DataFrame, *out_cols: str) -> DataFrame:
     return b.filter(
         (F.col("kept") | (F.col("__barrier") < F.lit(0)))
     ).select(*out_cols)
+
+
+def _clean_reps(
+    survivors: DataFrame,
+    comp: DataFrame,
+    id_col: str,
+    rank_col: str | None,
+) -> DataFrame:
+    """Representative rows (id, n_ws_tokens, clf_score, component_id)
+    of every near-dup component of the CLEAN pipeline — the keep-policy
+    seam shared by the one-shot build, the state builder and the
+    banding migration. ``rank_col=None`` keeps the min-id member (the
+    star label, so the filter is free); ``rank_col`` set keeps the
+    member MAXIMIZING (rank, then smallest id) — the Dolma/FineWeb
+    keep-the-best policy (operators/dedup.dedup_keep_best), as ONE
+    map-side-combining min_by over slim scalar rows. ``rank_col`` must
+    be a numeric survivor feature column (n_ws_tokens or clf_score)."""
+    from build_datawarehouse_demo_spark.operators.dedup import keep_best_key
+
+    memb = survivors.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+    if rank_col is None:
+        return memb.filter(F.col("component_id") == F.col(id_col)).select(
+            id_col, "n_ws_tokens", "clf_score", "component_id"
+        )
+    if rank_col not in ("n_ws_tokens", "clf_score"):
+        raise ValueError(
+            f"rank_col must be a numeric survivor feature column "
+            f"(n_ws_tokens or clf_score), got {rank_col!r}"
+        )
+    win = memb.groupBy("component_id").agg(
+        F.min_by(
+            F.struct(F.col(id_col), F.col("n_ws_tokens"), F.col("clf_score")),
+            keep_best_key(rank_col, id_col),
+        ).alias("__w")
+    )
+    return win.select(
+        F.col(f"__w.{id_col}").alias(id_col),
+        F.col("__w.n_ws_tokens").alias("n_ws_tokens"),
+        F.col("__w.clf_score").alias("clf_score"),
+        "component_id",
+    )
 
 
 def clean_filter_survivors(
@@ -1084,6 +1280,7 @@ def prepare_clean_filter_dedup(
     val_frac: float = 0.1,
     test_frac: float = 0.1,
     corpus_n: int | None = None,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """The MODERN cleaning stack composed end-to-end (VERDICT r10/r11
     item 1) — the stage order every current open-corpus pipeline runs
@@ -1116,6 +1313,14 @@ def prepare_clean_filter_dedup(
     Banding is sized from the RAW corpus count (pass ``corpus_n`` to
     skip the count()) — the same over-provisioning contract, and the
     same oracle-pinnable choice, as prepare_training_data_neardup.
+
+    ``rank_col`` (r18, VERDICT r17 item 1) switches the duplicate-class
+    keep policy from min-id to KEEP-BEST: the survivor of each near-dup
+    component is the member maximizing (rank_col, then smallest id) —
+    rank_col a numeric survivor feature (``clf_score`` or
+    ``n_ws_tokens``); see _clean_reps / dedup_keep_best. component_id
+    is then the component's star label (its min id), which need not be
+    the kept row's own id.
 
     Returns one row per surviving document:
     (id, n_ws_tokens, clf_score, component_id, split).
@@ -1161,14 +1366,7 @@ def prepare_clean_filter_dedup(
         threshold=jaccard_threshold,
     ).localCheckpoint()
     comp = connected_components_star(pairs)
-    reps = (
-        survivors.join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .withColumn(
-            "component_id", F.coalesce(F.col("component"), F.col(id_col))
-        )
-        .filter(F.col("component_id") == F.col(id_col))
-        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
-    )
+    reps = _clean_reps(survivors, comp, id_col, rank_col)
     return train_val_test_split(
         reps, id_col, val_frac=val_frac, test_frac=test_frac
     ).select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
@@ -1191,6 +1389,7 @@ def clean_filter_dedup_state(
     val_frac: float = 0.1,
     test_frac: float = 0.1,
     corpus_n: int | None = None,
+    rank_col: str | None = None,
 ) -> dict:
     """prepare_clean_filter_dedup run WITH its incremental state kept
     (VERDICT r12 item 3) — the modern cleaning stack's twin of
@@ -1264,18 +1463,13 @@ def clean_filter_dedup_state(
     band_keys = collapsed["band_keys"]
     pairs = collapsed["pairs"]
     comp = connected_components_star(pairs)
-    reps = (
-        survivors.join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
-        .filter(F.col("component_id") == F.col(id_col))
-        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
-    )
+    reps = _clean_reps(survivors, comp, id_col, rank_col)
     output = (
         train_val_test_split(reps, id_col, val_frac=val_frac, test_frac=test_frac)
         .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
         .localCheckpoint()
     )
-    return {
+    state = {
         "bands": bands,
         "rows": rows,
         "survivors": survivors,
@@ -1287,6 +1481,11 @@ def clean_filter_dedup_state(
         "pairs": pairs,
         "output": output,
     }
+    if rank_col is not None:
+        # the keep policy is part of the state's identity: applies and
+        # migrations must run the SAME policy (guarded there)
+        state["rank_col"] = rank_col
+    return state
 
 
 def clean_filter_dedup_apply(
@@ -1306,6 +1505,7 @@ def clean_filter_dedup_apply(
     jaccard_threshold: float = 0.8,
     val_frac: float = 0.1,
     test_frac: float = 0.1,
+    rank_col: str | None = None,
     migrate_banding: bool = False,
     compact_to: str | None = None,
     compact_path: str | None = None,
@@ -1347,9 +1547,25 @@ def clean_filter_dedup_apply(
       changed); dropped old reps are anti-joined away; new reps build
       rows through the same split hash — identical either way.
 
+    ``rank_col`` (r18, VERDICT r17 item 1) runs the KEEP-BEST policy
+    incrementally — the state must have been built with the SAME
+    rank_col (guarded). Only components TOUCHED by the batch can
+    change their keep: new edges always involve new documents, and an
+    old NON-keep member can never out-rank its component's stored keep
+    (the argmax over a merged component is the max of the merged
+    parts' argmaxes and the new members). So the fold recomputes the
+    winner row for exactly the touched components — candidates = the
+    stored keeps of those components plus the batch's survivors, ONE
+    slim min_by per component — and reuses every untouched stored row
+    verbatim. A later higher-rank re-crawl therefore DISPLACES the
+    stored representative (the keep-best displacement contract); a
+    same-rank re-crawl ties and loses to the smaller stored id, so
+    exact redelivery stays idempotent in output.
+
     Returns the same dict shape as clean_filter_dedup_state.
     Redelivery is idempotent IN OUTPUT: a redelivered copy gets a new
-    id, pairs with its stored original at jaccard 1.0, and loses the
+    id, pairs with its stored original at jaccard 1.0, and (under the
+    default min-id policy, or on a rank tie under keep-best) loses the
     rep race to the smaller stored id, so the output rows are
     unchanged (the duplicate itself joins the pair/survivor state like
     any other near-dup member).
@@ -1387,6 +1603,12 @@ def clean_filter_dedup_apply(
         train_val_test_split,
     )
 
+    if state.get("rank_col") != rank_col:
+        raise ValueError(
+            f"keep-policy mismatch: state was built with "
+            f"rank_col={state.get('rank_col')!r}, apply called with "
+            f"{rank_col!r} — the policy is part of the state's identity"
+        )
     retire_scope = (
         _persistent_rdd_ids(new_df.sparkSession) if compact_to is not None else None
     )
@@ -1434,25 +1656,89 @@ def clean_filter_dedup_apply(
     pairs_all = old_pairs.union(delta["new_pairs"])
 
     comp = connected_components_star(pairs_all)
-    dropped_old = (
-        old_output.select(id_col)
-        .join(comp.withColumnRenamed("node", id_col), id_col)
-        .filter(F.col("component") != F.col(id_col))
-        .select(id_col)
-        .localCheckpoint()
-    )
-    reused = old_output.join(dropped_old, id_col, "left_anti")
-    new_reps = (
-        new_surv.join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
-        .filter(F.col("component_id") == F.col(id_col))
-        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
-    )
-    new_out = (
-        train_val_test_split(new_reps, id_col, val_frac=val_frac, test_frac=test_frac)
-        .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
-        .localCheckpoint()  # the batch's output DELTA
-    )
+    if rank_col is None:
+        dropped_old = (
+            old_output.select(id_col)
+            .join(comp.withColumnRenamed("node", id_col), id_col)
+            .filter(F.col("component") != F.col(id_col))
+            .select(id_col)
+            .localCheckpoint()
+        )
+        reused = old_output.join(dropped_old, id_col, "left_anti")
+        new_reps = (
+            new_surv.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .withColumn(
+                "component_id", F.coalesce(F.col("component"), F.col(id_col))
+            )
+            .filter(F.col("component_id") == F.col(id_col))
+            .select(id_col, "n_ws_tokens", "clf_score", "component_id")
+        )
+        new_out = (
+            train_val_test_split(
+                new_reps, id_col, val_frac=val_frac, test_frac=test_frac
+            )
+            .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+            .localCheckpoint()  # the batch's output DELTA
+        )
+    else:
+        # keep-best refresh (r18): recompute the winner row for exactly
+        # the components TOUCHED by the batch (see docstring). All
+        # joins against `touched` are batch-scale (AQE broadcasts);
+        # candidates per touched component = its stored keep + the new
+        # members — one slim min_by, documents never move.
+        from build_datawarehouse_demo_spark.operators.dedup import keep_best_key
+
+        compR = comp.withColumnRenamed("node", id_col)
+
+        def _labeled(frame: DataFrame) -> DataFrame:
+            return (
+                frame.join(compR, id_col, "left")
+                .withColumn(
+                    "component_id",
+                    F.coalesce(F.col("component"), F.col(id_col)),
+                )
+                .drop("component")
+            )
+
+        new_lab = _labeled(new_surv.select(id_col, "n_ws_tokens", "clf_score"))
+        touched = new_lab.select("component_id").distinct().localCheckpoint()
+        old_keep_lab = _labeled(
+            old_output.select(id_col, "n_ws_tokens", "clf_score")
+        )
+        cand = old_keep_lab.unionByName(new_lab).join(
+            touched, "component_id", "left_semi"
+        )
+        winners = cand.groupBy("component_id").agg(
+            F.min_by(
+                F.struct(
+                    F.col(id_col), F.col("n_ws_tokens"), F.col("clf_score")
+                ),
+                keep_best_key(rank_col, id_col),
+            ).alias("__w")
+        )
+        new_rows = winners.select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.n_ws_tokens").alias("n_ws_tokens"),
+            F.col("__w.clf_score").alias("clf_score"),
+            "component_id",
+        )
+        new_out = (
+            train_val_test_split(
+                new_rows, id_col, val_frac=val_frac, test_frac=test_frac
+            )
+            .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+            .localCheckpoint()  # the touched-component winner rows
+        )
+        # stored rows whose CURRENT component is touched are replaced
+        # (their label may have merged downward, their keep may have
+        # been displaced); everything else is reused verbatim
+        dropped_old = (
+            _labeled(old_output.select(id_col))
+            .join(touched, "component_id", "left_semi")
+            .select(id_col)
+            .localCheckpoint()
+        )
+        reused = old_output.join(dropped_old, id_col, "left_anti")
     output = reused.unionByName(new_out)
     refreshed = _refreshed_collapse_state(state, delta, id_col)
     result = {
@@ -1465,6 +1751,8 @@ def clean_filter_dedup_apply(
         "pairs": pairs_all,
         "output": output,
     }
+    if rank_col is not None:
+        result["rank_col"] = rank_col
     if state.get("n_survivors") is not None:
         # O(batch): new_surv is checkpoint-backed, so this counts the
         # fold delta's cached blocks — the incremental twin of a
@@ -1500,6 +1788,7 @@ def clean_filter_dedup_apply(
             jaccard_threshold=jaccard_threshold,
             val_frac=val_frac,
             test_frac=test_frac,
+            rank_col=rank_col,
         )
         if migrated is not result:
             if not compact_keep_superseded:
@@ -1602,6 +1891,7 @@ def migrate_clean_filter_banding(
     jaccard_threshold: float = 0.8,
     val_frac: float = 0.1,
     test_frac: float = 0.1,
+    rank_col: str | None = None,
 ) -> dict:
     """Re-train a clean_filter_dedup_state's FROZEN banding for the
     corpus size it has grown to (VERDICT r14 item 2). The frozen
@@ -1643,6 +1933,12 @@ def migrate_clean_filter_banding(
         train_val_test_split,
     )
 
+    if state.get("rank_col") != rank_col:
+        raise ValueError(
+            f"keep-policy mismatch: state was built with "
+            f"rank_col={state.get('rank_col')!r}, migration called with "
+            f"{rank_col!r} — the policy is part of the state's identity"
+        )
     new_bands, new_rows = minhash_auto_params(
         corpus_n, threshold=jaccard_threshold
     )
@@ -1653,13 +1949,7 @@ def migrate_clean_filter_banding(
     )
     pairs = rebanded["pairs"]
     comp = connected_components_star(pairs)
-    reps = (
-        state["survivors"]
-        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
-        .filter(F.col("component_id") == F.col(id_col))
-        .select(id_col, "n_ws_tokens", "clf_score", "component_id")
-    )
+    reps = _clean_reps(state["survivors"], comp, id_col, rank_col)
     output = (
         train_val_test_split(reps, id_col, val_frac=val_frac, test_frac=test_frac)
         .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
@@ -1677,6 +1967,8 @@ def migrate_clean_filter_banding(
     }
     if state.get("n_survivors") is not None:
         out["n_survivors"] = state["n_survivors"]  # survivors untouched
+    if rank_col is not None:
+        out["rank_col"] = rank_col
     return out
 
 
@@ -1690,6 +1982,7 @@ def migrate_training_data_neardup_banding(
     span_min_docs: int = 2,
     val_frac: float = 0.1,
     test_frac: float = 0.1,
+    rank_col: str | None = None,
 ) -> dict:
     """Re-train a training_data_neardup_state's FROZEN banding — the
     neardup-pipeline twin of migrate_clean_filter_banding, sharing the
@@ -1731,6 +2024,12 @@ def migrate_training_data_neardup_banding(
         train_val_test_split,
     )
 
+    if state.get("rank_col") != rank_col:
+        raise ValueError(
+            f"keep-policy mismatch: state was built with "
+            f"rank_col={state.get('rank_col')!r}, migration called with "
+            f"{rank_col!r} — the policy is part of the state's identity"
+        )
     new_bands, new_rows = minhash_auto_params(
         corpus_n, threshold=jaccard_threshold
     )
@@ -1745,13 +2044,40 @@ def migrate_training_data_neardup_banding(
     old_grams = state["rep_grams"]
 
     comp = connected_components_star(pairs)
-    rep_ids = (
-        surv.select(id_col)
-        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .filter(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
-        .select(id_col)
-        .localCheckpoint()
-    )
+    compR = comp.withColumnRenamed("node", id_col)
+    if rank_col is None:
+        rep_ids = (
+            surv.select(id_col)
+            .join(compR, id_col, "left")
+            .filter(
+                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+            )
+            .select(id_col)
+            .localCheckpoint()
+        )
+    else:
+        # keep-best: re-banding changes the component set, so the
+        # winners are recomputed globally — one slim min_by over
+        # (component, rank, id), the rep-resign scale this migration
+        # already runs at
+        from build_datawarehouse_demo_spark.operators.dedup import keep_best_key
+
+        memb = (
+            surv.select(id_col, rank_col)
+            .join(compR, id_col, "left")
+            .withColumn("__cid", F.coalesce(F.col("component"), F.col(id_col)))
+            .drop("component")
+        )
+        rep_ids = (
+            memb.groupBy("__cid")
+            .agg(
+                F.min_by(F.col(id_col), keep_best_key(rank_col, id_col)).alias(
+                    "__keep"
+                )
+            )
+            .select(F.col("__keep").alias(id_col))
+            .localCheckpoint()
+        )
     dropped = old_rep_ids.join(rep_ids, id_col, "left_anti").localCheckpoint()
     added = rep_ids.join(old_rep_ids, id_col, "left_anti").localCheckpoint()
 
@@ -1795,15 +2121,27 @@ def migrate_training_data_neardup_banding(
     rebuilt = remove_spans_given_owners(
         affected_docs.select(id_col, "cleaned"), owners, id_col, "cleaned", span_window
     )
+    if rank_col is None:
+        cid = F.col(id_col).alias("component_id")
+        aff = affected_docs.select(id_col, "pred_lang", "quality")
+    else:
+        # keep-best: the label is the component min under the NEW
+        # pairs, not the winner's own id
+        cid = F.col("__cid").alias("component_id")
+        aff = (
+            affected_docs.select(id_col, "pred_lang", "quality")
+            .join(compR, id_col, "left")
+            .withColumn("__cid", F.coalesce(F.col("component"), F.col(id_col)))
+            .drop("component")
+        )
     recomputed = (
-        affected_docs.select(id_col, "pred_lang", "quality")
-        .join(rebuilt, id_col)
+        aff.join(rebuilt, id_col)
         .select(
             id_col,
             "pred_lang",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             "quality",
-            F.col(id_col).alias("component_id"),
+            cid,
             "cleaned_text",
             "n_tokens_removed",
         )
@@ -1814,6 +2152,32 @@ def migrate_training_data_neardup_banding(
     reused = state["output"].join(rep_ids, id_col, "left_semi").join(
         affected_ids, id_col, "left_anti"
     )
+    if rank_col is not None:
+        # kept winners whose component LABEL moved under the new pair
+        # set re-emit their stored rows with the refreshed label (a
+        # projection over the changed rows only — never a span rebuild)
+        ru_lab = (
+            reused.select(id_col, "component_id")
+            .join(compR, id_col, "left")
+            .withColumn("__cid", F.coalesce(F.col("component"), F.col(id_col)))
+            .drop("component")
+            .filter(F.col("__cid") != F.col("component_id"))
+            .select(id_col, "__cid")
+            .localCheckpoint()
+        )
+        relabeled = reused.drop("component_id").join(ru_lab, id_col).select(
+            id_col,
+            "pred_lang",
+            "n_tokens",
+            "quality",
+            F.col("__cid").alias("component_id"),
+            "cleaned_text",
+            "n_tokens_removed",
+            "split",
+        )
+        reused = reused.join(
+            ru_lab.select(id_col), id_col, "left_anti"
+        ).unionByName(relabeled)
     output = reused.unionByName(recomputed_out)
     out = {
         "bands": new_bands,
@@ -1830,6 +2194,8 @@ def migrate_training_data_neardup_banding(
     }
     if state.get("n_survivors") is not None:
         out["n_survivors"] = state["n_survivors"]  # survivors untouched
+    if rank_col is not None:
+        out["rank_col"] = rank_col
     return out
 
 

@@ -186,6 +186,9 @@ def _load_all() -> None:
         register_round17_soft_dedup,
         register_round17_streaming_neardup_state,
     )
+    from build_datawarehouse_demo_spark.registry_round18 import (  # noqa
+        register_round18_keep_best_incremental,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -250,6 +253,7 @@ def _load_all() -> None:
     register_round17_keep_best()
     register_round17_streaming_neardup_state()
     register_round17_soft_dedup()
+    register_round18_keep_best_incremental()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

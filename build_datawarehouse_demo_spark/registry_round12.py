@@ -129,7 +129,11 @@ def _pageify_sql(tok_text: str, doc_where: str = "") -> str:
 
 
 def _clean_filter_dedup_sql(
-    mb: int, mr: int, w_sql: str, doc_where: str = ""
+    mb: int,
+    mr: int,
+    w_sql: str,
+    doc_where: str = "",
+    keep_best_rank: str | None = None,
 ) -> str:
     """The WHOLE composed chain as one DuckDB query: pageify → C4 →
     Gopher quality → Gopher repetition → classifier → MinHash-LSH
@@ -139,10 +143,47 @@ def _clean_filter_dedup_sql(
     already green on the component entries (registry_round10 C4 /
     gopher / classifier, registry_round11 repetition, registry_round9
     minhash+components), re-rooted on the previous stage's survivors —
-    so the COMPOSITION is hash-verified end-to-end."""
+    so the COMPOSITION is hash-verified end-to-end.
+
+    ``keep_best_rank`` (r18): restate the KEEP-BEST policy instead of
+    min-id representatives — the survivor of each component is the
+    member maximizing (rank DESC NULLS LAST, doc_id ASC), as a
+    row_number window over every member (the exact decision
+    plans/training_data's rank_col seam computes with min_by)."""
     w = _tok_of("cleaned")
     mnh = mb * mr
     split_hash = _HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")
+    if keep_best_rank is not None:
+        final = rf""",
+        memb AS (
+          SELECT c.doc_id, c.n_ws_tokens, c.clf_score,
+                 COALESCE(cp.component, c.doc_id) AS component_id
+          FROM clf c LEFT JOIN compo cp ON cp.node = c.doc_id
+        )
+        SELECT doc_id, n_ws_tokens, clf_score, component_id,
+               CASE WHEN doc_id IS NULL THEN NULL
+                    WHEN {split_hash} % 1000 < 100 THEN 'val'
+                    WHEN {split_hash} % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY component_id
+                   ORDER BY {keep_best_rank} DESC NULLS LAST, doc_id ASC
+                 ) AS rk
+          FROM memb)
+        WHERE rk = 1
+        """
+    else:
+        final = rf"""
+        SELECT c.doc_id, c.n_ws_tokens, c.clf_score,
+               COALESCE(cp.component, c.doc_id) AS component_id,
+               CASE WHEN c.doc_id IS NULL THEN NULL
+                    WHEN {split_hash} % 1000 < 100 THEN 'val'
+                    WHEN {split_hash} % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM clf c LEFT JOIN compo cp ON cp.node = c.doc_id
+        WHERE COALESCE(cp.component, c.doc_id) = c.doc_id
+        """
     return rf"""
         WITH RECURSIVE {_pageify_sql(_tok_of("text"), doc_where)},
         c4d AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM pages),
@@ -321,16 +362,7 @@ def _clean_filter_dedup_sql(
         ),
         compo AS (
           SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s
-        )
-        SELECT c.doc_id, c.n_ws_tokens, c.clf_score,
-               COALESCE(cp.component, c.doc_id) AS component_id,
-               CASE WHEN c.doc_id IS NULL THEN NULL
-                    WHEN {split_hash} % 1000 < 100 THEN 'val'
-                    WHEN {split_hash} % 1000 < 200 THEN 'test'
-                    ELSE 'train' END AS split
-        FROM clf c LEFT JOIN compo cp ON cp.node = c.doc_id
-        WHERE COALESCE(cp.component, c.doc_id) = c.doc_id
-        """
+        ){final}"""
 
 
 def register_round12_clean_filter_dedup() -> None:

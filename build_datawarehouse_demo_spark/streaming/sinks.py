@@ -174,7 +174,10 @@ def stream_clean_filter_state_append(
     to the state one batch apply of the whole stream would produce.
     (A NEW-id redelivery of the same text is the normal re-crawl case:
     it joins its original's digest group and loses the rep race —
-    output unchanged, the batch contract.)
+    output unchanged, the batch contract. Under the keep-best policy —
+    pass ``rank_col=...`` in ``knobs``, matching the state build — a
+    HIGHER-RANK near-dup re-crawl instead DISPLACES the stored
+    representative; see clean_filter_dedup_apply.)
 
     Durability matches the in-memory state contract (localCheckpoint-
     backed frames): a restarted driver rebuilds or reloads state; the
@@ -235,7 +238,13 @@ def stream_clean_filter_state_append(
     # describe the same pipeline parameters in both calls
     mig_knobs = {
         k: knobs[k]
-        for k in ("shingle_k", "jaccard_threshold", "val_frac", "test_frac")
+        for k in (
+            "shingle_k",
+            "jaccard_threshold",
+            "val_frac",
+            "test_frac",
+            "rank_col",  # keep policy is part of the state's identity
+        )
         if k in knobs
     }
     # retire scope for compaction, snapshotted at WIRING time: after a
@@ -347,7 +356,10 @@ def stream_training_data_state_append(
     - effectively exactly-once: checkpoint-pinned batch ids + the
       survivor-id anti-join drop same-id redeliveries; a new-id
       re-crawl joins its original's digest group and loses the rep
-      race (output unchanged — the batch contract).
+      race (output unchanged — the batch contract). Under keep-best
+      (``rank_col=...`` in ``knobs``, matching the state build) a
+      higher-rank NEAR-dup re-crawl displaces the stored rep — see
+      training_data_neardup_apply.
     - ``compact_every=N`` / ``compact_to`` / ``compact_path``: every
       N batches (batch_id-derived cadence, retry/restart-stable) the
       state compacts to bucketed parquet generations with the
@@ -381,6 +393,7 @@ def stream_training_data_state_append(
             "span_min_docs",
             "val_frac",
             "test_frac",
+            "rank_col",  # keep policy is part of the state's identity
         )
         if k in knobs
     }

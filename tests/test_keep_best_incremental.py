@@ -1,0 +1,290 @@
+"""Keep-best threaded through the incremental curation state (r18,
+VERDICT r17 item 1): with ``rank_col`` set, the survivor of every
+duplicate class is the member maximizing (rank, then smallest id) —
+and a LATER, HIGHER-RANK re-crawl DISPLACES the stored representative,
+the one thing the min-id policy can never do (new ids are larger by
+the monotone append contract, so under min-id a re-crawl always loses).
+
+Every scenario is pinned two ways: structurally (who survives, what
+label) and by EXACT parity with the one-shot keep-best build over
+old ∪ new at the state's frozen banding — the same refresh ≡ rebuild
+contract the min-id oracles pin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_incremental_state_skew import LOOSE, _corpus, _rows
+
+# generous candidate recall for the tiny fixtures: displacement needs
+# the re-crawl to PAIR with the stored rep through the frozen banding
+_J = dict(jaccard_threshold=0.5)
+
+
+def _words(prefix: str, n: int) -> list[str]:
+    # 5+ chars per word: the Gopher mean-word-length gate (3.0-10.0)
+    # is NOT loosened by the LOOSE knobs
+    return [f"{prefix}word{i}" for i in range(n)]
+
+
+# near-dup displacement pair: T2 = T1 + 4 extra words (J ≈ 0.74 at
+# k=3, well over the 0.5 test threshold) and MORE whitespace tokens,
+# so under rank_col="n_ws_tokens" the re-crawl must win the keep race
+T1 = " ".join(_words("w", 20)) + "."
+T2 = " ".join(_words("w", 20) + _words("extra", 4)) + "."
+
+# short prefixes: the Gopher gate also CAPS mean word length at 10
+FILLERS = [
+    (i, " ".join(_words(f"f{i}", 12)) + ".") for i in (2, 3, 4)
+]
+
+
+def test_clean_keep_best_displacement_and_parity(spark):
+    """A higher-rank near-dup re-crawl displaces the stored rep in the
+    CLEAN pipeline's incremental state; the refreshed output equals the
+    one-shot keep-best build at the frozen banding; the component label
+    stays the component MIN (the old id) while the KEPT row is the new
+    doc — the label/keep separation keep-best introduces."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    old_rows = [(1, T1)] + FILLERS
+    new_rows = [(100, T2)]
+    old = _corpus(spark, old_rows)
+    n_old = old.count()
+    knobs = dict(rank_col="n_ws_tokens", **LOOSE, **_J)
+    state = clean_filter_dedup_state(old, corpus_n=n_old, **knobs)
+    # pre-fold: the stored rep of the (still singleton) class is doc 1
+    assert 1 in {r[0] for r in state["output"].collect()}
+    refreshed = clean_filter_dedup_apply(_corpus(spark, new_rows), state, **knobs)
+    out = {r["doc_id"]: r for r in refreshed["output"].collect()}
+    assert 100 in out and 1 not in out  # displaced
+    assert out[100]["component_id"] == 1  # label = component min, not keeper
+    full = clean_filter_dedup_state(
+        _corpus(spark, old_rows + new_rows), corpus_n=n_old, **knobs
+    )
+    assert _rows(refreshed["output"]) == _rows(full["output"])
+
+
+def test_clean_keep_best_tie_keeps_stored_rep(spark):
+    """An equal-rank re-crawl (identical text, new id) TIES and loses
+    to the smaller stored id — exact redelivery stays idempotent in
+    output under keep-best, matching the min-id contract."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    old_rows = [(1, T1)] + FILLERS
+    old = _corpus(spark, old_rows)
+    knobs = dict(rank_col="n_ws_tokens", **LOOSE, **_J)
+    state = clean_filter_dedup_state(old, corpus_n=old.count(), **knobs)
+    want = _rows(state["output"])
+    refreshed = clean_filter_dedup_apply(
+        _corpus(spark, [(100, T1)]), state, **knobs
+    )
+    assert _rows(refreshed["output"]) == want
+
+
+def test_clean_keep_best_policy_mismatch_raises(spark):
+    """The keep policy is part of the state's identity: folding with a
+    different rank_col than the build must fail loudly, in the apply
+    AND in the banding migration."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+        migrate_clean_filter_banding,
+    )
+
+    old = _corpus(spark, FILLERS)
+    state = clean_filter_dedup_state(old, corpus_n=old.count(), **LOOSE, **_J)
+    batch = _corpus(spark, [(100, T1)])
+    with pytest.raises(ValueError, match="keep-policy mismatch"):
+        clean_filter_dedup_apply(
+            batch, state, rank_col="n_ws_tokens", **LOOSE, **_J
+        )
+    with pytest.raises(ValueError, match="keep-policy mismatch"):
+        migrate_clean_filter_banding(
+            state, corpus_n=10_000, rank_col="n_ws_tokens"
+        )
+
+
+def test_clean_keep_best_multi_fold_with_compaction_parity(spark, tmp_path):
+    """Two keep-best folds with a state COMPACTION between them: the
+    policy (a scalar state entry) survives the parquet round-trip, and
+    the final output still equals the one-shot keep-best rebuild at
+    the frozen banding."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+    )
+
+    old_rows = [(1, T1)] + FILLERS
+    b1 = [(100, T2)]
+    b2 = [(200, " ".join(_words("w", 20) + _words("extra", 8)) + ".")]
+    knobs = dict(rank_col="n_ws_tokens", **LOOSE, **_J)
+    old = _corpus(spark, old_rows)
+    n_old = old.count()
+    state = clean_filter_dedup_state(old, corpus_n=n_old, **knobs)
+    state = clean_filter_dedup_apply(
+        _corpus(spark, b1),
+        state,
+        compact_to="kb_cmp",
+        compact_path=str(tmp_path / "kb"),
+        **knobs,
+    )
+    assert state.get("rank_col") == "n_ws_tokens"  # survived compaction
+    state = clean_filter_dedup_apply(_corpus(spark, b2), state, **knobs)
+    out_ids = {r[0] for r in state["output"].collect()}
+    # the longest copy (b2's 28-token variant) holds the class
+    assert 200 in out_ids and 100 not in out_ids and 1 not in out_ids
+    full = clean_filter_dedup_state(
+        _corpus(spark, old_rows + b1 + b2), corpus_n=n_old, **knobs
+    )
+    assert _rows(state["output"]) == _rows(full["output"])
+
+
+# ---------------------------------------------------------------------------
+# NEARDUP pipeline (span stage included)
+# ---------------------------------------------------------------------------
+
+# the span-pipeline fixtures need langid/quality-passing text: reuse
+# the controlled-shingle construction of the min-id incremental tests
+from tests.test_training_data_incremental import _doc  # noqa: E402
+
+CORE = " ".join("the" if i % 6 == 0 else f"core{i}x" for i in range(60))
+TAIL_A = " ".join(f"taila{i}y" for i in range(12))
+
+
+def test_neardup_keep_best_displacement_and_parity(spark):
+    """The span-bearing NEARDUP pipeline under keep-best: a LONGER
+    near-dup re-crawl (more tokens) displaces the stored rep — its
+    grams enter the span index, the dropped rep's leave — and the
+    refreshed output equals the one-shot keep-best build at the frozen
+    banding. An EXACT re-crawl is still digest-dropped before the rep
+    race (the exact stage owns identical text)."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        training_data_neardup_apply,
+        training_data_neardup_state,
+    )
+
+    old_rows = [(2, CORE), (5, _doc(7)), (6, _doc(9)), (7, _doc(13))]
+    # J(core, core+tail) = 58/68 ≈ 0.853 ≥ 0.8; 72 tokens > 60 tokens
+    new_rows = [(1000, CORE + " " + TAIL_A), (1001, _doc(9))]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    n_old = old.count()
+    state = training_data_neardup_state(old, corpus_n=n_old, rank_col="n_tokens")
+    refreshed = training_data_neardup_apply(
+        spark.createDataFrame(new_rows, "doc_id long, text string"),
+        state,
+        rank_col="n_tokens",
+    )
+    out = {r["doc_id"]: r for r in refreshed["output"].collect()}
+    assert 1000 in out and 2 not in out  # displaced by the longer copy
+    assert out[1000]["component_id"] == 2  # label = component min
+    assert 1001 not in out  # exact re-crawl of doc 6: digest-dropped
+    full = training_data_neardup_state(
+        spark.createDataFrame(old_rows + new_rows, "doc_id long, text string"),
+        corpus_n=n_old,
+        rank_col="n_tokens",
+    )
+    assert _rows(refreshed["output"]) == _rows(full["output"])
+
+
+def test_neardup_keep_best_merge_parity_and_winner_relabel(spark):
+    """Two old singleton components merged by a shorter new bridge doc:
+    the longest member wins the merged class, its output row carries
+    the merged component's LABEL (the other side's smaller id), and the
+    refresh equals the one-shot rebuild — the label-staleness case the
+    keep-best refresh must repair."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        training_data_neardup_apply,
+        training_data_neardup_state,
+    )
+
+    tail_b = " ".join(f"tailb{i}z" for i in range(14))
+    old_rows = [
+        (2, CORE + " " + TAIL_A),  # 72 tokens, singleton comp {2}
+        (3, CORE + " " + tail_b),  # 74 tokens, singleton comp {3}
+        (5, _doc(7)),
+        (6, _doc(9)),
+    ]
+    new_rows = [(1000, CORE)]  # 60 tokens: bridges 2 and 3, loses the race
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    n_old = old.count()
+    state = training_data_neardup_state(old, corpus_n=n_old, rank_col="n_tokens")
+    pre = {r["doc_id"]: r["component_id"] for r in state["output"].collect()}
+    assert pre[2] == 2 and pre[3] == 3  # two singleton classes pre-merge
+    refreshed = training_data_neardup_apply(
+        spark.createDataFrame(new_rows, "doc_id long, text string"),
+        state,
+        rank_col="n_tokens",
+    )
+    out = {r["doc_id"]: r for r in refreshed["output"].collect()}
+    assert 3 in out and 2 not in out and 1000 not in out
+    assert out[3]["component_id"] == 2  # relabeled to the merged min
+    full = training_data_neardup_state(
+        spark.createDataFrame(old_rows + new_rows, "doc_id long, text string"),
+        corpus_n=n_old,
+        rank_col="n_tokens",
+    )
+    assert _rows(refreshed["output"]) == _rows(full["output"])
+
+
+def test_stream_keep_best_displacement_equals_batch(spark, tmp_path):
+    """Keep-best through the STREAMING clean sink: rank_col flows from
+    the sink's knobs into every fold (and the migration hook's knob
+    filter), a higher-rank re-crawl arriving in a later micro-batch
+    displaces the stored rep, and the final output equals the one-shot
+    keep-best build over the whole feed at the frozen banding."""
+    import pyspark.sql.types as T
+
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_state,
+    )
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_clean_filter_state_append,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    old_rows = [(1, T1)] + FILLERS
+    batches = [
+        [(100, T2)],                 # higher-rank near-dup: displaces 1
+        [(200, " ".join(_words("fr", 15)) + ".")],  # unrelated doc
+    ]
+    knobs = dict(rank_col="n_ws_tokens", **LOOSE, **_J)
+    old = _corpus(spark, old_rows)
+    holder = {
+        "state": clean_filter_dedup_state(old, corpus_n=len(old_rows), **knobs)
+    }
+    feed = str(tmp_path / "feed")
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(1).write.mode(
+            mode
+        ).parquet(feed)
+    q = stream_clean_filter_state_append(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(feed),
+        holder,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        migrate_banding=True,
+        **knobs,
+    )
+    assert q.awaitTermination(180)
+    out = {r["doc_id"]: r for r in holder["state"]["output"].collect()}
+    assert 100 in out and 1 not in out and 200 in out
+    assert out[100]["component_id"] == 1
+    full = clean_filter_dedup_state(
+        _corpus(spark, old_rows + batches[0] + batches[1]),
+        corpus_n=len(old_rows),
+        **knobs,
+    )
+    assert _rows(holder["state"]["output"]) == _rows(full["output"])

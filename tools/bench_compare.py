@@ -30,6 +30,33 @@ sys.path.insert(0, ROOT)
 from bench import LANE_CLASS  # noqa: E402
 
 
+def _load(path: str) -> dict:
+    """Accept either a raw bench line (BENCH_LOCAL_*.json) or the
+    driver's wrapper artifact (BENCH_r{N}.json = {n, rc, tail,
+    parsed, ...}). For a wrapper, prefer the driver-parsed payload;
+    else recover the bench line from the stdout tail (complete from
+    r18 on — the line was slimmed to fit the ~2 KB tail buffer)."""
+    art = json.load(open(path))
+    if "queries" in art:
+        return art
+    if "parsed" in art or "tail" in art:
+        if art.get("parsed"):
+            return art["parsed"]
+        tail = art.get("tail", "")
+        i = tail.rfind('{"metric"')
+        if i >= 0:
+            try:
+                return json.loads(tail[i:])
+            except json.JSONDecodeError:
+                pass
+        sys.exit(
+            f"{path}: driver artifact holds only a truncated stdout tail "
+            "(pre-r18 bench lines exceeded the driver's 2 KB buffer) — "
+            "compare the matching BENCH_LOCAL_*.json instead"
+        )
+    sys.exit(f"{path}: not a bench artifact (no 'queries' and no 'tail')")
+
+
 def _norm(art: dict, label: str = "") -> dict[str, float]:
     cal = art["calibration"]
     cal_sh = art.get("calibration_shuffle")
@@ -60,8 +87,8 @@ def _geomean(vals) -> float | None:
 
 
 def main() -> None:
-    new = json.load(open(sys.argv[1]))
-    old = json.load(open(sys.argv[2]))
+    new = _load(sys.argv[1])
+    old = _load(sys.argv[2])
     detail = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else {}
     nn, no = _norm(new, sys.argv[1]), _norm(old, sys.argv[2])
     shared = sorted(set(nn) & set(no))
