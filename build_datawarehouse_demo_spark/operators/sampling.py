@@ -294,6 +294,33 @@ def temperature_quotas(
     return {s: (budget * ws) // total for s, ws in w.items()}
 
 
+def _micro_weight(weight_col: str) -> Column:
+    """Per-row weight in exact MICRO units: round(weight * 1e6) as a
+    bigint. The soft-dedup weights (operators/dedup.dedup_soft_weights)
+    carry <= 6 decimal places by contract, so this recovers them
+    EXACTLY — and every downstream total, quota and running fill is
+    then arbitrary-precision integer arithmetic, bit-identical across
+    engines (a float sum over distributed partitions would not be:
+    addition order varies run to run)."""
+    return F.round(F.col(weight_col).cast("double") * F.lit(1_000_000.0), 0).cast(
+        "bigint"
+    )
+
+
+def _es_key(salt: str, id_col: str, micro_w: Column, seed: int) -> Column:
+    """Efraimidis–Spirakis A-ES ordering key on the engine-portable id
+    hash: ln(u)/w with u = (hash32(id)+1)/2^32 ∈ (0, 1] — rows sort by
+    the key DESCENDING, giving inclusion probability ∝ weight (the
+    weighted_reservoir_per_group scheme, reused by the weighted
+    mixers). Dividing by the MICRO weight instead of the raw weight
+    rescales every key by the same positive constant, so the order —
+    and therefore the sample — is identical, while both engines derive
+    the key from the same exact integer μ."""
+    h = hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")), seed=seed)
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    return F.log(u) / micro_w.cast("double")
+
+
 def sample_temperature_mix(
     df: DataFrame,
     source_col: str,
@@ -301,6 +328,7 @@ def sample_temperature_mix(
     budget: int,
     temperature: float = 2.0,
     seed: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based corpus mixing (the multilingual/multi-source
     rebalancing every LLM data pipeline runs): each source s gets a
@@ -319,6 +347,21 @@ def sample_temperature_mix(
     flip a floor at a quota boundary — is answered by doing no float
     arithmetic at all).
 
+    ``weight_col`` (r18, VERDICT r17 item 2) makes the mix
+    WEIGHT-AWARE, so soft-dedup output (dedup_soft_weights' 1/|class|
+    mass) flows straight into training-data assembly: quotas are
+    computed over per-source WEIGHTED document mass (exact micro-unit
+    integers — see _micro_weight), the draw order becomes the
+    Efraimidis–Spirakis key (inclusion probability ∝ weight, the
+    weighted_reservoir_per_group scheme), and the fill is the greedy
+    prefix of the running weighted mass — a duplicate class of n
+    copies at weight 1/n costs the budget ~one document, not n.
+    Rows with NULL or <= 0 weight leave before the totals (drawable-
+    population discipline; zero weight = zero inclusion probability).
+    Weights must carry <= 6 decimal places (the dedup_soft_weights
+    contract) so the micro recovery is exact. Weighted output: sampled
+    rows + (wdoc_cum, wdoc_quota), both in micro-documents.
+
     Scale shape: one count aggregate per source collected to the
     driver (sources are a bounded-cardinality dimension — languages /
     domains / registries, thousands at most; the same scalar-collect
@@ -335,6 +378,38 @@ def sample_temperature_mix(
     # (review finding r8; same filter-first discipline as
     # weighted_reservoir_per_group)
     df = df.where(F.col(id_col).isNotNull())
+    if weight_col is not None:
+        df = df.where(F.col(weight_col).isNotNull()).withColumn(
+            "__mw", _micro_weight(weight_col)
+        ).where(F.col("__mw") > 0)
+        totals = {
+            row[0]: int(row[1])
+            for row in df.groupBy(source_col)
+            .agg(F.sum("__mw").alias("__t"))
+            .collect()
+        }
+        quotas = temperature_quotas(totals, budget * 1_000_000, temperature)
+        qdf = df.sparkSession.createDataFrame(
+            [(s, int(k)) for s, k in quotas.items()],
+            T.StructType(
+                [
+                    df.schema[source_col],
+                    T.StructField("wdoc_quota", T.LongType(), False),
+                ]
+            ),
+        )
+        key = _es_key("wtemp:", id_col, F.col("__mw"), seed)
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(key.desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("wdoc_cum", F.sum("__mw").over(w))
+            .join(F.broadcast(qdf), source_col)
+            .where(F.col("wdoc_cum") <= F.col("wdoc_quota"))
+            .drop("__mw")
+        )
     counts = {
         row[0]: row[1]
         for row in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).collect()
@@ -363,6 +438,7 @@ def sample_token_budget_mix(
     token_budget: int,
     temperature: float = 1.0,
     seed: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Token-budget corpus mixing: like ``sample_temperature_mix`` but
     quotas and fills are measured in TOKENS, not documents — the unit
@@ -387,6 +463,18 @@ def sample_token_budget_mix(
     prefix. Purpose salt 'tokmix:' keeps the order independent of the
     document-quota mixer's at the same seed.
 
+    ``weight_col`` (r18, VERDICT r17 item 2): the WEIGHTED form — the
+    unit becomes weighted tokens (micro-exact integers, μ·tok for
+    μ = round(weight·10⁶) — see _micro_weight), so a soft-dedup class
+    of n copies at weight 1/n costs the token budget ~one document's
+    tokens while every copy stays drawable; the order becomes the
+    Efraimidis–Spirakis key (selection probability ∝ weight), and the
+    fill is the greedy prefix of the running weighted-token sum
+    against a micro-token quota. Rows with NULL or <= 0 weight leave
+    before the totals; weights carry <= 6 decimal places (the
+    dedup_soft_weights contract). Weighted output: sampled rows +
+    (wtok_cum, wtok_quota), both in micro-tokens.
+
     Scale shape: identical to sample_temperature_mix — one bounded-
     cardinality aggregate collected (sources are languages/domains,
     thousands at most), quotas broadcast back, ONE shuffle on
@@ -397,6 +485,41 @@ def sample_token_budget_mix(
     from pyspark.sql import types as T
 
     df = df.where(F.col(id_col).isNotNull() & F.col(token_col).isNotNull())
+    if weight_col is not None:
+        df = df.where(F.col(weight_col).isNotNull()).withColumn(
+            "__mw", _micro_weight(weight_col)
+        ).where(F.col("__mw") > 0)
+        wtok = F.col("__mw") * F.col(token_col).cast("bigint")
+        totals = {
+            row[0]: int(row[1])
+            for row in df.groupBy(source_col)
+            .agg(F.sum(wtok).alias("__t"))
+            .collect()
+        }
+        quotas = temperature_quotas(
+            totals, token_budget * 1_000_000, temperature
+        )
+        qdf = df.sparkSession.createDataFrame(
+            [(s, int(k)) for s, k in quotas.items()],
+            T.StructType(
+                [
+                    df.schema[source_col],
+                    T.StructField("wtok_quota", T.LongType(), False),
+                ]
+            ),
+        )
+        key = _es_key("wtokmix:", id_col, F.col("__mw"), seed)
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(key.desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("wtok_cum", F.sum(wtok).over(w))
+            .join(F.broadcast(qdf), source_col)
+            .where(F.col("wtok_cum") <= F.col("wtok_quota"))
+            .drop("__mw")
+        )
     totals = {
         row[0]: int(row[1])
         for row in df.groupBy(source_col)

@@ -491,3 +491,110 @@ def test_shard_token_balanced_edges(spark):
     assert sorted(r.prev_cum for r in one) in ([0, 5], [0, 7])
     with pytest.raises(ValueError, match="n_shards"):
         shard_token_balanced(zero, "doc_id", "n_tok", 0)
+
+
+def test_weighted_token_budget_mix_soft_dedup_class_costs_one_doc(spark):
+    """The r18 weight-aware mixer consuming dedup_soft_weights output
+    (VERDICT r17 item 2): a duplicate class of 4 copies at weight 1/4
+    costs the token budget ~ONE document's tokens — all copies stay
+    drawable, the class contributes one unit of mass. Contrast: the
+    unweighted mixer at the same budget can only afford 3 documents."""
+    from build_datawarehouse_demo_spark.operators.dedup import dedup_soft_weights
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_token_budget_mix,
+    )
+    from pyspark.sql import functions as F
+
+    dup = "same boilerplate page body here"
+    rows = [(i, "web", dup, 10) for i in range(1, 5)] + [
+        (10, "web", "unique text one", 10),
+        (11, "web", "unique text two", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, src string, text string, n_tok long"
+    )
+    # exact-digest duplicate classes -> (node, component) frame
+    comp = (
+        docs.withColumn("__d", F.md5("text"))
+        .groupBy("__d")
+        .agg(F.min("doc_id").alias("component"))
+        .join(docs.withColumn("__d", F.md5("text")), "__d")
+        .select(F.col("doc_id").alias("node"), "component")
+    )
+    soft = dedup_soft_weights(docs, comp)
+    assert {r["weight"] for r in soft.collect()} == {0.25, 1.0}
+    # weighted mass = 4*0.25*10 + 2*10 = 30 tokens: budget 30 keeps ALL
+    got = sample_token_budget_mix(
+        soft, "src", "doc_id", "n_tok", token_budget=30, weight_col="weight"
+    )
+    kept = {r["doc_id"] for r in got.collect()}
+    assert kept == {1, 2, 3, 4, 10, 11}
+    # every cum stays within the micro-token quota
+    assert all(
+        r["wtok_cum"] <= r["wtok_quota"] == 30 * 1_000_000
+        for r in got.collect()
+    )
+    # unweighted at the same budget: 6 docs * 10 tokens = 60 > 30 — the
+    # greedy prefix stops at 3 documents (the policy difference)
+    base = sample_token_budget_mix(
+        docs, "src", "doc_id", "n_tok", token_budget=30
+    )
+    assert base.count() == 3
+
+
+def test_weighted_mixers_drop_nonpositive_weights_and_are_deterministic(spark):
+    """Drawable-population discipline: NULL/zero/negative weights leave
+    before totals and can never be drawn; the weighted draw is a pure
+    function of (data, budget, T, seed) — rerun-identical."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_temperature_mix,
+        sample_token_budget_mix,
+    )
+
+    rows = [
+        (1, "a", 10, 1.0),
+        (2, "a", 10, 0.0),      # zero weight: never drawn
+        (3, "a", 10, None),     # null weight: never drawn
+        (4, "a", 10, 0.5),
+        (5, "b", 10, 1.0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, src string, n_tok long, wgt double"
+    )
+    got = sample_token_budget_mix(
+        docs, "src", "doc_id", "n_tok", token_budget=1000, weight_col="wgt"
+    )
+    kept = {r["doc_id"] for r in got.collect()}
+    assert kept == {1, 4, 5}
+    again = sample_token_budget_mix(
+        docs, "src", "doc_id", "n_tok", token_budget=1000, weight_col="wgt"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+    tm = sample_temperature_mix(
+        docs, "src", "doc_id", budget=100, temperature=1.0, weight_col="wgt"
+    )
+    assert {r["doc_id"] for r in tm.collect()} == {1, 4, 5}
+
+
+def test_weighted_temperature_mix_quotas_follow_weighted_mass(spark):
+    """T=1 weighted document quotas are proportional to WEIGHTED doc
+    mass, not row counts: source a = 4 docs at 1/4 (mass 1), source
+    b = 3 docs at 1.0 (mass 3); budget 4 -> micro quotas 1e6 / 3e6,
+    and the greedy weighted fill keeps every copy of both sources
+    (the duplicate class fits in exactly one document of quota)."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_temperature_mix,
+    )
+
+    rows = [(i, "a", 0.25) for i in range(1, 5)] + [
+        (i, "b", 1.0) for i in range(10, 13)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, src string, wgt double")
+    got = sample_temperature_mix(
+        docs, "src", "doc_id", budget=4, temperature=1.0, weight_col="wgt"
+    )
+    by_src = {}
+    for r in got.collect():
+        by_src.setdefault(r["src"], set()).add(r["doc_id"])
+        assert r["wdoc_quota"] == (1_000_000 if r["src"] == "a" else 3_000_000)
+    assert by_src == {"a": {1, 2, 3, 4}, "b": {10, 11, 12}}
