@@ -1230,6 +1230,7 @@ def ivf_train_sampled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    materialize_sample: bool = True,
 ) -> DataFrame:
     """Train the IVF coarse quantizer on a deterministic hash sample
     of ~points_per_centroid·nlist vectors (see ivf_sample_modulus).
@@ -1252,6 +1253,21 @@ def ivf_train_sampled(
                 F.lit(k),
             )
             == 0
+        )
+    elif not materialize_sample:
+        # k == 1 degrades to full-corpus Lloyd, so the "sample" IS the
+        # caller's corpus frame: a caller that has ALREADY spread +
+        # materialized it at this boundary (build_rag_index's
+        # chunk_vecs contract) passes materialize_sample=False to skip
+        # a second, byte-identical materialization of the same rows
+        # (r18, VERDICT r17 item 7 — measured on the rag lane below).
+        return kmeans_train(
+            sample,
+            seeds,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
         )
     # The sample is a compute-amplifying input (each row scores every
     # centroid per Lloyd iteration — x nlist work amplification), and a

@@ -132,7 +132,17 @@ def build_rag_index(
         (F.col("vec_id") % stride == 0) & (F.col("vec_id") < nlist * stride)
     ).select(F.col("vec_id").alias("centroid_id"), "embedding")
     cents = ivf_train_sampled(
-        chunk_vecs, seeds, n=n_chunks, nlist=nlist, n_iter=2, round_to=6
+        chunk_vecs,
+        seeds,
+        n=n_chunks,
+        nlist=nlist,
+        n_iter=2,
+        round_to=6,
+        # chunk_vecs arrives spread + checkpoint-backed (this
+        # function's contract — both callers materialize it at the
+        # embed boundary), so at k == 1 a second materialization of
+        # the identical rows is pure waste (r18, VERDICT r17 item 7)
+        materialize_sample=False,
     )
     ngroups = max(1, math.ceil(math.sqrt(nlist)))
     sup, groups = ivf_group_centroids(
