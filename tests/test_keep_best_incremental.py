@@ -288,3 +288,79 @@ def test_stream_keep_best_displacement_equals_batch(spark, tmp_path):
         **knobs,
     )
     assert _rows(holder["state"]["output"]) == _rows(full["output"])
+
+
+def test_clean_keep_best_banding_migration_matches_rebuild(spark):
+    """Keep-best THROUGH a banding migration: build at corpus_n=50,
+    fold a LONGER near-dup of the stored family, migrate at
+    corpus_n=2000 (params change) — the migrated output equals the
+    one-shot keep-best build at the NEW params, and the family's
+    winner is the longest member, not the min id."""
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_apply,
+        clean_filter_dedup_state,
+        migrate_clean_filter_banding,
+    )
+
+    assert minhash_auto_params(50) != minhash_auto_params(2000)
+    base = [f"word{j}" for j in range(40)]
+
+    def _filler(i, n=22):
+        return " ".join(f"m{i}_{j}" for j in range(n)) + "."
+
+    old_rows = [(i, _filler(i)) for i in range(5)]
+    old_rows += [(5, " ".join(base) + "."), (6, " ".join(base) + ".")]
+    b1 = [(100, " ".join(base + ["xtra1", "xtra2", "xtra3", "xtra4"]) + ".")]
+    knobs = dict(rank_col="n_ws_tokens", **LOOSE)
+    state = clean_filter_dedup_state(_corpus(spark, old_rows), corpus_n=50, **knobs)
+    state = clean_filter_dedup_apply(_corpus(spark, b1), state, **knobs)
+    migrated = migrate_clean_filter_banding(
+        state, corpus_n=2000, rank_col="n_ws_tokens"
+    )
+    assert (migrated["bands"], migrated["rows"]) == minhash_auto_params(2000)
+    assert migrated.get("rank_col") == "n_ws_tokens"
+    full = clean_filter_dedup_state(
+        _corpus(spark, old_rows + b1), corpus_n=2000, **knobs
+    )
+    assert _rows(migrated["output"]) == _rows(full["output"])
+    out = {r["doc_id"]: r for r in migrated["output"].collect()}
+    # the 44-token re-crawl holds the {5,6,100} family; label = min id
+    assert 100 in out and 5 not in out and 6 not in out
+    assert out[100]["component_id"] == 5
+
+
+def test_neardup_keep_best_banding_migration_matches_rebuild(spark):
+    """The NEARDUP twin through migration (span stage included): the
+    re-trained banding re-pairs the family, the longest member wins,
+    and the migrated output equals the one-shot keep-best rebuild at
+    the NEW params."""
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        migrate_training_data_neardup_banding,
+        training_data_neardup_apply,
+        training_data_neardup_state,
+    )
+
+    old_rows = [(2, CORE), (5, _doc(7)), (6, _doc(9)), (7, _doc(13))]
+    b1 = [(100, CORE + " " + TAIL_A)]  # longer near-dup of 2
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    state = training_data_neardup_state(old, corpus_n=50, rank_col="n_tokens")
+    state = training_data_neardup_apply(
+        spark.createDataFrame(b1, "doc_id long, text string"),
+        state,
+        rank_col="n_tokens",
+    )
+    migrated = migrate_training_data_neardup_banding(
+        state, corpus_n=2000, rank_col="n_tokens"
+    )
+    assert (migrated["bands"], migrated["rows"]) == minhash_auto_params(2000)
+    full = training_data_neardup_state(
+        spark.createDataFrame(old_rows + b1, "doc_id long, text string"),
+        corpus_n=2000,
+        rank_col="n_tokens",
+    )
+    assert _rows(migrated["output"]) == _rows(full["output"])
+    out = {r["doc_id"]: r for r in migrated["output"].collect()}
+    assert 100 in out and 2 not in out
+    assert out[100]["component_id"] == 2

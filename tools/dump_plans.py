@@ -74,6 +74,8 @@ AUDITED = {
     "pipeline_clean_filter_dedup": "composed modern cleaning stack (r12) — pageify + the four filter batteries (C4, Gopher quality, Gopher repetition, classifier) fuse into scan-side codegen stages with barrier-pinned filters (no joins between stages); the first semantic exchange is the MinHash banding aggregation; components contract the PAIR graph; the split is a narrow hash projection",
     "text_gopher_dup_ngrams": "Gopher dup n-gram fractions n=5..10 (r12) — ONE scan-side projection (six sorted-gram run-length folds, no explode/groupBy; HOF-heavy Projects sit outside WholeStageCodegen by design — higher-order functions are CodegenFallback); the only Exchange is the reader rebalance",
     "streaming_rag_index_append": "streaming RAG maintenance (r12) — the audited plan is the POST-STREAM read of the bucketed lists table (the stream itself ran foreachBatch appends); must be a bare bucketed scan + projection, no corpus rescan",
+    "pipeline_clean_filter_dedup_keep_best": "incremental KEEP-BEST cleaning stack (r18) — same stage chain as pipeline_clean_filter_dedup_incremental (batch-only filter scan, frozen-banding rep-level candidate joins, star contraction over stored+new pairs); the keep step is ONE map-side-combining min_by over slim (component, rank, id) rows of the TOUCHED components' stored keeps + the batch survivors (batch-scale semi-joins, AQE-broadcast), untouched output rows reused via an anti-join — documents never shuffle for the policy",
+    "sample_token_budget_mix_weighted": "weighted token-budget mixing (r18) — exact-digest class sizes from ONE md5-keyed agg joined back (the soft-weight attach), tiny per-source weighted-token agg collected, micro-token quotas broadcast, ONE exchange on source for the ES-ordered running-sum window; all quota/fill arithmetic integer micro-units",
 }
 
 
