@@ -70,7 +70,7 @@ def _touch(state: dict) -> int:
     cost of the append-only fold, including lazy-union re-reads."""
     n = 0
     for v in state.values():
-        if hasattr(v, "count"):
+        if hasattr(v, "count") and not isinstance(v, (str, bytes)):
             n += v.count()
     return n
 
@@ -105,18 +105,29 @@ def leg(sf_dir: str, runs: int) -> None:
         clf_dim=_QC_DIM,
         clf_threshold=_CLF_T,
     )
+    # keep-best arm (r18): SPARK_GRAFT_INCR_KEEP_BEST=1 measures the
+    # same fold under the quality-rank policy — the apply additionally
+    # recomputes winners for the batch-touched components (a slim
+    # min_by over their stored keeps + the batch survivors), which
+    # must stay batch-scale: the curve proves it
+    keep_best = os.environ.get("SPARK_GRAFT_INCR_KEEP_BEST") == "1"
+    suffix = "_keep_best" if keep_best else ""
+    clean_knobs = dict(knobs, rank_col="clf_score") if keep_best else knobs
+    nd_knobs = dict(rank_col="quality") if keep_best else {}
     spark = get_spark("bench_scale_incr")
     docs, batch = _batch(spark, sf_dir)
     n_stored = docs.count()
     result: dict = {"sf_dir": sf_dir, "n_stored": n_stored, "runs": runs}
 
     for name, build, apply_fn, adapt in (
-        ("clean_filter_dedup_apply",
-         functools.partial(clean_filter_dedup_state, **knobs),
-         functools.partial(clean_filter_dedup_apply, **knobs),
+        (f"clean_filter_dedup_apply{suffix}",
+         functools.partial(clean_filter_dedup_state, **clean_knobs),
+         functools.partial(clean_filter_dedup_apply, **clean_knobs),
          pageify),
-        ("training_data_neardup_apply", training_data_neardup_state,
-         training_data_neardup_apply, lambda d: d),
+        (f"training_data_neardup_apply{suffix}",
+         functools.partial(training_data_neardup_state, **nd_knobs),
+         functools.partial(training_data_neardup_apply, **nd_knobs),
+         lambda d: d),
     ):
         stored = adapt(docs)
         t0 = time.time()
@@ -166,7 +177,11 @@ def main() -> None:
     s, b = legs[small], legs[big]
     data_ratio = b["n_stored"] / s["n_stored"]
     queries = {}
-    for key in ("clean_filter_dedup_apply", "training_data_neardup_apply"):
+    sfx = "_keep_best" if os.environ.get("SPARK_GRAFT_INCR_KEEP_BEST") == "1" else ""
+    for key in (
+        f"clean_filter_dedup_apply{sfx}",
+        f"training_data_neardup_apply{sfx}",
+    ):
         t_small, t_big = s[key]["apply_s"], b[key]["apply_s"]
         ratio = t_big / t_small
         queries[key] = {

@@ -75,7 +75,7 @@ def _gc_ms(spark) -> int:
 def _touch(state: dict) -> int:
     n = 0
     for v in state.values():
-        if hasattr(v, "count"):
+        if hasattr(v, "count") and not isinstance(v, (str, bytes)):
             n += v.count()
     return n
 
