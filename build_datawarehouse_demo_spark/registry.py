@@ -189,6 +189,8 @@ def _load_all() -> None:
     from build_datawarehouse_demo_spark.registry_round18 import (  # noqa
         register_round18_keep_best_incremental,
         register_round18_weighted_mix,
+        register_round18_weighted_temperature_mix,
+        register_round18_neardup_keep_best,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
@@ -256,6 +258,8 @@ def _load_all() -> None:
     register_round17_soft_dedup()
     register_round18_keep_best_incremental()
     register_round18_weighted_mix()
+    register_round18_weighted_temperature_mix()
+    register_round18_neardup_keep_best()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -200,3 +200,154 @@ def register_round18_weighted_mix() -> None:
             temperature=1.0,
             weight_col="weight",
         ).select("doc_id", "lang", "n_ws_tokens", "weight", "wtok_cum", "wtok_quota")
+
+
+def register_round18_weighted_temperature_mix() -> None:
+    # ------------------------------------------------------------------
+    # the DOCUMENT-quota twin of sample_token_budget_mix_weighted:
+    # soft-dedup mass drives the per-source document quotas (micro-doc
+    # units), the ES key orders the draw, the fill is the running
+    # weighted-mass prefix. T=1 so the oracle re-derives the quotas
+    # independently in HUGEINT SQL (the fixed-point scale cancels).
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.registry_extensions import _HASH32
+
+    _WDB = 120  # document budget (plain docs; quotas run in micro-docs)
+    _es_hash = _HASH32.format(expr="'0:wtemp:' || CAST(doc_id AS VARCHAR)")
+
+    @register(
+        "sample_temperature_mix_weighted",
+        oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, lang, text FROM documents WHERE doc_id IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 1000000, lang, text FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id % 2 = 0
+        ),
+        d AS (SELECT doc_id, lang, md5(text) AS dg FROM corpus),
+        cls AS (SELECT dg, count(*) AS n FROM d GROUP BY dg),
+        wd AS (
+          SELECT d.doc_id, d.lang,
+                 round(1.0 / cls.n, 6) AS weight,
+                 CAST(round(round(1.0 / cls.n, 6) * 1000000, 0) AS BIGINT) AS mw
+          FROM d JOIN cls USING (dg)
+        ),
+        c AS (SELECT lang, sum(mw) AS mass FROM wd GROUP BY lang),
+        tot AS (SELECT sum(mass) AS t FROM c),
+        tgt AS (
+          SELECT lang,
+                 CAST((CAST({_WDB} AS HUGEINT) * 1000000 * mass) // t AS BIGINT)
+                   AS wdoc_quota
+          FROM c, tot
+        ),
+        r AS (
+          SELECT doc_id, lang, weight,
+                 CAST(sum(mw) OVER (PARTITION BY lang
+                     ORDER BY ln(({_es_hash} + 1) / 4294967296.0)
+                              / CAST(mw AS DOUBLE) DESC,
+                              doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS wdoc_cum
+          FROM wd
+        )
+        SELECT r.doc_id, r.lang, r.weight, r.wdoc_cum, g.wdoc_quota
+        FROM r JOIN tgt g ON g.lang = r.lang
+        WHERE r.wdoc_cum <= g.wdoc_quota
+        """,
+    )
+    def q_weighted_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Weighted DOCUMENT-quota mixing (r18): the re-crawled corpus'
+        soft-dedup mass (1/|exact-digest class|) drives per-language
+        quotas in exact micro-doc integers; the draw is the
+        Efraimidis–Spirakis id-hash key, the fill the greedy prefix of
+        the running weighted mass — a duplicate class counts as ~one
+        document toward its source's quota (the document-unit twin of
+        sample_token_budget_mix_weighted)."""
+        from build_datawarehouse_demo_spark.operators.dedup import (
+            dedup_soft_weights,
+        )
+        from build_datawarehouse_demo_spark.operators.sampling import (
+            sample_temperature_mix,
+        )
+
+        docs = (
+            _t(spark, sf_dir, "documents", rebalance=False)
+            .select("doc_id", "lang", "text")
+            .where(F.col("doc_id").isNotNull())
+        )
+        recrawl = docs.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "lang", "text"
+        )
+        corpus = docs.unionByName(recrawl)
+        dg = corpus.withColumn("__dg", F.md5("text"))
+        comp = (
+            dg.groupBy("__dg")
+            .agg(F.min("doc_id").alias("component"))
+            .join(dg, "__dg")
+            .select(F.col("doc_id").alias("node"), "component")
+        )
+        soft = dedup_soft_weights(corpus, comp)
+        return sample_temperature_mix(
+            soft,
+            "lang",
+            "doc_id",
+            budget=_WDB,
+            temperature=1.0,
+            weight_col="weight",
+        ).select("doc_id", "lang", "weight", "wdoc_cum", "wdoc_quota")
+
+
+def register_round18_neardup_keep_best() -> None:
+    # ------------------------------------------------------------------
+    # the NEARDUP twin of pipeline_clean_filter_dedup_keep_best: the
+    # span-removal-bearing pipeline's incremental state under the
+    # keep-best policy (rank = quality). The oracle is the r9 full
+    # chain with the representative selection swapped for the
+    # row_number keep window — the span stage then runs over the
+    # WINNER set, so the hash match proves the policy through gram
+    # ownership, span rebuilds and the label/keep separation.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.registry_round9 import (
+        neardup_full_chain_sql,
+    )
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SPLIT_AT = (3 * _N_DOCS) // 4
+    _N_OLD = _driver_old_subset_count(_SPLIT_AT)
+    _MB, _MR = minhash_auto_params(_N_OLD)
+
+    @register(
+        "pipeline_training_data_neardup_keep_best",
+        oracle=neardup_full_chain_sql(_MB, _MR, keep_best_rank="quality"),
+    )
+    def q_training_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The span-bearing neardup pipeline run incrementally under
+        KEEP-BEST (r18, VERDICT r17 item 1): state on the first 3/4 of
+        the corpus with ``rank_col='quality'`` — every near-dup class
+        keeps its highest-quality member (ties to the smaller id) —
+        then the last 1/4 folded in through
+        training_data_neardup_apply at the same policy. A higher-rank
+        near-dup in the batch DISPLACES its stored representative: its
+        grams enter the span index, the loser's leave, and affected
+        documents re-span — all through the apply's delta machinery.
+        The oracle replays the whole chain over the union at the
+        frozen banding with the keep-best representative window, so
+        the hash match is the refresh ≡ rebuild proof for the policy
+        through the span stage."""
+        from build_datawarehouse_demo_spark.plans.training_data import (
+            prepare_training_data_neardup_incremental,
+            training_data_neardup_state,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        n = docs.count()
+        split_at = (3 * n) // 4
+        old = docs.filter(F.col("doc_id") < split_at)
+        batch = docs.filter(F.col("doc_id") >= split_at)
+        state = training_data_neardup_state(
+            old, corpus_n=old.count(), rank_col="quality"
+        )
+        return prepare_training_data_neardup_incremental(
+            batch, state, rank_col="quality"
+        )

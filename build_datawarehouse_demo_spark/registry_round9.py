@@ -135,7 +135,9 @@ def neardup_front_sql() -> str:
         )"""
 
 
-def neardup_full_chain_sql(mb: int, mr: int) -> str:
+def neardup_full_chain_sql(
+    mb: int, mr: int, keep_best_rank: str | None = None
+) -> str:
     """The full near-dup corpus-prep chain (clean → langid → quality →
     filter → exact dedup → MinHash pairs → components → reps → span
     removal → split) as ONE DuckDB query over ``documents``, with the
@@ -143,7 +145,14 @@ def neardup_full_chain_sql(mb: int, mr: int) -> str:
     (banding auto-sized at the fixture count) and the r10 incremental
     oracle (banding FROZEN at the OLD-subset count: incremental ≡ full
     rebuild holds at the state's parameters, exactly like
-    ivf_index_append's frozen-quantizer parity)."""
+    ivf_index_append's frozen-quantizer parity).
+
+    ``keep_best_rank`` (r18): restate the KEEP-BEST policy — each
+    component's representative is the member maximizing (rank DESC
+    NULLS LAST, doc_id ASC) via a row_number window instead of the
+    min-id filter; the span stage then runs over the WINNER set, and
+    component_id is the component's star label (not necessarily the
+    winner's id)."""
     from build_datawarehouse_demo_spark.registry_extensions import _HASH32
 
     _MNH = mb * mr
@@ -151,10 +160,33 @@ def neardup_full_chain_sql(mb: int, mr: int) -> str:
     _W = 5
     _CTOK = r"list_filter(regexp_split_to_array(trim(cleaned), '\s+'), x -> x <> '')"
 
+    if keep_best_rank is not None:
+        reps_cte = rf"""reps AS (
+          SELECT doc_id, cleaned, quality, pred_lang, component_id FROM (
+            SELECT sv.doc_id, sv.cleaned, sv.quality, sv.pred_lang,
+                   sv.n_tokens,
+                   COALESCE(c.component, sv.doc_id) AS component_id,
+                   row_number() OVER (
+                     PARTITION BY COALESCE(c.component, sv.doc_id)
+                     ORDER BY sv.{keep_best_rank} DESC NULLS LAST,
+                              sv.doc_id ASC) AS rk
+            FROM surv sv LEFT JOIN compo c ON c.node = sv.doc_id)
+          WHERE rk = 1
+        )"""
+        surv_cols = "doc_id, cleaned, quality, pred_lang, n_tokens"
+    else:
+        reps_cte = rf"""reps AS (
+          SELECT sv.doc_id, sv.cleaned, sv.quality, sv.pred_lang,
+                 COALESCE(c.component, sv.doc_id) AS component_id
+          FROM surv sv LEFT JOIN compo c ON c.node = sv.doc_id
+          WHERE COALESCE(c.component, sv.doc_id) = sv.doc_id
+        )"""
+        surv_cols = "doc_id, cleaned, quality, pred_lang"
+
     return rf"""
         WITH RECURSIVE {neardup_front_sql()},
         surv AS (
-          SELECT doc_id, cleaned, quality, pred_lang
+          SELECT {surv_cols}
           FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(cleaned)) AS keeper FROM kept)
           WHERE doc_id = keeper
         ),
@@ -204,12 +236,7 @@ def neardup_full_chain_sql(mb: int, mr: int) -> str:
           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
         ),
         compo AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s),
-        reps AS (
-          SELECT sv.doc_id, sv.cleaned, sv.quality, sv.pred_lang,
-                 COALESCE(c.component, sv.doc_id) AS component_id
-          FROM surv sv LEFT JOIN compo c ON c.node = sv.doc_id
-          WHERE COALESCE(c.component, sv.doc_id) = sv.doc_id
-        ),
+        {reps_cte},
         rtoks AS (SELECT doc_id, string_split(cleaned, ' ') AS t FROM reps),
         grams AS (
           SELECT doc_id, CAST(i AS INTEGER) AS pos,
