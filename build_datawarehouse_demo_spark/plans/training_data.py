@@ -1183,6 +1183,33 @@ def _clean_reps(
     )
 
 
+def _clean_soft_rows(
+    survivors: DataFrame,
+    comp: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """SOFT-dedup rows of the clean pipeline (r18): EVERY survivor
+    kept, annotated with its component, the component's member count
+    and the 1/|component| training weight (dedup_soft_weights'
+    drop-free policy — one unit of loss mass per duplicate class).
+    One slim (component, count) aggregate joined back on component_id
+    — documents shuffle once on the label, never on content."""
+    memb = survivors.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component_id", F.coalesce(F.col("component"), F.col(id_col)))
+    sizes = memb.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        memb.join(sizes, "component_id")
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("n_members"), 6))
+        .select(
+            id_col, "n_ws_tokens", "clf_score", "component_id",
+            "n_members", "weight",
+        )
+    )
+
+
 def clean_filter_survivors(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1390,6 +1417,7 @@ def clean_filter_dedup_state(
     test_frac: float = 0.1,
     corpus_n: int | None = None,
     rank_col: str | None = None,
+    soft_weights: bool = False,
 ) -> dict:
     """prepare_clean_filter_dedup run WITH its incremental state kept
     (VERDICT r12 item 3) — the modern cleaning stack's twin of
@@ -1463,10 +1491,25 @@ def clean_filter_dedup_state(
     band_keys = collapsed["band_keys"]
     pairs = collapsed["pairs"]
     comp = connected_components_star(pairs)
-    reps = _clean_reps(survivors, comp, id_col, rank_col)
+    if soft_weights:
+        # third keep policy (r18): DROP-FREE — every survivor kept at
+        # weight 1/|component| (see _clean_soft_rows); mutually
+        # exclusive with rank_col
+        if rank_col is not None:
+            raise ValueError("rank_col and soft_weights are mutually exclusive")
+        rows_out = _clean_soft_rows(survivors, comp, id_col)
+        out_cols = (
+            id_col, "n_ws_tokens", "clf_score", "component_id",
+            "n_members", "weight", "split",
+        )
+    else:
+        rows_out = _clean_reps(survivors, comp, id_col, rank_col)
+        out_cols = (id_col, "n_ws_tokens", "clf_score", "component_id", "split")
     output = (
-        train_val_test_split(reps, id_col, val_frac=val_frac, test_frac=test_frac)
-        .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+        train_val_test_split(
+            rows_out, id_col, val_frac=val_frac, test_frac=test_frac
+        )
+        .select(*out_cols)
         .localCheckpoint()
     )
     state = {
@@ -1485,6 +1528,8 @@ def clean_filter_dedup_state(
         # the keep policy is part of the state's identity: applies and
         # migrations must run the SAME policy (guarded there)
         state["rank_col"] = rank_col
+    if soft_weights:
+        state["soft_weights"] = True
     return state
 
 
@@ -1506,6 +1551,7 @@ def clean_filter_dedup_apply(
     val_frac: float = 0.1,
     test_frac: float = 0.1,
     rank_col: str | None = None,
+    soft_weights: bool = False,
     migrate_banding: bool = False,
     compact_to: str | None = None,
     compact_path: str | None = None,
@@ -1562,13 +1608,28 @@ def clean_filter_dedup_apply(
     same-rank re-crawl ties and loses to the smaller stored id, so
     exact redelivery stays idempotent in output.
 
+    ``soft_weights`` (r18): the DROP-FREE third policy — the output
+    keeps EVERY survivor at weight 1/|component| (dedup_soft_weights'
+    one-unit-of-mass-per-class contract; rows gain n_members and
+    weight columns), ready for the weight-aware mixers. Mutually
+    exclusive with rank_col; the state must have been built with
+    ``soft_weights=True`` (guarded). Incremental shape: a fold can
+    change only the batch-TOUCHED components' sizes and labels, so
+    exactly their member rows are recomputed (old members of a touched
+    component are pair-graph nodes — the stored-survivor scan is
+    pruned to those ids) and every other row is reused verbatim. A
+    re-crawl never drops anything here — it ADDS a member and
+    re-weights its class down, which is the policy's point.
+
     Returns the same dict shape as clean_filter_dedup_state.
     Redelivery is idempotent IN OUTPUT: a redelivered copy gets a new
     id, pairs with its stored original at jaccard 1.0, and (under the
     default min-id policy, or on a rank tie under keep-best) loses the
     rep race to the smaller stored id, so the output rows are
     unchanged (the duplicate itself joins the pair/survivor state like
-    any other near-dup member).
+    any other near-dup member). (Under ``soft_weights`` a NEW-id
+    redelivery is a real new member by design — same-id redeliveries
+    are dropped by the streaming sink's anti-join as always.)
 
     ``compact_to`` (r15): when set, the refreshed state is compacted
     to bucketed parquet tables named from that prefix before being
@@ -1608,6 +1669,13 @@ def clean_filter_dedup_apply(
             f"keep-policy mismatch: state was built with "
             f"rank_col={state.get('rank_col')!r}, apply called with "
             f"{rank_col!r} — the policy is part of the state's identity"
+        )
+    if bool(state.get("soft_weights")) != bool(soft_weights):
+        raise ValueError(
+            f"keep-policy mismatch: state was built with "
+            f"soft_weights={bool(state.get('soft_weights'))}, apply called "
+            f"with {bool(soft_weights)} — the policy is part of the "
+            f"state's identity"
         )
     retire_scope = (
         _persistent_rdd_ids(new_df.sparkSession) if compact_to is not None else None
@@ -1656,7 +1724,56 @@ def clean_filter_dedup_apply(
     pairs_all = old_pairs.union(delta["new_pairs"])
 
     comp = connected_components_star(pairs_all)
-    if rank_col is None:
+    if soft_weights:
+        # DROP-FREE refresh (r18): every survivor stays in the output;
+        # what a fold can change is the component SIZE (weight) and
+        # LABEL of the batch-TOUCHED components only — membership of
+        # an untouched component cannot change (new edges always
+        # involve new documents). Recompute every member row of the
+        # touched components (their old members are graph nodes, so
+        # the stored-survivor scan is pruned to exactly those ids);
+        # reuse everything else verbatim.
+        compR = comp.withColumnRenamed("node", id_col)
+        new_lab = (
+            new_surv.select(id_col, "n_ws_tokens", "clf_score")
+            .join(compR, id_col, "left")
+            .withColumn(
+                "component_id", F.coalesce(F.col("component"), F.col(id_col))
+            )
+            .drop("component")
+        )
+        touched = new_lab.select("component_id").distinct().localCheckpoint()
+        # old members of touched components: every one is IN the pair
+        # graph (an old doc only joins a touched component through an
+        # edge), so compR enumerates them exactly
+        touched_map = compR.join(
+            touched,
+            compR["component"] == touched["component_id"],
+            "left_semi",
+        ).withColumnRenamed("component", "component_id")
+        old_memb = old_surv.select(id_col, "n_ws_tokens", "clf_score").join(
+            touched_map, id_col
+        )
+        memb = old_memb.unionByName(new_lab)
+        sizes = memb.groupBy("component_id").agg(
+            F.count(F.lit(1)).alias("n_members")
+        )
+        rows_new = memb.join(sizes, "component_id").withColumn(
+            "weight", F.round(F.lit(1.0) / F.col("n_members"), 6)
+        )
+        new_out = (
+            train_val_test_split(
+                rows_new, id_col, val_frac=val_frac, test_frac=test_frac
+            )
+            .select(
+                id_col, "n_ws_tokens", "clf_score", "component_id",
+                "n_members", "weight", "split",
+            )
+            .localCheckpoint()  # the touched-component member rows
+        )
+        dropped_old = touched_map.select(id_col).localCheckpoint()
+        reused = old_output.join(dropped_old, id_col, "left_anti")
+    elif rank_col is None:
         dropped_old = (
             old_output.select(id_col)
             .join(comp.withColumnRenamed("node", id_col), id_col)
@@ -1753,6 +1870,8 @@ def clean_filter_dedup_apply(
     }
     if rank_col is not None:
         result["rank_col"] = rank_col
+    if soft_weights:
+        result["soft_weights"] = True
     if state.get("n_survivors") is not None:
         # O(batch): new_surv is checkpoint-backed, so this counts the
         # fold delta's cached blocks — the incremental twin of a
@@ -1789,6 +1908,7 @@ def clean_filter_dedup_apply(
             val_frac=val_frac,
             test_frac=test_frac,
             rank_col=rank_col,
+            soft_weights=soft_weights,
         )
         if migrated is not result:
             if not compact_keep_superseded:
@@ -1892,6 +2012,7 @@ def migrate_clean_filter_banding(
     val_frac: float = 0.1,
     test_frac: float = 0.1,
     rank_col: str | None = None,
+    soft_weights: bool = False,
 ) -> dict:
     """Re-train a clean_filter_dedup_state's FROZEN banding for the
     corpus size it has grown to (VERDICT r14 item 2). The frozen
@@ -1939,6 +2060,13 @@ def migrate_clean_filter_banding(
             f"rank_col={state.get('rank_col')!r}, migration called with "
             f"{rank_col!r} — the policy is part of the state's identity"
         )
+    if bool(state.get("soft_weights")) != bool(soft_weights):
+        raise ValueError(
+            f"keep-policy mismatch: state was built with "
+            f"soft_weights={bool(state.get('soft_weights'))}, migration "
+            f"called with {bool(soft_weights)} — the policy is part of "
+            f"the state's identity"
+        )
     new_bands, new_rows = minhash_auto_params(
         corpus_n, threshold=jaccard_threshold
     )
@@ -1949,10 +2077,20 @@ def migrate_clean_filter_banding(
     )
     pairs = rebanded["pairs"]
     comp = connected_components_star(pairs)
-    reps = _clean_reps(state["survivors"], comp, id_col, rank_col)
+    if soft_weights:
+        rows_out = _clean_soft_rows(state["survivors"], comp, id_col)
+        out_cols = (
+            id_col, "n_ws_tokens", "clf_score", "component_id",
+            "n_members", "weight", "split",
+        )
+    else:
+        rows_out = _clean_reps(state["survivors"], comp, id_col, rank_col)
+        out_cols = (id_col, "n_ws_tokens", "clf_score", "component_id", "split")
     output = (
-        train_val_test_split(reps, id_col, val_frac=val_frac, test_frac=test_frac)
-        .select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+        train_val_test_split(
+            rows_out, id_col, val_frac=val_frac, test_frac=test_frac
+        )
+        .select(*out_cols)
         .localCheckpoint()
     )
     out = {
@@ -1969,6 +2107,8 @@ def migrate_clean_filter_banding(
         out["n_survivors"] = state["n_survivors"]  # survivors untouched
     if rank_col is not None:
         out["rank_col"] = rank_col
+    if soft_weights:
+        out["soft_weights"] = True
     return out
 
 

@@ -191,6 +191,7 @@ def _load_all() -> None:
         register_round18_weighted_mix,
         register_round18_weighted_temperature_mix,
         register_round18_neardup_keep_best,
+        register_round18_soft_incremental,
     )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
@@ -260,6 +261,7 @@ def _load_all() -> None:
     register_round18_weighted_mix()
     register_round18_weighted_temperature_mix()
     register_round18_neardup_keep_best()
+    register_round18_soft_incremental()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -134,6 +134,7 @@ def _clean_filter_dedup_sql(
     w_sql: str,
     doc_where: str = "",
     keep_best_rank: str | None = None,
+    soft_weights: bool = False,
 ) -> str:
     """The WHOLE composed chain as one DuckDB query: pageify → C4 →
     Gopher quality → Gopher repetition → classifier → MinHash-LSH
@@ -153,7 +154,30 @@ def _clean_filter_dedup_sql(
     w = _tok_of("cleaned")
     mnh = mb * mr
     split_hash = _HASH32.format(expr="'0:split:' || CAST(doc_id AS VARCHAR)")
-    if keep_best_rank is not None:
+    if soft_weights:
+        # drop-free policy (r18): every survivor kept, weighted
+        # 1/|component| — the dedup_soft_weights restatement composed
+        # onto the full chain
+        final = rf""",
+        memb AS (
+          SELECT c.doc_id, c.n_ws_tokens, c.clf_score,
+                 COALESCE(cp.component, c.doc_id) AS component_id
+          FROM clf c LEFT JOIN compo cp ON cp.node = c.doc_id
+        ),
+        sz AS (
+          SELECT component_id, count(*) AS n_members
+          FROM memb GROUP BY component_id
+        )
+        SELECT m.doc_id, m.n_ws_tokens, m.clf_score, m.component_id,
+               CAST(sz.n_members AS BIGINT) AS n_members,
+               round(1.0 / sz.n_members, 6) AS weight,
+               CASE WHEN m.doc_id IS NULL THEN NULL
+                    WHEN {split_hash} % 1000 < 100 THEN 'val'
+                    WHEN {split_hash} % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM memb m JOIN sz ON sz.component_id = m.component_id
+        """
+    elif keep_best_rank is not None:
         final = rf""",
         memb AS (
           SELECT c.doc_id, c.n_ws_tokens, c.clf_score,

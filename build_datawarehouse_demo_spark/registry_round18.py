@@ -351,3 +351,76 @@ def register_round18_neardup_keep_best() -> None:
         return prepare_training_data_neardup_incremental(
             batch, state, rank_col="quality"
         )
+
+
+def register_round18_soft_incremental() -> None:
+    # ------------------------------------------------------------------
+    # the THIRD keep policy through the incremental state (r18): DROP-
+    # FREE soft dedup — every survivor kept at 1/|component| weight,
+    # folded incrementally (only batch-touched components re-weight /
+    # re-label), the exact feed the weight-aware mixers consume. With
+    # min-id (default) and keep-best (rank_col), the policy triple the
+    # curation literature runs is now complete on the same machinery.
+    # ------------------------------------------------------------------
+    from build_datawarehouse_demo_spark.operators.dedup import minhash_auto_params
+    from build_datawarehouse_demo_spark.operators.text import (
+        default_classifier_weights,
+    )
+    from build_datawarehouse_demo_spark.registry_round12 import (
+        _CLF_T,
+        _GQ_MINW,
+        _GQ_STOP,
+        _QC_DIM,
+        _TOPG,
+        _clean_filter_dedup_sql,
+        pageify,
+    )
+
+    _N_DOCS = _driver_rows("documents", 500)
+    _SPLIT_AT = (3 * _N_DOCS) // 4
+    _N_OLD = _driver_old_subset_count(_SPLIT_AT)
+    _MB, _MR = minhash_auto_params(_N_OLD)
+    _W_SQL = "[" + ", ".join(repr(x) for x in default_classifier_weights(_QC_DIM)) + "]"
+
+    @register(
+        "pipeline_clean_filter_dedup_soft",
+        oracle=_clean_filter_dedup_sql(_MB, _MR, _W_SQL, soft_weights=True),
+    )
+    def q_clean_filter_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The incremental cleaning stack under SOFT dedup (r18):
+        clean_filter_dedup_state on the first 3/4 of the pageified
+        corpus with ``soft_weights=True`` — EVERY surviving document
+        kept, each duplicate class carrying one unit of training mass
+        (weight = 1/|component|, the dedup_soft_weights contract) —
+        then the last 1/4 folded in through clean_filter_dedup_apply
+        at the same policy. A fold recomputes exactly the
+        batch-touched components' member rows (their sizes and labels
+        are the only things a fold can change; old members of touched
+        components are pair-graph nodes, so the stored-survivor scan
+        prunes to them) and reuses everything else. The oracle runs
+        the full chain over the union at the frozen banding with the
+        soft final selection, so the hash match proves refresh ≡
+        rebuild INCLUDING the re-weighting of classes the batch grew.
+        Output feeds the weight-aware mixers directly
+        (sample_token_budget_mix weight_col)."""
+        from build_datawarehouse_demo_spark.plans.training_data import (
+            clean_filter_dedup_apply,
+            clean_filter_dedup_state,
+        )
+
+        docs = pageify(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        n = docs.count()
+        split_at = (3 * n) // 4
+        old = docs.filter(F.col("doc_id") < split_at)
+        batch = docs.filter(F.col("doc_id") >= split_at)
+        knobs = dict(
+            min_words=_GQ_MINW,
+            min_stopword_hits=_GQ_STOP,
+            max_top_gram_char_frac=_TOPG,
+            clf_dim=_QC_DIM,
+            clf_threshold=_CLF_T,
+            soft_weights=True,
+        )
+        state = clean_filter_dedup_state(old, corpus_n=old.count(), **knobs)
+        refreshed = clean_filter_dedup_apply(batch, state, **knobs)
+        return refreshed["output"]

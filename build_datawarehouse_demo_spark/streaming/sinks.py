@@ -243,7 +243,9 @@ def stream_clean_filter_state_append(
             "jaccard_threshold",
             "val_frac",
             "test_frac",
-            "rank_col",  # keep policy is part of the state's identity
+            # keep policy is part of the state's identity
+            "rank_col",
+            "soft_weights",
         )
         if k in knobs
     }
