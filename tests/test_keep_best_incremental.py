@@ -469,3 +469,59 @@ def test_clean_soft_weights_feed_weighted_mixer(spark):
         token_budget=56, weight_col="weight",
     )
     assert {r["doc_id"] for r in got.collect()} == {1, 100, 2, 3, 4}
+
+
+def test_stream_soft_weights_with_migration_hook_equals_batch(spark, tmp_path):
+    """Soft policy through the STREAMING clean sink with the migration
+    hook armed: soft_weights must flow through the sink's migration
+    knob filter (a dropped knob would fail the policy-identity guard
+    on the first fold), same-id redeliveries are still anti-joined
+    away, and the final drop-free output equals the one-shot soft
+    build over the whole feed at the frozen banding."""
+    import pyspark.sql.types as T
+
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_state,
+    )
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_clean_filter_state_append,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    old_rows = [(1, T1)] + FILLERS
+    batches = [[(100, T1)], [(2, FILLERS[0][1]), (200, T2)]]  # re-crawl + same-id redelivery + near-dup
+    knobs = dict(soft_weights=True, **LOOSE, **_J)
+    holder = {
+        "state": clean_filter_dedup_state(
+            _corpus(spark, old_rows), corpus_n=len(old_rows), **knobs
+        )
+    }
+    feed = str(tmp_path / "feed")
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(1).write.mode(
+            mode
+        ).parquet(feed)
+    q = stream_clean_filter_state_append(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(feed),
+        holder,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        migrate_banding=True,
+        **knobs,
+    )
+    assert q.awaitTermination(180)
+    out = {r["doc_id"]: r for r in holder["state"]["output"].collect()}
+    # drop-free: the class {1, 100, 200} all present, weights 1/3
+    assert {out[i]["weight"] for i in (1, 100, 200)} == {0.333333}
+    assert out[2]["weight"] == 1.0  # redelivered same-id: anti-joined, unchanged
+    full = clean_filter_dedup_state(
+        _corpus(spark, old_rows + [(100, T1), (200, T2)]),
+        corpus_n=len(old_rows),
+        **knobs,
+    )
+    assert _rows(holder["state"]["output"]) == _rows(full["output"])
