@@ -525,3 +525,62 @@ def test_stream_soft_weights_with_migration_hook_equals_batch(spark, tmp_path):
         **knobs,
     )
     assert _rows(holder["state"]["output"]) == _rows(full["output"])
+
+
+def test_stream_neardup_keep_best_displacement_equals_batch(spark, tmp_path):
+    """Keep-best through the NEARDUP streaming sink (span stage
+    included): rank_col flows through the sink knobs, a longer
+    near-dup re-crawl arriving mid-stream displaces the stored rep,
+    and the final output equals the one-shot keep-best build over the
+    whole feed at the frozen banding."""
+    import pyspark.sql.types as T
+
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        training_data_neardup_state,
+    )
+    from build_datawarehouse_demo_spark.streaming.sinks import (
+        stream_training_data_state_append,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    old_rows = [(2, CORE), (5, _doc(7)), (6, _doc(9))]
+    batches = [
+        [(1000, CORE + " " + TAIL_A)],  # longer near-dup: displaces 2
+        [(1100, _doc(31))],             # unrelated new doc
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    holder = {
+        "state": training_data_neardup_state(
+            old, corpus_n=len(old_rows), rank_col="n_tokens"
+        )
+    }
+    feed = str(tmp_path / "feed")
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(1).write.mode(
+            mode
+        ).parquet(feed)
+    q = stream_training_data_state_append(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(feed),
+        holder,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        migrate_banding=True,
+        rank_col="n_tokens",
+    )
+    assert q.awaitTermination(180)
+    out = {r["doc_id"]: r for r in holder["state"]["output"].collect()}
+    assert 1000 in out and 2 not in out and 1100 in out
+    assert out[1000]["component_id"] == 2
+    full = training_data_neardup_state(
+        spark.createDataFrame(
+            old_rows + batches[0] + batches[1], "doc_id long, text string"
+        ),
+        corpus_n=len(old_rows),
+        rank_col="n_tokens",
+    )
+    assert _rows(holder["state"]["output"]) == _rows(full["output"])
