@@ -1308,6 +1308,7 @@ def prepare_clean_filter_dedup(
     test_frac: float = 0.1,
     corpus_n: int | None = None,
     rank_col: str | None = None,
+    soft_weights: bool = False,
 ) -> DataFrame:
     """The MODERN cleaning stack composed end-to-end (VERDICT r10/r11
     item 1) — the stage order every current open-corpus pipeline runs
@@ -1347,10 +1348,13 @@ def prepare_clean_filter_dedup(
     rank_col a numeric survivor feature (``clf_score`` or
     ``n_ws_tokens``); see _clean_reps / dedup_keep_best. component_id
     is then the component's star label (its min id), which need not be
-    the kept row's own id.
+    the kept row's own id. ``soft_weights=True`` (mutually exclusive)
+    runs the DROP-FREE policy instead: every survivor kept at weight
+    1/|component| (_clean_soft_rows), rows gaining (n_members, weight).
 
     Returns one row per surviving document:
-    (id, n_ws_tokens, clf_score, component_id, split).
+    (id, n_ws_tokens, clf_score, component_id, split)
+    [+ (n_members, weight) under soft_weights].
     """
     from build_datawarehouse_demo_spark.operators.dedup import (
         connected_components_star,
@@ -1393,10 +1397,20 @@ def prepare_clean_filter_dedup(
         threshold=jaccard_threshold,
     ).localCheckpoint()
     comp = connected_components_star(pairs)
-    reps = _clean_reps(survivors, comp, id_col, rank_col)
+    if soft_weights:
+        if rank_col is not None:
+            raise ValueError("rank_col and soft_weights are mutually exclusive")
+        rows_out = _clean_soft_rows(survivors, comp, id_col)
+        out_cols = (
+            id_col, "n_ws_tokens", "clf_score", "component_id",
+            "n_members", "weight", "split",
+        )
+    else:
+        rows_out = _clean_reps(survivors, comp, id_col, rank_col)
+        out_cols = (id_col, "n_ws_tokens", "clf_score", "component_id", "split")
     return train_val_test_split(
-        reps, id_col, val_frac=val_frac, test_frac=test_frac
-    ).select(id_col, "n_ws_tokens", "clf_score", "component_id", "split")
+        rows_out, id_col, val_frac=val_frac, test_frac=test_frac
+    ).select(*out_cols)
 
 
 def clean_filter_dedup_state(

@@ -584,3 +584,32 @@ def test_stream_neardup_keep_best_displacement_equals_batch(spark, tmp_path):
         rank_col="n_tokens",
     )
     assert _rows(holder["state"]["output"]) == _rows(full["output"])
+
+
+def test_prepare_clean_filter_dedup_policy_symmetry(spark):
+    """The one-shot prepare_* pipeline exposes the same policy triple
+    as the state builder: keep-best and soft outputs match
+    clean_filter_dedup_state's output frame exactly."""
+    import pytest as _pytest
+
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_dedup_state,
+        prepare_clean_filter_dedup,
+    )
+
+    rows = [(1, T1), (5, T1)] + FILLERS  # one exact pair + fillers
+    docs = _corpus(spark, rows)
+    n = docs.count()
+    for policy in (
+        dict(rank_col="n_ws_tokens"),
+        dict(soft_weights=True),
+        dict(),
+    ):
+        knobs = dict(**policy, **LOOSE, **_J)
+        got = prepare_clean_filter_dedup(docs, corpus_n=n, **knobs)
+        want = clean_filter_dedup_state(docs, corpus_n=n, **knobs)["output"]
+        assert _rows(got) == _rows(want), policy
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        prepare_clean_filter_dedup(
+            docs, corpus_n=n, rank_col="clf_score", soft_weights=True, **LOOSE
+        )

@@ -236,3 +236,54 @@ def test_dup_gram_chars_fold_matches_python_model(spark, docs, n):
         gs = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
         expect = sum(c * len(g) for g, c in Counter(gs).items() if c >= 2)
         assert got[i] == expect, (i, n, toks)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=199),          # id
+            st.integers(min_value=0, max_value=5),            # component bucket
+            st.one_of(st.none(), st.integers(-50, 50)),       # rank (nullable)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_keep_best_matches_python_argmax(spark, rows):
+    """dedup_keep_best's keeper per component == the pure-Python
+    argmax of (rank, then smallest id) with NULL ranks losing to any
+    non-null rank — over random components, random nullable ranks and
+    STRING ids (the r18 portability seam)."""
+    from build_datawarehouse_demo_spark.operators.dedup import dedup_keep_best
+
+    data = [(f"id{i:03d}", b, r) for i, b, r in rows]
+    comp_label = {}
+    for sid, b, _ in data:
+        comp_label.setdefault(b, sid)  # arbitrary stable label per bucket
+    docs = spark.createDataFrame(
+        [(sid, None if r is None else float(r)) for sid, _, r in data],
+        "doc_id string, rank double",
+    )
+    comp = spark.createDataFrame(
+        [(sid, comp_label[b]) for sid, b, _ in data],
+        "node string, component string",
+    )
+    got = {
+        r["doc_id"]: r["is_kept"]
+        for r in dedup_keep_best(docs, comp, rank_col="rank").collect()
+    }
+    # python model: per bucket, keeper minimizes (rank is None, -rank, id)
+    expect = {}
+    by_bucket: dict = {}
+    for sid, b, r in data:
+        by_bucket.setdefault(b, []).append((sid, r))
+    for b, members in by_bucket.items():
+        keeper = min(
+            members,
+            key=lambda t: (t[1] is None, -(t[1] if t[1] is not None else 0), t[0]),
+        )[0]
+        for sid, _ in members:
+            expect[sid] = sid == keeper
+    assert got == expect
