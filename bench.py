@@ -353,6 +353,14 @@ def main() -> None:
     cal_samples.clear()
     cal_shuffle_samples: list[float] = [_calibration_shuffle(spark)]  # warm
     cal_shuffle_samples.clear()
+    # START-of-session anchor samples (r19, VERDICT r18 item 3): the
+    # r18 driver session inflated ~17% uniformly mid-run and the
+    # single-median anchors could not show it. The first sample below
+    # is taken BEFORE any query run; the last per-run sample closes the
+    # session — both ship on the headline line (calibration_span), so a
+    # judge can detect mid-session drift from the artifact alone.
+    cal_samples.append(_calibration(spark))
+    cal_shuffle_samples.append(_calibration_shuffle(spark))
     for r in range(runs):
         # rotate: run r starts at query r, so no query always pays the
         # same predecessor's session state (JIT/GC), and medians are
@@ -486,6 +494,15 @@ def main() -> None:
                 # per-key normalized maps are in BENCH_LOCAL_DETAIL.
                 "normalized_geomean_scan": gm_scan,
                 "normalized_geomean_shuffle": gm_shuffle,
+                # r19 (VERDICT r18 item 3): start-of-session vs
+                # end-of-session anchor samples — a span ratio past the
+                # noise floor is the mid-session-drift fingerprint
+                # (bench_compare warns on it)
+                "calibration_span": [cal_samples[0], cal_samples[-1]],
+                "calibration_shuffle_span": [
+                    cal_shuffle_samples[0],
+                    cal_shuffle_samples[-1],
+                ],
             },
             separators=(",", ":"),
         )

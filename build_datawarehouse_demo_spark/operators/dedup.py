@@ -1458,10 +1458,15 @@ def keep_best_key(rank_col: str, id_col: str) -> Column:
     rank tie falls to the smaller id. Negating only the RANK keeps the
     id side type-generic (r17 ADVICE: the former ``max_by(id,
     struct(rank, -id))`` required a numeric id and raised on string
-    ids); the rank must be numeric — it is a score by construction."""
+    ids); the rank must be numeric — it is a score by construction,
+    and it is cast to double BEFORE negation (r18 ADVICE: an integral
+    rank equal to Long.MIN_VALUE would overflow on negation — wrapping
+    under non-ANSI, throwing under ANSI — inverting the ordering for
+    that row; double ordering is exact for score-like ranks and for
+    integers up to 2^53, far past any plausible score)."""
     return F.struct(
         F.col(rank_col).isNull().cast("int").alias("z"),
-        (-F.col(rank_col)).alias("nr"),
+        (-F.col(rank_col).cast("double")).alias("nr"),
         F.col(id_col).alias("i"),
     )
 

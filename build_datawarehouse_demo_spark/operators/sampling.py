@@ -301,10 +301,146 @@ def _micro_weight(weight_col: str) -> Column:
     EXACTLY — and every downstream total, quota and running fill is
     then arbitrary-precision integer arithmetic, bit-identical across
     engines (a float sum over distributed partitions would not be:
-    addition order varies run to run)."""
+    addition order varies run to run).
+
+    Corollary (ADVICE r18): the DRAWABLE minimum weight is 1e-6. A
+    positive weight below 5e-7 rounds to micro-unit 0 and the row is
+    dropped by the mixers' ``__mw > 0`` filter exactly as if its
+    weight were 0 — intentional for the dedup_soft_weights contract
+    (whose smallest value is 1/|class| >= 1e-6 for any class a corpus
+    could hold), but a caller feeding an arbitrary weight column must
+    pre-scale it so meaningful mass stays >= 1e-6."""
     return F.round(F.col(weight_col).cast("double") * F.lit(1_000_000.0), 0).cast(
         "bigint"
     )
+
+
+#: per-source running-sum ceiling: totals are summed exactly (decimal)
+#: and must fit the BIGINT cum column the mixers emit
+_FILL_LONG_MAX = 1 << 63
+
+
+def _per_source_running_fill(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    sort_key: Column,
+    measure: Column,
+    cum_name: str,
+) -> tuple[DataFrame, dict]:
+    """Per-source global running sum with NO per-source single-reducer
+    sort (r19, VERDICT r18 item 1): the shard_token_balanced shape
+    applied per source.
+
+    The naive fill — ``Window.partitionBy(source).orderBy(key)`` — hash
+    -partitions by source and sorts each source's ENTIRE corpus inside
+    one task: with O(10) sources at 100 TB that is a single-reducer
+    sort per source, the same scale-killer class as a global window.
+    This helper computes the identical running sums distributed:
+
+    1. project the fill input to a SLIM frame (id, source, key,
+       measure) — payloads (text!) never enter the exchange;
+    2. ``repartitionByRange`` on (source, key, id): a DISTRIBUTED sort
+       — each source spans as many partitions as its mass needs, and
+       partition order follows the composite key order;
+    3. ``localCheckpoint`` the ranged frame once so the two passes
+       below read the same materialized rows (at production scale swap
+       for a parquet boundary — the plans/training_data.py discipline);
+    4. ONE bounded collect of per-(partition, source) totals — at most
+       n_partitions + n_sources rows because range partitioning keeps
+       sources contiguous (the scalar-collect discipline);
+    5. driver-side per-source prefix offsets (exact Python bigints),
+       broadcast back, per-(partition, source) local cumsum window +
+       offset = the global per-source running sum.
+
+    The running-sum VALUES are identical to the naive window's for any
+    partition-boundary placement (prefix sums are associative), so the
+    refactor is pinned by the existing mixer oracles unchanged.
+
+    Totals are aggregated as decimal(38,0) and returned as exact
+    Python ints; any per-source total >= 2^63 raises (ADVICE r18: the
+    micro-unit bigint cum column would otherwise wrap silently at
+    ~9.2e18 micro-units ~ 9.2e12 weighted tokens per source).
+
+    ``sort_key`` must be the ASCENDING order key (negate a descending
+    score before passing). Ids are assumed unique per (source, id) —
+    the identity contract every sampler here shares. Rows with a NULL
+    source keep their mass in ``totals`` (quota dilution semantics are
+    the caller's) but receive no fill row — every mixer drops them at
+    its quota join anyway.
+
+    Returns ``(filled, totals)``: ``filled`` = slim (id, source,
+    cum_name) with cum_name the running sum of ``measure`` over the
+    source's rows in (sort_key ASC, id ASC) order; ``totals`` =
+    {source_value: exact int total} including a None key if null
+    sources exist.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    slim = df.select(
+        F.col(id_col).alias("__fid"),
+        F.col(source_col).alias("__fsrc"),
+        sort_key.alias("__fkey"),
+        measure.cast("bigint").alias("__fm"),
+    )
+    p = spark.sparkContext.defaultParallelism
+    ranged = (
+        slim.repartitionByRange(p, F.col("__fsrc"), F.col("__fkey"), F.col("__fid"))
+        .withColumn("__fpid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_totals = (
+        ranged.groupBy("__fpid", "__fsrc")
+        .agg(F.sum(F.col("__fm").cast("decimal(38,0)")).alias("__ft"))
+        .collect()
+    )
+    by_src: dict = {}
+    for row in part_totals:
+        by_src.setdefault(row["__fsrc"], []).append((row["__fpid"], int(row["__ft"])))
+    totals = {s: sum(t for _, t in lst) for s, lst in by_src.items()}
+    over = {s: t for s, t in totals.items() if t >= _FILL_LONG_MAX}
+    if over:
+        raise ValueError(
+            "per-source fill totals exceed the bigint running-sum range "
+            f"(2^63 micro-units): {over} — rescale the weight/token units "
+            "(micro-unit ceiling ~9.2e12 weighted tokens per source)"
+        )
+    offsets = []
+    for s, lst in by_src.items():
+        if s is None:
+            continue
+        acc = 0
+        for pid, t in sorted(lst):
+            offsets.append((int(pid), s, acc))
+            acc += t
+    src_field = df.schema[source_col]
+    odf = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField("__fpid", T.IntegerType(), False),
+                T.StructField("__fsrc", src_field.dataType, src_field.nullable),
+                T.StructField("__foff", T.LongType(), False),
+            ]
+        ),
+    )
+    w = (
+        Window.partitionBy("__fpid", "__fsrc")
+        .orderBy(F.col("__fkey").asc(), F.col("__fid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        ranged.withColumn("__flc", F.sum("__fm").over(w))
+        .join(F.broadcast(odf), ["__fpid", "__fsrc"])
+        .select(
+            F.col("__fid").alias(id_col),
+            F.col("__fsrc").alias(source_col),
+            (F.col("__foff") + F.col("__flc")).cast("bigint").alias(cum_name),
+        )
+    )
+    return filled, totals
 
 
 def _es_key(salt: str, id_col: str, micro_w: Column, seed: int) -> Column:
@@ -359,17 +495,22 @@ def sample_temperature_mix(
     Rows with NULL or <= 0 weight leave before the totals (drawable-
     population discipline; zero weight = zero inclusion probability).
     Weights must carry <= 6 decimal places (the dedup_soft_weights
-    contract) so the micro recovery is exact. Weighted output: sampled
-    rows + (wdoc_cum, wdoc_quota), both in micro-documents.
+    contract) so the micro recovery is exact — and meaningful mass
+    must be >= 1e-6 (ADVICE r18): a positive weight below 5e-7 rounds
+    to micro-unit 0 and its row becomes non-drawable, exactly as if
+    the weight were 0. Weighted output: sampled rows + (wdoc_cum,
+    wdoc_quota), both in micro-documents.
 
-    Scale shape: one count aggregate per source collected to the
-    driver (sources are a bounded-cardinality dimension — languages /
-    domains / registries, thousands at most; the same scalar-collect
-    discipline as the components fingerprint), quotas broadcast back
-    as literals, ONE shuffle on source_col for the rank window.
-    Output: sampled rows + (rnk, quota).
+    Scale shape (r19, VERDICT r18 item 1): the per-source totals fall
+    out of the SAME bounded per-(partition, source) collect the fill
+    uses (sources are a bounded-cardinality dimension — languages /
+    domains / registries, thousands at most), quotas broadcast back as
+    literals, and the fill itself is _per_source_running_fill — a
+    distributed range-partitioned prefix sum over a SLIM (id, source,
+    key, measure) projection, NOT a per-source single-partition
+    window; payloads rejoin by (id, source) afterwards. Output:
+    sampled rows + (rnk, quota).
     """
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     # null-id rows leave BEFORE counting: quotas must be proportional
@@ -382,12 +523,12 @@ def sample_temperature_mix(
         df = df.where(F.col(weight_col).isNotNull()).withColumn(
             "__mw", _micro_weight(weight_col)
         ).where(F.col("__mw") > 0)
-        totals = {
-            row[0]: int(row[1])
-            for row in df.groupBy(source_col)
-            .agg(F.sum("__mw").alias("__t"))
-            .collect()
-        }
+        key = _es_key("wtemp:", id_col, F.col("__mw"), seed)
+        # ES order is key DESC; the fill sorts ASC, so pass the negated
+        # key (double negation is exact; ties still break on the id)
+        filled, totals = _per_source_running_fill(
+            df, source_col, id_col, (-key), F.col("__mw"), "wdoc_cum"
+        )
         quotas = temperature_quotas(totals, budget * 1_000_000, temperature)
         qdf = df.sparkSession.createDataFrame(
             [(s, int(k)) for s, k in quotas.items()],
@@ -398,22 +539,22 @@ def sample_temperature_mix(
                 ]
             ),
         )
-        key = _es_key("wtemp:", id_col, F.col("__mw"), seed)
-        w = (
-            Window.partitionBy(source_col)
-            .orderBy(key.desc(), F.col(id_col).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        payload = df.drop("__mw")
         return (
-            df.withColumn("wdoc_cum", F.sum("__mw").over(w))
+            payload.join(filled, [id_col, source_col])
             .join(F.broadcast(qdf), source_col)
             .where(F.col("wdoc_cum") <= F.col("wdoc_quota"))
-            .drop("__mw")
+            .select(
+                source_col,
+                *[c for c in payload.columns if c != source_col],
+                "wdoc_cum",
+                "wdoc_quota",
+            )
         )
-    counts = {
-        row[0]: row[1]
-        for row in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).collect()
-    }
+    h = hash32(F.concat(F.lit("temp:"), F.col(id_col).cast("string")), seed=seed)
+    filled, counts = _per_source_running_fill(
+        df, source_col, id_col, h, F.lit(1), "rnk"
+    )
     quotas = temperature_quotas(counts, budget, temperature)
     qdf = df.sparkSession.createDataFrame(
         [(s, int(k)) for s, k in quotas.items()],
@@ -421,12 +562,16 @@ def sample_temperature_mix(
             [df.schema[source_col], T.StructField("quota", T.IntegerType(), False)]
         ),
     )
-    h = hash32(F.concat(F.lit("temp:"), F.col(id_col).cast("string")), seed=seed)
-    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        df.join(
+            filled.withColumn("rnk", F.col("rnk").cast("int")),
+            [id_col, source_col],
+        )
         .join(F.broadcast(qdf), source_col)
         .where(F.col("rnk") <= F.col("quota"))
+        .select(
+            source_col, *[c for c in df.columns if c != source_col], "rnk", "quota"
+        )
     )
 
 
@@ -472,16 +617,22 @@ def sample_token_budget_mix(
     fill is the greedy prefix of the running weighted-token sum
     against a micro-token quota. Rows with NULL or <= 0 weight leave
     before the totals; weights carry <= 6 decimal places (the
-    dedup_soft_weights contract). Weighted output: sampled rows +
-    (wtok_cum, wtok_quota), both in micro-tokens.
+    dedup_soft_weights contract), and meaningful mass must be >= 1e-6
+    (ADVICE r18: a positive weight below 5e-7 rounds to micro-unit 0
+    and becomes non-drawable, exactly as if it were 0). Weighted
+    output: sampled rows + (wtok_cum, wtok_quota), both in
+    micro-tokens. Per-source weighted totals must stay under 2^63
+    micro-tokens (~9.2e12 weighted tokens) — the fill's exact decimal
+    totals raise past the ceiling instead of wrapping (ADVICE r18).
 
-    Scale shape: identical to sample_temperature_mix — one bounded-
-    cardinality aggregate collected (sources are languages/domains,
-    thousands at most), quotas broadcast back, ONE shuffle on
-    source_col for the running-sum window. Output: sampled rows +
-    (tok_cum, token_quota).
+    Scale shape (r19, VERDICT r18 item 1): identical to
+    sample_temperature_mix — per-source totals and the running fill
+    both come from _per_source_running_fill's distributed
+    range-partitioned prefix sum over a slim projection (no per-source
+    single-partition window; one bounded per-(partition, source)
+    collect), quotas broadcast back, payloads rejoined by (id,
+    source). Output: sampled rows + (tok_cum, token_quota).
     """
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     df = df.where(F.col(id_col).isNotNull() & F.col(token_col).isNotNull())
@@ -490,12 +641,10 @@ def sample_token_budget_mix(
             "__mw", _micro_weight(weight_col)
         ).where(F.col("__mw") > 0)
         wtok = F.col("__mw") * F.col(token_col).cast("bigint")
-        totals = {
-            row[0]: int(row[1])
-            for row in df.groupBy(source_col)
-            .agg(F.sum(wtok).alias("__t"))
-            .collect()
-        }
+        key = _es_key("wtokmix:", id_col, F.col("__mw"), seed)
+        filled, totals = _per_source_running_fill(
+            df, source_col, id_col, (-key), wtok, "wtok_cum"
+        )
         quotas = temperature_quotas(
             totals, token_budget * 1_000_000, temperature
         )
@@ -508,24 +657,22 @@ def sample_token_budget_mix(
                 ]
             ),
         )
-        key = _es_key("wtokmix:", id_col, F.col("__mw"), seed)
-        w = (
-            Window.partitionBy(source_col)
-            .orderBy(key.desc(), F.col(id_col).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        payload = df.drop("__mw")
         return (
-            df.withColumn("wtok_cum", F.sum(wtok).over(w))
+            payload.join(filled, [id_col, source_col])
             .join(F.broadcast(qdf), source_col)
             .where(F.col("wtok_cum") <= F.col("wtok_quota"))
-            .drop("__mw")
+            .select(
+                source_col,
+                *[c for c in payload.columns if c != source_col],
+                "wtok_cum",
+                "wtok_quota",
+            )
         )
-    totals = {
-        row[0]: int(row[1])
-        for row in df.groupBy(source_col)
-        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__t"))
-        .collect()
-    }
+    h = hash32(F.concat(F.lit("tokmix:"), F.col(id_col).cast("string")), seed=seed)
+    filled, totals = _per_source_running_fill(
+        df, source_col, id_col, h, F.col(token_col).cast("bigint"), "tok_cum"
+    )
     quotas = temperature_quotas(totals, token_budget, temperature)
     qdf = df.sparkSession.createDataFrame(
         [(s, int(k)) for s, k in quotas.items()],
@@ -533,16 +680,16 @@ def sample_token_budget_mix(
             [df.schema[source_col], T.StructField("token_quota", T.LongType(), False)]
         ),
     )
-    h = hash32(F.concat(F.lit("tokmix:"), F.col(id_col).cast("string")), seed=seed)
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(h.asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        df.withColumn("tok_cum", F.sum(F.col(token_col).cast("bigint")).over(w))
+        df.join(filled, [id_col, source_col])
         .join(F.broadcast(qdf), source_col)
         .where(F.col("tok_cum") <= F.col("token_quota"))
+        .select(
+            source_col,
+            *[c for c in df.columns if c != source_col],
+            "tok_cum",
+            "token_quota",
+        )
     )
 
 
@@ -594,6 +741,7 @@ def sample_epoch_capped_mix(
     max_epochs: int = 4,
     temperature: float = 1.0,
     seed: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Token-budget corpus mixing WITH REPETITION (r14): the
     data-constrained variant of sample_token_budget_mix. Each source's
@@ -610,22 +758,58 @@ def sample_epoch_capped_mix(
     taken (drawable-population discipline). A zero-token source draws
     quota 0 and contributes nothing.
 
-    Scale shape: one bounded per-source aggregate collected (the
-    temperature_quotas contract), quotas broadcast back, ONE shuffle
-    on source_col for the running-sum window; full epochs are a
-    generator over the already-windowed rows (no extra exchange).
+    ``weight_col`` (r19, VERDICT r18 item 2): the WEIGHTED form — the
+    multi-epoch mixer a real pretraining run uses, now consuming
+    soft-dedup mass. The unit becomes weighted tokens (micro-exact
+    integers μ·tok, μ = round(weight·10⁶) — see _micro_weight): the
+    per-source totals, the repetition caps (max_epochs · weighted
+    tokens) AND the water-filled quotas are all accounted in weighted
+    units, so a soft-dedup class of n copies at weight 1/n costs the
+    budget ~one document's tokens PER EPOCH while every copy stays in
+    each full pass; the partial-epoch draw order becomes the
+    Efraimidis–Spirakis key (selection probability ∝ weight, salt
+    'wepochmix:'). Rows with NULL or <= 0 weight leave before the
+    totals; weights carry <= 6 decimal places (the dedup_soft_weights
+    contract) with meaningful mass >= 1e-6 (below 5e-7 rounds to
+    micro-unit 0 and is non-drawable, exactly as weight 0). Weighted
+    output rows carry ``wtok_cum`` (micro-weighted-token running
+    position within a pass) instead of ``tok_cum``.
+
+    Scale shape (r19, VERDICT r18 item 1): per-source totals and the
+    running fill both come from _per_source_running_fill's distributed
+    range-partitioned prefix sum over a slim (id, source, key,
+    measure) projection — NO per-source single-partition window; one
+    bounded per-(partition, source) collect (the temperature_quotas
+    contract), quotas broadcast back, payloads rejoined by (id,
+    source); full epochs are a generator over the already-filled rows
+    (no extra exchange).
     """
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     df = df.where(F.col(id_col).isNotNull() & F.col(token_col).isNotNull())
-    totals = {
-        row[0]: int(row[1])
-        for row in df.groupBy(source_col)
-        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__t"))
-        .collect()
-    }
-    quotas = epoch_capped_quotas(totals, token_budget, temperature, max_epochs)
+    if weight_col is not None:
+        df = df.where(F.col(weight_col).isNotNull()).withColumn(
+            "__mw", _micro_weight(weight_col)
+        ).where(F.col("__mw") > 0)
+        key = _es_key("wepochmix:", id_col, F.col("__mw"), seed)
+        wtok = F.col("__mw") * F.col(token_col).cast("bigint")
+        filled, totals = _per_source_running_fill(
+            df, source_col, id_col, (-key), wtok, "wtok_cum"
+        )
+        quotas = epoch_capped_quotas(
+            totals, token_budget * 1_000_000, temperature, max_epochs
+        )
+        cum_col = "wtok_cum"
+        df = df.drop("__mw")
+    else:
+        h = hash32(
+            F.concat(F.lit("epochmix:"), F.col(id_col).cast("string")), seed=seed
+        )
+        filled, totals = _per_source_running_fill(
+            df, source_col, id_col, h, F.col(token_col).cast("bigint"), "tok_cum"
+        )
+        quotas = epoch_capped_quotas(totals, token_budget, temperature, max_epochs)
+        cum_col = "tok_cum"
     plan = [
         (s, int(quotas[s]) // totals[s], int(quotas[s]) % totals[s])
         for s in quotas
@@ -641,15 +825,9 @@ def sample_epoch_capped_mix(
             ]
         ),
     )
-    h = hash32(F.concat(F.lit("epochmix:"), F.col(id_col).cast("string")), seed=seed)
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(h.asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = df.join(filled, [id_col, source_col]).join(
+        F.broadcast(qdf), source_col
     )
-    staged = df.withColumn(
-        "tok_cum", F.sum(F.col(token_col).cast("bigint")).over(w)
-    ).join(F.broadcast(qdf), source_col)
     fulls = staged.select(
         "*",
         F.explode(
@@ -665,9 +843,18 @@ def sample_epoch_capped_mix(
     # "quota 0 contributes nothing" contract. Token-weight impact was
     # zero either way; the guard makes the row set honor the contract.
     partial = staged.where(
-        (F.col("__rem") > 0) & (F.col("tok_cum") <= F.col("__rem"))
+        (F.col("__rem") > 0) & (F.col(cum_col) <= F.col("__rem"))
     ).withColumn("epoch", F.col("__full"))
-    return fulls.unionByName(partial).drop("__full", "__rem")
+    return (
+        fulls.unionByName(partial)
+        .drop("__full", "__rem")
+        .select(
+            source_col,
+            *[c for c in df.columns if c != source_col],
+            cum_col,
+            "epoch",
+        )
+    )
 
 
 def importance_resample_dsir(

@@ -43,12 +43,15 @@ def _load(path: str) -> dict:
         if art.get("parsed"):
             return art["parsed"]
         tail = art.get("tail", "")
+        # scan every '{"metric"' occurrence from last to first and take
+        # the first that parses (r18 ADVICE: a truncated final line must
+        # not mask an earlier complete line elsewhere in the tail)
         i = tail.rfind('{"metric"')
-        if i >= 0:
+        while i >= 0:
             try:
-                return json.loads(tail[i:])
+                return json.loads(tail[i:].splitlines()[0])
             except json.JSONDecodeError:
-                pass
+                i = tail.rfind('{"metric"', 0, i)
         sys.exit(
             f"{path}: driver artifact holds only a truncated stdout tail "
             "(pre-r18 bench lines exceeded the driver's 2 KB buffer) — "
@@ -57,7 +60,35 @@ def _load(path: str) -> dict:
     sys.exit(f"{path}: not a bench artifact (no 'queries' and no 'tail')")
 
 
+#: the measured full-set box-noise band (±11.6%, r16) — anchor spans
+#: past it within one session mark drift the medians under-correct
+_DRIFT_FLOOR = 0.116
+
+
+def _warn_drift(art: dict, label: str) -> None:
+    """Flag mid-session anchor drift (r19, VERDICT r18 item 3): each
+    r19+ artifact carries (start, end) anchor samples; a span ratio
+    past the noise floor means the session's box state moved while the
+    queries ran — normalized deltas from that artifact are suspect in
+    the drift's direction even after per-class normalization (the r18
+    driver session's uniform ×1.17 pattern)."""
+    for key in ("calibration_span", "calibration_shuffle_span"):
+        span = art.get(key)
+        if not span or len(span) != 2 or not all(v > 0 for v in span):
+            continue
+        ratio = max(span) / min(span)
+        if ratio - 1 > _DRIFT_FLOOR:
+            print(
+                f"WARNING: {label or 'artifact'} {key} drifted x{ratio:.2f} "
+                f"start->end ({span[0]} -> {span[1]}) — mid-session box-state "
+                "drift beyond the ±11.6% floor; treat this side's "
+                "normalized values as inflated/deflated accordingly",
+                file=sys.stderr,
+            )
+
+
 def _norm(art: dict, label: str = "") -> dict[str, float]:
+    _warn_drift(art, label)
     cal = art["calibration"]
     cal_sh = art.get("calibration_shuffle")
     if cal_sh is None:

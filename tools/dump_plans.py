@@ -49,7 +49,7 @@ AUDITED = {
     "dedup_substring_spans": "substring-span dedup — tokenize+window explode (token-stream volume), partial/final count-distinct agg on 16-byte digests, equi-join of digest counts back to window rows; documents never shuffle",
     "text_remove_duplicate_spans": "span removal (r16 shape) — gram digests + owner agg on ONE gram-keyed exchange, removed-position classification as a single (doc,pos) min-over-foreign-flags aggregate, per-doc array rebuild (array_except + element_at); documents never leave their rows — only removed positions shuffle",
     "dedup_simhash_collapse": "radius-0 simhash dedup — signature partial-aggs + ONE exchange on the signature for the min/count window; linear however clustered the corpus",
-    "sample_temperature_mix": "temperature mixing — tiny per-source count agg, scalar-sum broadcast crossJoin, quota broadcast join, ONE exchange on source for the rank window",
+    "sample_temperature_mix": "temperature mixing (fill rebuilt r19) — distributed per-source rank via _per_source_running_fill: slim (id, source, key) projection range-partitioned + checkpointed, bounded per-(partition, source) totals collect doubling as the quota counts, per-(partition, source) cumsum window + broadcast offset join (NO per-source single-task sort), quotas broadcast, payloads rejoin by (id, source)",
     "graph_triangle_count": "degree-ordered triangles — hash aggs + equi-joins over (int,int) pairs only, edge list + oriented list checkpointed once (they are read 4x/2x; uncheckpointed the basket-pair derivation re-executed per reference: 166 Exchanges); never nested-loop",
     "join_interval_overlap": "gridded overlap join — both sides explode to grid cells, ONE equi-join on the cell id, residual overlap + overlap-start-cell claim as filters; the two BroadcastNestedLoopJoin lanes are the r8 long-interval SIDE-CHANNEL (>max_cells-span outliers broadcast against the other side — BY DESIGN, empty at this SF), never the row product",
     "streaming_session_window": "session windows — partial/final SessionWindow aggregation around one Exchange on (user_id); no join, no global window",
@@ -58,12 +58,12 @@ AUDITED = {
     "text_token_count_bpe": "BPE subword counting — a single codegen'd projection: 48 chained literal regexp_replace passes over the per-row symbol encoding; zero Exchange anywhere",
     "sim_ivf_index_append": "IVF append — build on the old corpus (sampled training + two-level assignment), then the batch assignment broadcasts the STORED centroids/supers (tiny), anti-joins stored ids, and appends through the bucketed writer; the only corpus-wide exchange is the bucketed write itself",
     "streaming_neardup_collapse_batch": "narrow simhash collapse — per-row signature folds in ONE projection (no explode), then a single exchange on the signature for the min/count window",
-    "sample_temperature_mix_t3": "general-T mixing — quotas are driver-side bigint literals broadcast into the rank filter; ONE exchange on the source column for the rank window",
+    "sample_temperature_mix_t3": "general-T mixing (fill rebuilt r19) — quotas are driver-side bigint literals broadcast into the rank filter; the rank comes from the range-partitioned distributed fill (window keyed on (partition, source), never a single task per source)",
     "pipeline_training_data_neardup_incremental": "incremental corpus refresh (r10; r15: TWO folds with a state COMPACTION between) — ONLY each batch takes the feature scan; exact stage anti-joins 16-byte digests against stored survivors; new band keys equi-join the STORED band-key table (old signatures reused, never recomputed); components contract stored+new pairs; span refresh recomputes gram stats only for digests touched by new or dropped reps and rebuilds only affected documents — untouched output rows are reused verbatim; after the mid-sequence compaction the stored side is BUCKETED TABLE SCANS (zero unions, zero checkpoint leaves), the fold-2 plan shape a year-old production state would have",
     "pipeline_clean_filter_dedup_migrated": "banding migration (r15) — build at n/5, fold frozen, MIGRATE (reps re-signed at the new auto params through one distinct-content semi-join scan, pairs re-expanded through the stored member map, components+output rebuilt at rep scale — the filter front never re-runs), fold at the migrated banding",
     "dedup_semantic_semdedup": "SemDeDup prune — trained-quantizer chain (broadcast cross-scores BY DESIGN, the sim_ivf_trained pattern), then ONE rank window per cluster and a cluster-key self equi-join for the pair stage (O(n²/nlist) comparisons — the balanced production sizing makes it n^(4/3), measured in BENCH_SEMDEDUP_SCALE_r10.json); never a corpus nested-loop",
     "dedup_semdedup_incremental": "incremental SemDeDup — frozen quantizer broadcast into BOTH subset assignments; the new batch takes the rank window; two cluster-key equi-joins (new×stored, new×earlier-new) bound pair volume by |new|·cluster_size; stored verdicts never recomputed",
-    "sample_token_budget_mix_t1": "token-budget mixing — tiny per-source token-total agg collected, quotas broadcast back, ONE exchange on source for the running-sum window; the greedy-prefix filter is a narrow comparison",
+    "sample_token_budget_mix_t1": "token-budget mixing (fill rebuilt r19) — per-source token totals fall out of the fill's bounded per-(partition, source) collect, quotas broadcast back, running sum via the range-partitioned distributed fill (window keyed on (partition, source) — NO per-source single-task sort); the greedy-prefix filter is a narrow comparison; payloads rejoin by (id, source)",
     "shard_token_balanced": "token-balanced sharding — range repartition on the hash key (the ONE corpus exchange), narrow projection checkpointed once, per-partition totals collected (one row per partition), cumsum window + broadcast offset join; NO global single-task window",
     "pipeline_rag_index_search": "RAG index pipeline — chunking + dense hash-embedding fuse into ONE scan-side projection (posexplode + HOFs, no UDF); quantizer training scores only the hash sample; assignment routes through broadcast super-centroids; search joins probe routes to inverted lists on the centroid id (equi-join), top-k window on scored rows",
     "text_quality_classifier": "linear quality classifier — a single codegen'd projection (hashed bucket counts via HOFs, fold dot, sigmoid); zero Exchange anywhere",
@@ -75,7 +75,7 @@ AUDITED = {
     "text_gopher_dup_ngrams": "Gopher dup n-gram fractions n=5..10 (r12) — ONE scan-side projection (six sorted-gram run-length folds, no explode/groupBy; HOF-heavy Projects sit outside WholeStageCodegen by design — higher-order functions are CodegenFallback); the only Exchange is the reader rebalance",
     "streaming_rag_index_append": "streaming RAG maintenance (r12) — the audited plan is the POST-STREAM read of the bucketed lists table (the stream itself ran foreachBatch appends); must be a bare bucketed scan + projection, no corpus rescan",
     "pipeline_clean_filter_dedup_keep_best": "incremental KEEP-BEST cleaning stack (r18) — same stage chain as pipeline_clean_filter_dedup_incremental (batch-only filter scan, frozen-banding rep-level candidate joins, star contraction over stored+new pairs); the keep step is ONE map-side-combining min_by over slim (component, rank, id) rows of the TOUCHED components' stored keeps + the batch survivors (batch-scale semi-joins, AQE-broadcast), untouched output rows reused via an anti-join — documents never shuffle for the policy",
-    "sample_token_budget_mix_weighted": "weighted token-budget mixing (r18) — exact-digest class sizes from ONE md5-keyed agg joined back (the soft-weight attach), tiny per-source weighted-token agg collected, micro-token quotas broadcast, ONE exchange on source for the ES-ordered running-sum window; all quota/fill arithmetic integer micro-units",
+    "sample_token_budget_mix_weighted": "weighted token-budget mixing (r18; fill rebuilt r19) — exact-digest class sizes from ONE md5-keyed agg joined back (the soft-weight attach), micro-token quotas broadcast, ES-ordered running sum via the range-partitioned distributed fill over a slim projection (window keyed on (partition, source), decimal-exact totals with a 2^63 guard); all quota/fill arithmetic integer micro-units; payloads rejoin by (id, source)",
 }
 
 
