@@ -1543,6 +1543,56 @@ def dedup_soft_weights(
     )
 
 
+def dedup_keep_best_soft(
+    df: DataFrame,
+    components: DataFrame,
+    rank_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The COMPOSED curation policy (r19, VERDICT r18 item 5): keep
+    the best copy AND down-weight its near-class. Every row is
+    annotated with its component, the keep-best decision (``is_kept``
+    iff the row maximizes (rank, then smallest id) in its component —
+    dedup_keep_best's rule) and the soft-dedup mass
+    (``weight`` = 1/|component|, ``n_members`` — dedup_soft_weights'
+    rule). Filtering to ``is_kept`` yields the keep-best survivor set
+    where each survivor carries 1/|class| weight: a document whose
+    content had many near-copies (boilerplate, spam mirrors) trains
+    with proportionally less mass even though only its best copy
+    remains — the natural loop the two one-policy operators cannot
+    express alone. The weight-aware mixers consume the output
+    directly (``weight_col='weight'``).
+
+    The incremental curation state (plans/training_data.py) keeps
+    rank_col and soft_weights mutually exclusive BY CONTRACT — the
+    state identity stores exactly one policy so refresh ≡ rebuild
+    stays provable per policy; this operator is the one-shot composed
+    form (see README, "Keep policies").
+
+    Scale shape: ONE slim groupBy on component_id computes the argmax
+    (map-side-combining min_by over (rank, id)) AND the class size
+    together; the per-component scalars join back on component_id —
+    documents never shuffle on content, and AQE broadcasts the
+    component map when small (the dedup_keep_best degrade path
+    otherwise)."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("component_id")
+    )
+    memb = df.join(comp, id_col, "left").withColumn(
+        "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    per_comp = memb.groupBy("component_id").agg(
+        F.min_by(F.col(id_col), keep_best_key(rank_col, id_col)).alias("__keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        memb.join(per_comp, "component_id")
+        .withColumn("is_kept", F.col(id_col) == F.col("__keep_id"))
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("n_members"), 6))
+        .drop("__keep_id")
+    )
+
+
 def exact_dedup_keep_best(
     df: DataFrame,
     rank_col: str,

@@ -193,6 +193,10 @@ def _load_all() -> None:
         register_round18_neardup_keep_best,
         register_round18_soft_incremental,
     )
+    from build_datawarehouse_demo_spark.registry_round19 import (  # noqa
+        register_round19_weighted_epoch_mix,
+        register_round19_keep_best_soft,
+    )
     from build_datawarehouse_demo_spark.registry_sql import register_layer_b  # noqa
     from build_datawarehouse_demo_spark.registry_extensions import register_extensions  # noqa
 
@@ -262,6 +266,8 @@ def _load_all() -> None:
     register_round18_weighted_temperature_mix()
     register_round18_neardup_keep_best()
     register_round18_soft_incremental()
+    register_round19_weighted_epoch_mix()
+    register_round19_keep_best_soft()
 
     rank = _rotation_rank()
     reg_order = {k: i for i, k in enumerate(_QUERIES)}

@@ -107,3 +107,95 @@ def test_epoch_materialization(spark):
     )
     got2 = sorted((r["doc_id"], r["epoch"]) for r in out2.collect())
     assert got2 == sorted((i, e) for i in range(3) for e in range(3))
+
+
+def test_weighted_epoch_mix_soft_class_costs_one_doc_per_epoch(spark):
+    """The r19 weight-aware multi-epoch mixer consuming
+    dedup_soft_weights-style output: a duplicate class of 4 copies at
+    weight 1/4 charges the budget ~ONE document's tokens per epoch
+    (every copy still appears in each full pass), so the same token
+    budget buys MORE full epochs than the unweighted accounting."""
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        sample_epoch_capped_mix,
+    )
+
+    # one source: 4 exact copies at weight 1/4 (10 tokens each) + 4
+    # singletons at weight 1 (10 tokens each). Weighted mass per pass
+    # = 4*(1/4)*10 + 4*1*10 = 50 tokens; unweighted mass = 80.
+    rows = [(i, "a", 10, 0.25) for i in range(4)] + [
+        (10 + i, "a", 10, 1.0) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long, weight double")
+
+    # budget 100 tokens, E=3: weighted -> quota 100e6 mu-tok over a
+    # 50e6 mu-tok pass = 2 FULL epochs (rem 0); unweighted the same
+    # budget affords only 1 full pass of 80 + a 20-token partial.
+    out = sample_epoch_capped_mix(
+        df, "src", "doc_id", "n_tok", token_budget=100, max_epochs=3,
+        temperature=1.0, weight_col="weight",
+    )
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert got == sorted((d, e) for d, _, _, _ in rows for e in range(2))
+    # per-pass weighted running sums stay within one pass's mass
+    assert out.groupBy().max("wtok_cum").collect()[0][0] == 50_000_000
+
+    base = sample_epoch_capped_mix(
+        df, "src", "doc_id", "n_tok", token_budget=100, max_epochs=3,
+        temperature=1.0,
+    )
+    epochs = dict(
+        base.groupBy("epoch").count().collect()
+    )
+    assert epochs[0] == 8 and epochs.get(1, 0) < 8  # 1 full + partial
+
+    # caps are weighted too: budget 1000 >> 3 epochs of 50 weighted
+    # tokens -> everything caps at exactly max_epochs full passes
+    capped = sample_epoch_capped_mix(
+        df, "src", "doc_id", "n_tok", token_budget=1000, max_epochs=3,
+        temperature=1.0, weight_col="weight",
+    )
+    assert capped.count() == 8 * 3
+    # nonpositive / null weights are non-drawable (and never counted)
+    wz = spark.createDataFrame(
+        [(1, "a", 10, 0.0), (2, "a", 10, None), (3, "a", 10, 1.0)],
+        "doc_id long, src string, n_tok long, weight double",
+    )
+    outz = sample_epoch_capped_mix(
+        wz, "src", "doc_id", "n_tok", token_budget=10, max_epochs=2,
+        temperature=1.0, weight_col="weight",
+    )
+    assert sorted(r["doc_id"] for r in outz.collect()) == [3]
+
+
+def test_keep_best_soft_composed_policy(spark):
+    """dedup_keep_best_soft (r19): is_kept marks the component member
+    maximizing (rank, then smallest id) — dedup_keep_best's rule —
+    while EVERY member carries weight = 1/|component| — the
+    dedup_soft_weights rule; singletons keep themselves at weight 1."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        dedup_keep_best_soft,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0)],
+        "doc_id long, score double",
+    )
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    comp = connected_components_star(pairs)
+    out = {
+        r["doc_id"]: (r["is_kept"], r["n_members"], r["weight"])
+        for r in dedup_keep_best_soft(df, comp, rank_col="score").collect()
+    }
+    # component {1,2,3}: best rank 9.0 tie -> smaller id 2 wins; all
+    # three carry 1/3 weight
+    assert out[1] == (False, 3, round(1 / 3, 6))
+    assert out[2] == (True, 3, round(1 / 3, 6))
+    assert out[3] == (False, 3, round(1 / 3, 6))
+    # singleton keeps itself at weight 1
+    assert out[4] == (True, 1, 1.0)
