@@ -195,14 +195,17 @@ LANE_CLASS = {
     "dedup_minhash_lsh_auto": "shuffle",
     "dedup_embedding_cosine_auto": "shuffle",
     "dedup_substring_spans": "shuffle",
-    "sim_ivf_trained": "shuffle",
+    # sim_ivf_trained + pipeline_rag_index_search reclassified r19: the
+    # Arrow assign kernels removed the BNLJ cross-score stages and
+    # their exchanges (25→8 / 21→4 at sf0.1, plans/r19/), so exchange
+    # traffic no longer dominates — scan-class under the documented
+    # rule (pinned by tests/test_bench_lane_class.py)
     "graph_pagerank": "shuffle",
     "join_levenshtein_band": "shuffle",
     "sample_importance_dsir": "shuffle",
     "text_perplexity_buckets": "shuffle",
     "pipeline_training_data_neardup": "shuffle",
     "pipeline_clean_filter_dedup": "shuffle",
-    "pipeline_rag_index_search": "shuffle",
 }
 
 

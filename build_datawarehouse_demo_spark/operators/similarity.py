@@ -100,6 +100,60 @@ def brute_force_topk(
     )
 
 
+def _kernel_centroid_data(
+    centroids: DataFrame, centroid_id_col: str, vec_col: str
+):
+    """Materialize the (bounded, nlist-row by design) centroid table for
+    the Arrow assign kernels: ids ASCENDING (so a first-occurrence
+    argmax reproduces the JVM smallest-id tie-break), float64 matrix,
+    and per-centroid norms computed with the dot()/norm() fold's exact
+    dimension-sequential order. Centroid rows whose vector is NULL,
+    wrong-dimension or zero-norm get cnorm 0 → denom 0 → NULL cosine
+    for every corpus row, exactly the zip_with/when(denom>0) behavior
+    of the JVM kernel. The collect here is the same driver-side
+    materialization the former broadcast-hash-join paid in
+    BroadcastExchange — bounded by the quantizer sizing (nlist ≈ √n),
+    never corpus-scale."""
+    import numpy as np
+
+    rows = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
+    ).collect()
+    cids = sorted(
+        (r["__cid"] for r in rows if r["__cid"] is not None),
+    )
+    by_id = {r["__cid"]: r["__cv"] for r in rows}
+    dim = 0
+    for c in cids:
+        v = by_id[c]
+        if v is not None and len(v) > 0:
+            dim = len(v)
+            break
+    nc = len(cids)
+    C = np.zeros((nc, max(dim, 1)), dtype=np.float64)
+    valid = np.zeros(nc, dtype=bool)
+    for j, c in enumerate(cids):
+        v = by_id[c]
+        if v is not None and len(v) == dim and dim > 0 and not any(
+            x is None for x in v
+        ):
+            C[j] = np.asarray(v, dtype=np.float64)
+            valid[j] = True
+    # per-centroid norm, dimension-sequential fold order (norm())
+    cn = np.zeros(nc, dtype=np.float64)
+    for d in range(dim):
+        cn += C[:, d] * C[:, d]
+    cn = np.sqrt(cn)
+    cn[~valid] = 0.0
+    return cids, C, cn, dim
+
+
+#: row-block cap for the assign kernels: bounds the (rows × centroids)
+#: scoring temporary to ~256 MB of float64 cells per task whatever the
+#: Arrow batch size or centroid count
+_KERNEL_BLOCK_CELLS = 1 << 25
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -107,6 +161,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     top_n: int = 1,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Assign each vector to its ``top_n`` max-cosine centroids
     (broadcast centroids, one narrow pass — this is the 'build the IVF
@@ -125,7 +180,26 @@ def ivf_assign(
     below the cosine range, so a zero-norm vector still loses to every
     real score and an all-null row still assigns to the smallest
     centroid id, exactly as nulls-last desc ordering did (cosine()
-    returns NULL, never NaN, for zero norms — see its docstring)."""
+    returns NULL, never NaN, for zero norms — see its docstring).
+
+    ``kernel="arrow"`` (default, r19 — guide §4.2) computes the same
+    scores WITHOUT materializing the |corpus|·|centroids| joined rows
+    through the JVM: centroids are collected once (bounded nlist rows —
+    the same driver materialization the broadcast join paid), shipped
+    as a numpy matrix via a broadcast variable, and one mapInPandas
+    pass scores each Arrow batch with the dimension-sequential
+    multiply-then-add loop — BIT-IDENTICAL to the dot()/norm() fold
+    (the staged_projections precedent; pinned by
+    tests/test_similarity.py::test_ivf_assign_kernels_identical) — and
+    emits only the winner (or top_n) rows. ``kernel="jvm"`` keeps the
+    join+max_by/window plan (the equivalence-test reference and the
+    no-Arrow fallback). The arrow kernel drops centroid rows with a
+    NULL centroid id (ill-formed input the JVM path would score
+    meaninglessly)."""
+    if kernel == "arrow":
+        return _ivf_assign_arrow(
+            corpus, centroids, id_col, vec_col, centroid_id_col, top_n
+        )
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
     cent = centroids.select(F.col(centroid_id_col), _as_double(vec_col).alias("__c"))
     scored = c.join(F.broadcast(cent)).withColumn("sim", cosine(F.col("__v"), F.col("__c")))
@@ -158,6 +232,136 @@ def ivf_assign(
     )
 
 
+def _make_kernel_helpers():
+    """The two numpy helpers every Arrow assign kernel closes over,
+    built as CLOSURES so cloudpickle ships them BY VALUE to the
+    executor Python workers — a module-level reference would require
+    the workers to import this package, which fails on the driver's
+    bare session from a foreign cwd (caught by the r19 verify smoke;
+    the staged_projections UDF avoids the trap the same way by only
+    referencing importable top-level modules).
+
+    rows_to_matrix(vals, dim) → (V, n): rows that are NULL or of the
+    wrong length become all-zero rows — zero norm → denom 0 → NULL(-2)
+    cosine against every centroid, which is EXACTLY the JVM outcome
+    for those rows (null __v → null sim; zip_with length-pad → null
+    sim). None elements become nan (numpy conversion), which also
+    lands at the -2 sentinel through the nan denom, matching the JVM's
+    null-propagating fold.
+
+    kernel_sims(V, C, cn, dim) → (n_rows × n_centroids) cosine keys in
+    the JVM fold's exact IEEE order: multiply-then-add accumulated
+    dimension-sequentially (the staged_projections discipline —
+    bit-identical to dot()/norm()), denom = norm(v)·norm(c), NULL
+    encoded -2.0 (below the cosine range) where denom is not > 0, NaN
+    mapped +inf to reproduce Spark's NaN-greatest ordering."""
+    import numpy as np
+
+    def rows_to_matrix(vals: list, dim: int):
+        n = len(vals)
+        V = np.zeros((n, max(dim, 1)), dtype=np.float64)
+        for i, row in enumerate(vals):
+            if row is not None and len(row) == dim and dim > 0:
+                V[i] = np.asarray(row, dtype=np.float64)
+        return V, n
+
+    def kernel_sims(V, C, cn, dim):
+        n = V.shape[0]
+        acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+        vn = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            vd = V[:, d : d + 1]
+            acc += vd * C[None, :, d].reshape(1, -1)
+            vn += V[:, d] * V[:, d]
+        vn = np.sqrt(vn)
+        denom = vn[:, None] * cn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = acc / denom
+        key = np.where(denom > 0, sim, -2.0)
+        return np.where(np.isnan(key), np.inf, key)
+
+    return rows_to_matrix, kernel_sims
+
+
+#: driver-side aliases (tests, in-process callers)
+_rows_to_matrix, _kernel_sims = _make_kernel_helpers()
+
+
+def _ivf_assign_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    top_n: int,
+) -> DataFrame:
+    """Arrow/numpy assign kernel (see ivf_assign's docstring): one
+    mapInPandas pass over (id, __v), centroid matrix shipped once per
+    executor as a broadcast variable, scores computed in the JVM fold's
+    exact IEEE order, winner(s) chosen by (key desc, centroid_id asc)
+    via first-occurrence argmax / stable argsort over the
+    ascending-cid-ordered matrix columns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    cids, C, cn, dim = _kernel_centroid_data(centroids, centroid_id_col, vec_col)
+    bc = spark.sparkContext.broadcast((cids, C, cn, dim))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType, True),
+            T.StructField(
+                centroid_id_col, centroids.schema[centroid_id_col].dataType, True
+            ),
+            T.StructField("__v", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    n_top = top_n
+    rows_to_matrix, kernel_sims = _make_kernel_helpers()
+    block_cells = _KERNEL_BLOCK_CELLS
+
+    def _assign(batches):
+        cids_l, Cm, cnm, d = bc.value
+        nc = len(cids_l)
+        cid_lookup = np.asarray(cids_l) if nc else None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nc == 0:
+                continue
+            vals = pdf["__v"].tolist()
+            ids = pdf[id_col]
+            V, _ = rows_to_matrix(vals, d)
+            block = max(1, block_cells // max(nc, 1))
+            for s in range(0, n, block):
+                e = min(n, s + block)
+                key = kernel_sims(V[s:e], Cm, cnm, d)
+                if n_top == 1:
+                    j = np.argmax(key, axis=1)
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids.iloc[s:e].values,
+                            centroid_id_col: cid_lookup[j],
+                            "__v": vals[s:e],
+                        }
+                    )
+                else:
+                    kk = min(n_top, nc)
+                    order = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+                    rep_ids = np.repeat(ids.iloc[s:e].values, kk)
+                    rep_vs = [v for v in vals[s:e] for _ in range(kk)]
+                    yield pd.DataFrame(
+                        {
+                            id_col: rep_ids,
+                            centroid_id_col: cid_lookup[order].ravel(),
+                            "__v": rep_vs,
+                        }
+                    )
+
+    slim = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    return slim.mapInPandas(_assign, schema=out_schema)
+
+
 def ivf_topk_assigned(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -179,8 +383,12 @@ def ivf_topk_assigned(
     probe_assigned = ivf_assign(
         probes, centroids, probe_id_col, vec_col, top_n=nprobe
     ).select(probe_id_col, "centroid_id", F.col("__v").alias("__pv"))
+    # the probe side is tiny by contract (|probes|·nprobe rows) but now
+    # comes out of a mapInPandas node with no usable size estimate —
+    # hint it broadcast so the inverted-list join never degrades to a
+    # corpus-side shuffle (r19)
     scored = (
-        assigned.join(probe_assigned, "centroid_id")
+        assigned.join(F.broadcast(probe_assigned), "centroid_id")
         .filter(F.col(id_col) != F.col(probe_id_col))
         .withColumn("cosine", cosine(F.col("__pv"), F.col("__v")))
     )
@@ -1123,6 +1331,111 @@ def embedding_near_dup_pairs_bucketed(
     )
 
 
+def _lloyd_partial_sums_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+) -> DataFrame:
+    """One mapInPandas pass: assign each vector to its winning centroid
+    (the _ivf_assign_arrow scoring, bit-identical ordering) and emit
+    per-(centroid, dim) partial (sum, count) rows for the Lloyd mean.
+    Contribution semantics replicate the JVM posexplode+avg exactly:
+    NULL vectors contribute nothing; wrong-length vectors contribute
+    over their OWN length; None elements are skipped but still
+    materialize the (centroid, dim) group (count 0) so an all-null cell
+    aggregates to NULL, as avg() would."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    cids, C, cn, dim = _kernel_centroid_data(centroids, centroid_id_col, vec_col)
+    bc = spark.sparkContext.broadcast((cids, C, cn, dim))
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                centroid_id_col, centroids.schema[centroid_id_col].dataType, True
+            ),
+            T.StructField("dim", T.IntegerType(), False),
+            T.StructField("psum", T.DoubleType(), False),
+            T.StructField("pcnt", T.LongType(), False),
+        ]
+    )
+
+    rows_to_matrix, kernel_sims = _make_kernel_helpers()
+    block_cells = _KERNEL_BLOCK_CELLS
+
+    def _partials(batches):
+        cids_l, Cm, cnm, d = bc.value
+        nc = len(cids_l)
+        if nc == 0:
+            return
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vals = pdf["__v"].tolist()
+            V, _ = rows_to_matrix(vals, d)
+            S = np.zeros((nc, max(d, 1)), dtype=np.float64)
+            CNT = np.zeros((nc, max(d, 1)), dtype=np.int64)
+            slow: dict = {}
+            block = max(1, block_cells // max(nc, 1))
+            winners = np.empty(n, dtype=np.int64)
+            for s in range(0, n, block):
+                e = min(n, s + block)
+                winners[s:e] = np.argmax(kernel_sims(V[s:e], Cm, cnm, d), axis=1)
+            fast_rows, fast_w = [], []
+            for i, row in enumerate(vals):
+                if row is None:
+                    continue  # no posexplode rows — no contribution
+                j = int(winners[i])
+                if len(row) == d and not any(x is None for x in row):
+                    fast_rows.append(i)
+                    fast_w.append(j)
+                else:
+                    # slow path: own-length contribution, None skipped
+                    # but the (centroid, dim) group still materializes
+                    for e_i, x in enumerate(row):
+                        key = (j, e_i)
+                        acc = slow.setdefault(key, [0.0, 0])
+                        if x is not None:
+                            acc[0] += float(x)
+                            acc[1] += 1
+            if fast_rows:
+                Vf = V[np.asarray(fast_rows)]
+                jf = np.asarray(fast_w)
+                np.add.at(S, jf, Vf)
+                cnts = np.bincount(jf, minlength=nc)
+                CNT += cnts[:, None]
+            out_c, out_d, out_s, out_n = [], [], [], []
+            present = np.nonzero(CNT[:, 0] if d > 0 else np.zeros(0))[0]
+            for j in present:
+                for e_i in range(d):
+                    out_c.append(cids_l[j])
+                    out_d.append(e_i)
+                    out_s.append(float(S[j, e_i]))
+                    out_n.append(int(CNT[j, e_i]))
+            for (j, e_i), (sm, ct) in slow.items():
+                out_c.append(cids_l[j])
+                out_d.append(e_i)
+                out_s.append(sm)
+                out_n.append(ct)
+            if out_c:
+                yield pd.DataFrame(
+                    {
+                        centroid_id_col: out_c,
+                        "dim": np.asarray(out_d, dtype=np.int32),
+                        "psum": out_s,
+                        "pcnt": out_n,
+                    }
+                )
+
+    slim = corpus.select(_as_double(vec_col).alias("__v"))
+    return slim.mapInPandas(_partials, schema=out_schema)
+
+
 def kmeans_lloyd_step(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1131,6 +1444,7 @@ def kmeans_lloyd_step(
     centroid_id_col: str = "centroid_id",
     round_to: int | None = 6,
     as_dims: bool = False,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """One Lloyd iteration: assign every vector to its max-cosine
     centroid (ivf_assign — broadcast centroids, narrow pass), then
@@ -1151,15 +1465,40 @@ def kmeans_lloyd_step(
     (dim 0-based) instead of re-packing the mean vector — the shape
     hash-based checkers can canonicalize (array cells crash the
     driver's pandas sort, VERDICT.md round 2 item 1).
-    """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
-    dims = assigned.select(
-        centroid_id_col, F.posexplode(F.col("__v")).alias("dim", "x")
-    )
-    mean_col = F.avg("x")
-    if round_to is not None:
-        mean_col = F.round(mean_col, round_to)
-    per_dim = dims.groupBy(centroid_id_col, "dim").agg(mean_col.alias("m"))
+
+    ``kernel="arrow"`` (default, r19 — guide §4.2/§2.3): assignment AND
+    per-(centroid, dim) partial sums run in ONE mapInPandas pass —
+    the |corpus|·|centroids| scored join and the |corpus|·dim
+    posexplode never materialize; the only exchange carries
+    (centroid, dim, partial sum, count) rows, one set per task. The
+    assignment winner is bit-identical to the JVM kernel (see
+    ivf_assign); the mean's float-summation order differs from avg()'s
+    partial merge only WITHIN a task's partial (numpy pairwise vs
+    sequential), which sits below the ``round_to`` guard exactly like
+    the partition-order variance the JVM partial aggregate already
+    has (see the round_to note above). ``kernel="jvm"`` keeps the old
+    plan for the equivalence test."""
+    if kernel == "arrow":
+        parts = _lloyd_partial_sums_arrow(
+            corpus, centroids, id_col, vec_col, centroid_id_col
+        )
+        mean_col = F.when(
+            F.sum("pcnt") > 0, F.sum("psum") / F.sum("pcnt")
+        ).otherwise(F.lit(None))
+        if round_to is not None:
+            mean_col = F.round(mean_col, round_to)
+        per_dim = parts.groupBy(centroid_id_col, "dim").agg(mean_col.alias("m"))
+    else:
+        assigned = ivf_assign(
+            corpus, centroids, id_col, vec_col, centroid_id_col, kernel="jvm"
+        )
+        dims = assigned.select(
+            centroid_id_col, F.posexplode(F.col("__v")).alias("dim", "x")
+        )
+        mean_col = F.avg("x")
+        if round_to is not None:
+            mean_col = F.round(mean_col, round_to)
+        per_dim = dims.groupBy(centroid_id_col, "dim").agg(mean_col.alias("m"))
     if as_dims:
         return per_dim
     return (
@@ -1340,6 +1679,7 @@ def ivf_assign_two_level(
     gprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Two-level inverted-list build: each vector routes to its
     ``gprobe`` nearest SUPER-centroids (broadcast, ~√nlist of them),
@@ -1353,7 +1693,20 @@ def ivf_assign_two_level(
     (vector, centroid) pairs are unique — no dedup exchange.
 
     Output matches ivf_assign: (id, centroid_id, __v) — feed to
-    ivf_topk_assigned."""
+    ivf_topk_assigned.
+
+    ``kernel="arrow"`` (default, r19 — guide §4.2): BOTH levels run in
+    one mapInPandas pass — super routing, member scoring and the
+    winner pick never materialize the routed×members joined rows or
+    the per-id row_number exchange. Scores use the exact fold order
+    (see ivf_assign); the winner ordering (sim desc NULLS LAST,
+    centroid_id asc) and the drop-rows-with-no-candidates behavior
+    replicate the JVM window path row-for-row (pinned by
+    tests/test_similarity.py::test_two_level_kernels_identical)."""
+    if kernel == "arrow":
+        return _ivf_assign_two_level_arrow(
+            corpus, centroids, super_centroids, centroid_groups, gprobe, id_col, vec_col
+        )
     routed = ivf_assign(
         corpus,
         super_centroids,
@@ -1361,6 +1714,7 @@ def ivf_assign_two_level(
         vec_col=vec_col,
         centroid_id_col="group_id",
         top_n=gprobe,
+        kernel="jvm",
     )
     cmap = centroid_groups.select("centroid_id", "group_id")
     cvecs = centroids.select(F.col("centroid_id"), _as_double(vec_col).alias("__c"))
@@ -1375,6 +1729,110 @@ def ivf_assign_two_level(
         .filter(F.col("rn") == 1)
         .select(id_col, "centroid_id", "__v")
     )
+
+
+def _ivf_assign_two_level_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    super_centroids: DataFrame,
+    centroid_groups: DataFrame,
+    gprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Fused two-level assign kernel (see ivf_assign_two_level): per
+    batch, route to the gprobe best super-centroids (stable argsort —
+    group_id asc on ties, NULLs ordered last via the -2 sentinel),
+    then score only those groups' member centroids group-by-group
+    (vectorized per (slot, group) cohort) and keep the best
+    (key desc, centroid_id asc) across slots. Candidate sets are
+    disjoint (each centroid lives in one group), so the cross-slot
+    merge needs only the running (best_key, best_cid_index) pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    cids, C, cn, dim = _kernel_centroid_data(centroids, "centroid_id", vec_col)
+    gids, S, sn, sdim = _kernel_centroid_data(super_centroids, "group_id", vec_col)
+    cid_index = {c: i for i, c in enumerate(cids)}
+    gid_index = {g: i for i, g in enumerate(gids)}
+    members: list[list[int]] = [[] for _ in gids]
+    for r in centroid_groups.select("centroid_id", "group_id").collect():
+        ci = cid_index.get(r["centroid_id"])
+        gi = gid_index.get(r["group_id"])
+        if ci is not None and gi is not None:
+            members[gi].append(ci)
+    member_arrays = [np.asarray(sorted(m), dtype=np.int64) for m in members]
+    bc = spark.sparkContext.broadcast(
+        (cids, C, cn, dim, S, sn, sdim, member_arrays)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType, True),
+            T.StructField(
+                "centroid_id", centroids.schema["centroid_id"].dataType, True
+            ),
+            T.StructField("__v", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    n_probe = gprobe
+    rows_to_matrix, kernel_sims = _make_kernel_helpers()
+    block_cells = _KERNEL_BLOCK_CELLS
+
+    def _assign(batches):
+        cids_l, Cm, cnm, d, Sm, snm, sd, memb = bc.value
+        nc, ng = len(cids_l), len(memb)
+        cid_lookup = np.asarray(cids_l) if nc else None
+        g_eff = min(n_probe, ng)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or ng == 0 or nc == 0:
+                continue
+            vals = pdf["__v"].tolist()
+            ids = pdf[id_col]
+            V, _ = rows_to_matrix(vals, d)
+            # sd == d in any well-formed index (supers are centroid
+            # means); a degenerate mismatch gets its own row matrix so
+            # the routing stays in-bounds
+            VS = V if sd == d else rows_to_matrix(vals, sd)[0]
+            block = max(1, block_cells // max(ng, 1))
+            best_key = np.full(n, -np.inf)
+            best_ci = np.full(n, -1, dtype=np.int64)
+            for s in range(0, n, block):
+                e = min(n, s + block)
+                skey = kernel_sims(VS[s:e], Sm, snm, sd)
+                order = np.argsort(-skey, axis=1, kind="stable")[:, :g_eff]
+                for slot in range(g_eff):
+                    g_of = order[:, slot]
+                    for g in np.unique(g_of):
+                        midx = memb[g]
+                        if midx.size == 0:
+                            continue
+                        rows = np.nonzero(g_of == g)[0]
+                        keys = kernel_sims(V[s + rows], Cm[midx], cnm[midx], d)
+                        jloc = np.argmax(keys, axis=1)
+                        k_new = keys[np.arange(rows.size), jloc]
+                        ci_new = midx[jloc]
+                        gidx = s + rows
+                        upd = (k_new > best_key[gidx]) | (
+                            (k_new == best_key[gidx]) & (ci_new < best_ci[gidx])
+                        )
+                        best_key[gidx[upd]] = k_new[upd]
+                        best_ci[gidx[upd]] = ci_new[upd]
+            keep = np.nonzero(best_ci >= 0)[0]
+            if keep.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: ids.iloc[keep].values,
+                    "centroid_id": cid_lookup[best_ci[keep]],
+                    "__v": [vals[i] for i in keep],
+                }
+            )
+
+    slim = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    return slim.mapInPandas(_assign, schema=out_schema)
 
 
 def semdedup_prune(

@@ -66,6 +66,16 @@ def get_spark(
     )
     if master or not _in_active_session():
         builder = builder.master(master or f"local[{cpus}]")
+    # deployment-tuning surface (r19): semicolon-separated k=v pairs,
+    # e.g. SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;
+    # spark.sql.files.maxPartitionBytes=512m". Lets a cluster deploy
+    # (or an A/B measurement) set scale-dependent knobs without code
+    # edits; defaults stay exactly as above so the driver's bench is
+    # unaffected unless the env asks.
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        if k.strip() and v:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -945,3 +945,69 @@ def test_semdedup_incremental_matches_two_phase_reference(spark):
         for r in semdedup_prune(a_new, cdf, eps=eps).collect()
     }
     assert inc == batch
+
+
+# ---------------------------------------------------------------------------
+# r19: Arrow assign kernels must be row-identical to the JVM join paths
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kernel_corpus(spark):
+    """Corpus exercising every kernel edge: normal rows, an exact
+    duplicate direction (cosine tie), a zero vector (NULL cosine), a
+    NULL vector, and a wrong-dimension vector."""
+    rng = np.random.default_rng(19)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    rows.append((30, [float(x) for x in np.asarray(rows[0][1]) * 2.0]))
+    rows.append((31, [0.0] * 8))          # zero norm -> NULL sim
+    rows.append((32, None))               # null vector
+    rows.append((33, [1.0, 2.0]))         # wrong dimension
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def kernel_cents(spark):
+    rng = np.random.default_rng(43)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(7)]
+    return spark.createDataFrame(rows, "centroid_id long, embedding array<float>")
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.selectExpr(
+        *[f"cast({c} as string) as {c}" for c in df.columns]
+    ).collect())
+
+
+def test_ivf_assign_kernels_identical(spark, kernel_corpus, kernel_cents):
+    from build_datawarehouse_demo_spark.operators.similarity import ivf_assign
+
+    for top_n in (1, 3):
+        jvm = ivf_assign(kernel_corpus, kernel_cents, top_n=top_n, kernel="jvm")
+        arrow = ivf_assign(kernel_corpus, kernel_cents, top_n=top_n, kernel="arrow")
+        assert _rowset(jvm) == _rowset(arrow), f"top_n={top_n}"
+
+
+def test_lloyd_step_kernels_identical(spark, kernel_corpus, kernel_cents):
+    from build_datawarehouse_demo_spark.operators.similarity import kmeans_lloyd_step
+
+    jvm = kmeans_lloyd_step(kernel_corpus, kernel_cents, as_dims=True, kernel="jvm")
+    arrow = kmeans_lloyd_step(kernel_corpus, kernel_cents, as_dims=True, kernel="arrow")
+    assert _rowset(jvm) == _rowset(arrow)
+
+
+def test_two_level_kernels_identical(spark, kernel_corpus, kernel_cents):
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        ivf_assign_two_level,
+        ivf_group_centroids,
+    )
+
+    sup, groups = ivf_group_centroids(kernel_cents, n_groups=3, n_iter=1)
+    sup, groups = sup.localCheckpoint(), groups.localCheckpoint()
+    jvm = ivf_assign_two_level(
+        kernel_corpus, kernel_cents, sup, groups, gprobe=2, kernel="jvm"
+    )
+    arrow = ivf_assign_two_level(
+        kernel_corpus, kernel_cents, sup, groups, gprobe=2, kernel="arrow"
+    )
+    assert _rowset(jvm) == _rowset(arrow)

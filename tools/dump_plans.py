@@ -44,7 +44,7 @@ AUDITED = {
     "join_fuzzy_jaccard_prefix": "prefix-filtered set-similarity join — candidates from an EQUI-join on prefix tokens (freq table broadcast); must contain NO cartesian/nested-loop join anywhere",
     "join_asof_forward": "forward as-of — same union+carry window shape as backward: ONE Exchange on the key, first() down an unbounded-following frame",
     "sim_ann_rp_lsh_auto": "auto-sized ANN — ONE staged projection pass per side, bucket equi-join on the signature (probe side broadcast after its ×(planes+1) multiprobe fanout), exact-cosine rerank; NO cross/nested-loop join",
-    "sim_ivf_trained": "trained IVF, linearized r8 + amortized quantizer r12 — centroids come from the persisted index's single-slot memo (supers/groups re-derived deterministically from the stored table), so the lane pays only the full-corpus two-level assignment + search per run; routing goes through ~sqrt(nlist) broadcast super-centroids then the gprobe routed groups (BNLJ stages are broadcast-centroid cross-scores BY DESIGN — the coarse-quantizer pattern; per-row width n^0.25, not sqrt(n)); the search join on the list id is an equi-join",
+    "sim_ivf_trained": "trained IVF, linearized r8 + amortized quantizer r12 + Arrow assign kernels r19 — centroids come from the persisted index's single-slot memo (supers/groups re-derived deterministically from the stored table), so the lane pays only the full-corpus two-level assignment + search per run; BOTH quantizer levels now run inside ONE MapInPandas kernel per pass (centroid matrix shipped as a broadcast variable, scores in the JVM fold's exact IEEE order — the former 12 BroadcastNestedLoopJoin cross-score stages and their row_number exchanges are GONE: 25 Exchange → 8 at sf0.1, plans/r19/); the search join on the list id is an equi-join with the tiny probe side hinted broadcast",
     "sim_ann_rp_lsh_auto_directed": "query-directed multiprobe — one staged projection pass per side; probe side fans out a CONSTANT 2^T subset-variants explode (no n_planes growth), bucket equi-join, exact-cosine rerank; NO dedup exchange (variants are distinct signatures) and NO cross/nested-loop join",
     "dedup_substring_spans": "substring-span dedup — tokenize+window explode (token-stream volume), partial/final count-distinct agg on 16-byte digests, equi-join of digest counts back to window rows; documents never shuffle",
     "text_remove_duplicate_spans": "span removal (r16 shape) — gram digests + owner agg on ONE gram-keyed exchange, removed-position classification as a single (doc,pos) min-over-foreign-flags aggregate, per-doc array rebuild (array_except + element_at); documents never leave their rows — only removed positions shuffle",
@@ -61,11 +61,11 @@ AUDITED = {
     "sample_temperature_mix_t3": "general-T mixing (fill rebuilt r19) — quotas are driver-side bigint literals broadcast into the rank filter; the rank comes from the range-partitioned distributed fill (window keyed on (partition, source), never a single task per source)",
     "pipeline_training_data_neardup_incremental": "incremental corpus refresh (r10; r15: TWO folds with a state COMPACTION between) — ONLY each batch takes the feature scan; exact stage anti-joins 16-byte digests against stored survivors; new band keys equi-join the STORED band-key table (old signatures reused, never recomputed); components contract stored+new pairs; span refresh recomputes gram stats only for digests touched by new or dropped reps and rebuilds only affected documents — untouched output rows are reused verbatim; after the mid-sequence compaction the stored side is BUCKETED TABLE SCANS (zero unions, zero checkpoint leaves), the fold-2 plan shape a year-old production state would have",
     "pipeline_clean_filter_dedup_migrated": "banding migration (r15) — build at n/5, fold frozen, MIGRATE (reps re-signed at the new auto params through one distinct-content semi-join scan, pairs re-expanded through the stored member map, components+output rebuilt at rep scale — the filter front never re-runs), fold at the migrated banding",
-    "dedup_semantic_semdedup": "SemDeDup prune — trained-quantizer chain (broadcast cross-scores BY DESIGN, the sim_ivf_trained pattern), then ONE rank window per cluster and a cluster-key self equi-join for the pair stage (O(n²/nlist) comparisons — the balanced production sizing makes it n^(4/3), measured in BENCH_SEMDEDUP_SCALE_r10.json); never a corpus nested-loop",
+    "dedup_semantic_semdedup": "SemDeDup prune — trained-quantizer chain (Arrow assign kernels r19, the sim_ivf_trained pattern: MapInPandas scoring, no BNLJ cross-score stages), then ONE rank window per cluster and a cluster-key self equi-join for the pair stage (O(n²/nlist) comparisons — the balanced production sizing makes it n^(4/3), measured in BENCH_SEMDEDUP_SCALE_r10.json); never a corpus nested-loop",
     "dedup_semdedup_incremental": "incremental SemDeDup — frozen quantizer broadcast into BOTH subset assignments; the new batch takes the rank window; two cluster-key equi-joins (new×stored, new×earlier-new) bound pair volume by |new|·cluster_size; stored verdicts never recomputed",
     "sample_token_budget_mix_t1": "token-budget mixing (fill rebuilt r19) — per-source token totals fall out of the fill's bounded per-(partition, source) collect, quotas broadcast back, running sum via the range-partitioned distributed fill (window keyed on (partition, source) — NO per-source single-task sort); the greedy-prefix filter is a narrow comparison; payloads rejoin by (id, source)",
     "shard_token_balanced": "token-balanced sharding — range repartition on the hash key (the ONE corpus exchange), narrow projection checkpointed once, per-partition totals collected (one row per partition), cumsum window + broadcast offset join; NO global single-task window",
-    "pipeline_rag_index_search": "RAG index pipeline — chunking + dense hash-embedding fuse into ONE scan-side projection (posexplode + HOFs, no UDF); quantizer training scores only the hash sample; assignment routes through broadcast super-centroids; search joins probe routes to inverted lists on the centroid id (equi-join), top-k window on scored rows",
+    "pipeline_rag_index_search": "RAG index pipeline — chunking + dense hash-embedding fuse into ONE scan-side projection (posexplode + HOFs, no UDF); quantizer training, assignment and probe routing run in the r19 Arrow assign kernels (MapInPandas, exact fold order — 21 Exchange → 4 and 12 BNLJ → 0 at sf0.1, plans/r19/); search joins probe routes to inverted lists on the centroid id (equi-join, probe side hinted broadcast), top-k window on scored rows",
     "text_quality_classifier": "linear quality classifier — a single codegen'd projection (hashed bucket counts via HOFs, fold dot, sigmoid); zero Exchange anywhere",
     "profile_source_overlap": "cross-source overlap — gram explode + ONE distinct exchange on (source, gram); self equi-join on the gram with fanout bounded by the source dimension; bounded-key aggs",
     "pipeline_rag_index_append": "incremental RAG refresh — the OLD corpus is indexed once through the bucketed writer; the NEW batch's chunk+embed is its own single scan, assignment broadcasts the STORED centroids (nlist rows), the anti-join touches only the stored id column, and search reads the bucketed lists back (no corpus rescan, no retraining)",
