@@ -142,8 +142,28 @@ def levenshtein_band_join(
     short_len = max_distance * q + q - 1  # <= k*q grams ⇒ no prefix guarantee
 
     self_join = left is right and left_col == right_col
-    lv = left.select(F.col(left_col).alias("lval")).where(F.col("lval").isNotNull()).distinct()
-    rv = right.select(F.col(right_col).alias("rval")).where(F.col("rval").isNotNull()).distinct()
+    # materialize the distinct value sets ONCE (r19, §2.4/§5): every
+    # downstream consumer re-executed the scan+distinct subtree —
+    # p99 probe, variant/gram derivation (BOTH union branches per
+    # deletion round), count-filter gram sets, short bucket — the
+    # before-plan showed the input scanned 10x for one self-join.
+    # The frames are the DISTINCT value domains (bounded, exactly what
+    # the join is declared over), the same class the qgram path's
+    # prefix checkpoints already materialize.
+    lv = (
+        left.select(F.col(left_col).alias("lval"))
+        .where(F.col("lval").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    rv = (
+        lv.select(F.col("lval").alias("rval"))
+        if self_join
+        else right.select(F.col(right_col).alias("rval"))
+        .where(F.col("rval").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
 
     p99: int | None = None
     if method == "auto" or count_filter == "auto":
@@ -221,13 +241,17 @@ def _candidates_deletion(
     lvar = _deletion_variants(lv, "lval", k).select(
         "lval", F.xxhash64("variant").alias("vh")
     )
-    rvar = (
-        lvar.select(F.col("lval").alias("rval"), "vh")
-        if self_join  # same distinct values: derive, don't recompute
-        else _deletion_variants(rv, "rval", k).select(
+    if self_join:
+        # same distinct values: derive, don't recompute — and
+        # materialize ONCE (r19): without the checkpoint the whole
+        # variant explode + distinct subtree executes twice, once per
+        # side of the self-join
+        lvar = lvar.localCheckpoint()
+        rvar = lvar.select(F.col("lval").alias("rval"), "vh")
+    else:
+        rvar = _deletion_variants(rv, "rval", k).select(
             "rval", F.xxhash64("variant").alias("vh")
         )
-    )
     return lvar.join(rvar, "vh").select("lval", "rval")
 
 
