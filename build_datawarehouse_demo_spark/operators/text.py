@@ -723,12 +723,18 @@ def perplexity_buckets(
     lm_bigram_logprob's domain.
     """
     lm = lm_bigram_logprob(df, text_col=text_col, id_col=id_col)
+    # materialize the per-document scores ONCE (r19, §2.4/§5): the
+    # frame is read twice (tercile cutoffs + final bucketing), and
+    # without the boundary the ENTIRE bigram-LM chain — including the
+    # corpus tokenize+explode — executed twice (before-plan: 14 scans
+    # of the documents table; after: 7). |docs| slim rows, far cheaper
+    # than a second LM pass at any scale.
     ppl = lm.select(
         F.col(id_col),
         F.col("n_bigrams"),
         F.col("avg_logprob"),
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("perplexity"),
-    )
+    ).localCheckpoint()
     # cutoffs rounded 6dp: the two engines' linear interpolation can
     # differ in the last ulp (agg_percentile_exact's precedent), and an
     # unrounded cutoff would make the <= comparisons engine-dependent
