@@ -81,17 +81,99 @@ def brute_force_topk(
     correct when probes are drawn from the corpus and share its id
     space. Pass False for external queries, where an id collision is
     coincidence, not identity.
+
+    r19 (§2.5/§4.2): scoring runs in the Arrow kernel (probe matrix
+    collected — probes are small by contract — scores in the JVM
+    fold's exact IEEE order), and each partition emits only its OWN
+    per-probe top-k (same (cosine desc NULLS LAST, id asc) total order
+    the window ranks by, so the pruned set provably contains every
+    global top-k row). The former shape materialized |corpus|·|probes|
+    scored rows through the JVM and SORTED EACH PROBE'S ENTIRE SCORED
+    CORPUS IN ONE REDUCER (partitionBy(probe_id) row_number — the
+    single-task-per-key scale-killer class the r18 verdict flagged on
+    the mixers); the window now ranks k·n_partitions rows per probe.
+    Results identical (pinned by test_brute_force_kernel_identical).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
     # spread the corpus: a single-file corpus otherwise scores every
     # probe on one task (see dedup.spread)
-    n = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(n).select(F.col(id_col), _as_double(vec_col).alias("__cv"))
-    p = probes.select(F.col(probe_id_col), _as_double(vec_col).alias("__pv"))
-    cond = F.col(id_col) != F.col(probe_id_col) if exclude_self else F.lit(True)
-    scored = (
-        c.join(F.broadcast(p), cond)
-        .withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
+    n = spark.sparkContext.defaultParallelism
+    c = corpus.repartition(n).select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    pids, P, pn, dim = _kernel_centroid_data(probes, probe_id_col, vec_col)
+    bc = spark.sparkContext.broadcast((pids, P, pn, dim))
+    out_schema = T.StructType(
+        [
+            T.StructField(probe_id_col, probes.schema[probe_id_col].dataType, True),
+            T.StructField(id_col, corpus.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
+    rows_to_matrix, kernel_sims = _make_kernel_helpers()
+    block_cells = _KERNEL_BLOCK_CELLS
+    kk, excl = k, exclude_self
+
+    def _score_topk(batches):
+        pids_l, Pm, pnm, d = bc.value
+        np_p = len(pids_l)
+        if np_p == 0:
+            return
+        for pdf in batches:
+            nrow = len(pdf)
+            if nrow == 0:
+                continue
+            vals = pdf["__v"].tolist()
+            id_vals = pdf[id_col].values
+            V, _ = rows_to_matrix(vals, d)
+            block = max(1, block_cells // np_p)
+            acc = []
+            for s in range(0, nrow, block):
+                e = min(nrow, s + block)
+                acc.append(kernel_sims(V[s:e], Pm, pnm, d))  # (rows, probes)
+            keys = np.vstack(acc)
+            # presort the batch rows by id ASC once (object-safe
+            # Python ordering == Spark's for ints and UTF-8 strings);
+            # a stable sort on -key then reproduces the window's
+            # (cosine desc NULLS LAST, id asc) total order exactly —
+            # ties at the k boundary keep the same rows the global
+            # window would
+            by_id = np.asarray(
+                sorted(range(nrow), key=lambda i: (id_vals[i] is None, id_vals[i])),
+                dtype=np.int64,
+            )
+            nn = np.asarray([id_vals[i] is not None for i in range(nrow)], dtype=bool)
+            for j in range(np_p):
+                kj = keys[:, j]
+                cand = by_id
+                if excl:
+                    # the JVM join condition id != probe_id is NULL for
+                    # a NULL id → row dropped, exactly like a mismatch
+                    m = nn[cand] & np.asarray(
+                        [id_vals[i] != pids_l[j] for i in cand], dtype=bool
+                    )
+                    cand = cand[m]
+                if cand.size == 0:
+                    continue
+                order = cand[np.argsort(-kj[cand], kind="stable")]
+                top = order[: min(kk, order.size)]
+                out_cos = [
+                    None
+                    if kj[i] <= -1.5
+                    else (float(kj[i]) if np.isfinite(kj[i]) else float("nan"))
+                    for i in top
+                ]
+                yield pd.DataFrame(
+                    {
+                        probe_id_col: [pids_l[j]] * top.size,
+                        id_col: [id_vals[i] for i in top],
+                        "cosine": out_cos,
+                    }
+                )
+
+    scored = c.mapInPandas(_score_topk, schema=out_schema)
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1011,3 +1011,38 @@ def test_two_level_kernels_identical(spark, kernel_corpus, kernel_cents):
         kernel_corpus, kernel_cents, sup, groups, gprobe=2, kernel="arrow"
     )
     assert _rowset(jvm) == _rowset(arrow)
+
+
+def test_brute_force_kernel_identical(spark, kernel_corpus):
+    """The r19 per-partition top-k prune + Arrow scoring must equal the
+    former join+window shape row-for-row (ties at the k boundary, NULL
+    cosines, self-exclusion)."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        _as_double,
+        brute_force_topk,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    probes = kernel_corpus.filter("vec_id in (0, 30, 31, 32)").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+
+    def old_bf(corpus, k):
+        n = corpus.sparkSession.sparkContext.defaultParallelism
+        c = corpus.repartition(n).select(F.col("vec_id"), _as_double("embedding").alias("__cv"))
+        p = probes.select(F.col("probe_id"), _as_double("embedding").alias("__pv"))
+        scored = c.join(
+            F.broadcast(p), F.col("vec_id") != F.col("probe_id")
+        ).withColumn("cosine", cosine(F.col("__pv"), F.col("__cv")))
+        w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"))
+        )
+
+    for k in (3, 40):  # k past the corpus size exercises the tail
+        a = sorted(tuple(r) for r in old_bf(kernel_corpus, k).collect())
+        b = sorted(tuple(r) for r in brute_force_topk(kernel_corpus, probes, k=k).collect())
+        assert a == b, f"k={k}"
