@@ -19,7 +19,7 @@ AUDITED = {
     "sql_q5_local_supplier_volume": "five-way join — dims broadcast, no sort-merge at this SF",
     "flagship_priority_revenue": "dim build + broadcast join + hash agg; the one window is on the 5-row dim",
     "dedup_minhash_lsh": "narrow shingle arrays → shingle-set-digest pre-collapse to min-id reps (r13: one 16-byte-digest window exchange, checkpointed — the hot-duplicate-group defense) → zero-shuffle array_min signatures per rep → band self-join (ids only) → array_intersect verify on rep candidates → ONE member re-expansion pass (r14: within-group pairs ride the same two id joins as (rep, rep) self-pairs at jaccard 1.0)",
-    "sim_cosine_topk": "corpus stays put; probes broadcast; top-k window on scored rows",
+    "sim_cosine_topk": "corpus stays put; probe matrix ships via broadcast variable into ONE MapInPandas scoring pass (r19, exact fold order) that emits only per-partition per-probe top-k — the window then ranks k·n_partitions rows per probe instead of sorting each probe's entire scored corpus in one reducer",
     "join_asof": "union + per-key window — exactly one Exchange on the key",
     "streaming_tumbling_window": "tumbling agg: partial+final hash aggregate around one Exchange",
     "scd2_apply_history": "dimension close+append: anti-join/union shape, no history rewrite",
@@ -35,7 +35,7 @@ AUDITED = {
     "join_skew_aqe": "hot-key fact join — final adaptive plan must show SortMergeJoin(skew=true): AQE split the hot reduce partition from real shuffle sizes",
     "sink_zorder_scan": "Z-order layout readback — the 2-D box filter must reach the parquet scan as PushedFilters on both columns (file skipping happens in the reader via min/max stats)",
     "udf_arrow_map": "mapInArrow norm kernel — one ArrowEvalPython-free map stage (PythonMapInArrow) directly over the scan, no shuffle",
-    "join_levenshtein_band": "deletion-neighborhood edit-distance join — variant explode, equi-join on variant strings (near-singleton buckets), levenshtein verify on candidates; NO cross/nested-loop join",
+    "join_levenshtein_band": "deletion-neighborhood edit-distance join — distinct values and the self-join's variant table each materialized ONCE (r19: the scan+distinct subtree formerly re-executed 10x across the p99 probe, deletion-round union branches and both self-join sides), variant equi-join on near-singleton hash buckets, levenshtein verify on candidates; NO cross/nested-loop join",
     "graph_pagerank_bucketed": "beyond-broadcast pagerank — per-iteration SortMergeJoin whose edge (share) side is the bucketed scan with ZERO Exchange; only the |nodes|-row rank side shuffles",
     "merge_partitioned_parquet": "MERGE-as-rewrite — the target read must carry the partition filter (touched partitions only) into the scan; the apply is one window pass on the feed keys",
     "text_decontaminate": "n-gram decontamination — train grams stream once; benchmark gram set deduped and BROADCAST into the overlap join; count groups on doc_id",
