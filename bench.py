@@ -199,9 +199,12 @@ LANE_CLASS = {
     # Arrow assign kernels removed the BNLJ cross-score stages and
     # their exchanges (25→8 / 21→4 at sf0.1, plans/r19/), so exchange
     # traffic no longer dominates — scan-class under the documented
-    # rule (pinned by tests/test_bench_lane_class.py)
+    # rule (pinned by tests/test_bench_lane_class.py).
+    # join_levenshtein_band reclassified r20: the r19 once-not-ten
+    # materialization (3a8c87a) cut its audited plan to 4 exchanges /
+    # no shuffle join, so it is scan-class under the same rule (the r19
+    # verdict item 1 — LANE_CLASS was left stale and failed the pin).
     "graph_pagerank": "shuffle",
-    "join_levenshtein_band": "shuffle",
     "sample_importance_dsir": "shuffle",
     "text_perplexity_buckets": "shuffle",
     "pipeline_training_data_neardup": "shuffle",

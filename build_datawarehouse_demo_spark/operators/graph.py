@@ -221,6 +221,25 @@ def _pagerank_iterate(
         # exchange — the plan being demonstrated for beyond-broadcast
         # node counts
         share = share.hint("merge")
+    # r20 (guide §2.4): the per-iteration `nodes LEFT JOIN contribs`
+    # existed only to re-attach nodes with NO in-edges, whose rank is
+    # the CONSTANT teleport every iteration (coalesce(c, 0.0) →
+    # teleport + d*0.0 == teleport exactly, since d*0.0 == 0.0 and
+    # x + 0.0 == x in IEEE). Their set is static, so compute it ONCE
+    # (one anti join over the already-checkpointed frames) and UNION a
+    # constant frame per iteration instead of joining: removes one
+    # join + one exchange per iteration from the unrolled plan. For
+    # in-edge nodes, contribs carries exactly one row per distinct
+    # e_dst (groupBy), and every e_dst is a node — the union emits the
+    # same |nodes| rows with bit-identical ranks as the former join.
+    no_in = (
+        nodes.join(
+            share.select(F.col("e_dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).localCheckpoint()
+    )
+    no_in_ranks = no_in.select("node", F.lit(teleport).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (
@@ -228,12 +247,10 @@ def _pagerank_iterate(
             .groupBy("e_dst")
             .agg(F.sum(F.col("rank") * F.col("share")).alias("c"))
         )
-        ranks = nodes.join(hint(contribs), nodes["node"] == contribs["e_dst"], "left").select(
-            "node",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+        ranks = contribs.select(
+            F.col("e_dst").alias("node"),
+            (F.lit(teleport) + F.lit(damping) * F.col("c")).alias("rank"),
+        ).unionAll(no_in_ranks)
         if checkpoint_ranks:
             ranks = ranks.localCheckpoint()
     return ranks

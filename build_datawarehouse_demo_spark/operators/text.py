@@ -1439,3 +1439,249 @@ def gopher_repetition_rules(
         *[v.alias(k) for k, v in rules.items()],
         kept.alias("kept"),
     )
+
+
+def _make_clean_front_kernel(
+    min_words_per_line: int,
+    min_sentences: int,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    max_bullet_line_ratio: float,
+    max_ellipsis_line_ratio: float,
+    min_alpha_word_ratio: float,
+    min_stopword_hits: int,
+    stopwords: tuple[str, ...],
+    max_dup_line_frac: float,
+    max_dup_para_frac: float,
+    max_dup_line_char_frac: float,
+    max_dup_para_char_frac: float,
+    max_top_gram_char_frac: tuple[float, float, float],
+    clf_dim: int,
+    clf_weights: list[float],
+    clf_bias: float,
+    clf_threshold: float,
+    id_col: str,
+    text_col: str,
+):
+    """Build the fused Arrow/Python kernel of the modern cleaning
+    stack's filter FRONT (C4 line filters -> Gopher quality -> Gopher
+    repetition -> linear classifier) for
+    ``plans.training_data.clean_filter_survivors(kernel="arrow")``.
+
+    Returned as a CLOSURE so cloudpickle ships it by value to the
+    executor Python workers (the similarity._make_kernel_helpers
+    discipline — a module-level reference would require the workers to
+    import this package, which fails on the driver's bare session from
+    a foreign cwd).
+
+    Equivalence contract (guide §4.2, the r19 IVF-kernel discipline —
+    pinned by tests/test_text.py clean-front kernel tests): every
+    per-document decision reproduces the JVM expression chain's
+    semantics on the batteries' documented input domain:
+
+    - Spark ``trim``/``ltrim``/``rtrim`` strip the SPACE character
+      only (SPARK-17299) -> ``str.strip(' ')``;
+    - the Java regex ``\\s`` class is exactly [ \\t\\n\\x0B\\f\\r]
+      (Python's ``\\s`` additionally matches unicode whitespace) —
+      the tokenizer uses the explicit class;
+    - the C4 terminal-punctuation test is Java ``find`` semantics for
+      ``[.!?\"]$``: ``$`` also matches before one FINAL line
+      terminator (\\n, \\r\\n, \\r, \\u0085, \\u2028, \\u2029);
+    - every metric the rules compare is the exact integer ratio the
+      JVM computes, rounded with Java's
+      BigDecimal.valueOf(x).setScale(6, HALF_UP) — replicated via
+      Decimal(repr(x)) (both sides quantize the SHORTEST round-trip
+      decimal of the same IEEE double);
+    - the classifier dot is the same left-to-right per-token fold
+      over identical md5-bucket weights, so the sum is bit-identical;
+      sigmoid uses the platform ``exp`` where the JVM uses
+      ``Math.exp`` — a potential last-ulp difference absorbed by the
+      6dp round exactly as the Spark-vs-DuckDB oracle already
+      tolerates (same function family, same rounding boundary).
+
+    Known, documented divergence (the ivf_assign NULL-centroid
+    precedent): locale-sensitive ``lower()`` edge cases (e.g. Turkish
+    dotted I) and non-BMP case mapping may differ between the JVM and
+    Python — the batteries' corpora are ASCII by construction and the
+    equivalence pytest pins behavior on representative + adversarial
+    inputs.
+    """
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ws_re = re.compile(r"[ \t\n\x0B\f\r]+")
+    alpha_re = re.compile(r"[A-Za-z]")
+    para_re = re.compile(r"\n{2,}")
+    q6 = Decimal("0.000001")
+    stopset = frozenset(stopwords)
+    term_chars = ('.', '!', '?', '"')
+    line_terms = '\n\r\x85\u2028\u2029'
+    caps_top = tuple(float(c) for c in max_top_gram_char_frac)
+    weights = [float(w) for w in clf_weights]
+    n_sent_min = int(min_sentences)
+    min_wpl = int(min_words_per_line)
+
+    def round6(x: float) -> float:
+        # BigDecimal.valueOf == shortest-roundtrip decimal; +0.0
+        # normalizes a signed zero the way BigDecimal (no -0) does
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)) + 0.0
+
+    def toks_of(s: str) -> list:
+        return [t for t in ws_re.split(s.strip(" ")) if t]
+
+    def line_terminal_ok(line: str) -> bool:
+        # rtrim(' ') then Java-find '[.!?"]$' — $ also matches before
+        # one final line terminator
+        r = line.rstrip(" ")
+        if r.endswith("\r\n"):
+            r = r[:-2]
+        elif r and r[-1] in line_terms:
+            r = r[:-1]
+        return bool(r) and r[-1] in term_chars
+
+    def c4_pass(text):
+        """-> (cleaned, c4_kept) — None cleaned only for None text."""
+        if text is None:
+            return None, False
+        lines = text.split("\n")
+        kept_lines = [
+            l
+            for l in lines
+            if line_terminal_ok(l)
+            and len(toks_of(l)) >= min_wpl
+            and "javascript" not in l.lower()
+        ]
+        cleaned = "\n".join(kept_lines)
+        n_sent = cleaned.count(".") + cleaned.count("!") + cleaned.count("?")
+        kept = (
+            "lorem ipsum" not in text.lower()
+            and "{" not in text
+            and n_sent >= n_sent_min
+        )
+        return cleaned, kept
+
+    def gq_pass(cleaned: str, toks: list) -> bool:
+        n = len(toks)
+        if n == 0:
+            return False
+        mean_len = round6(float(sum(len(t) for t in toks)) / float(n))
+        n_hash = cleaned.count("#")
+        n_ell = float(cleaned.count("...") * 3) / 3.0
+        symbol_ratio = round6((float(n_hash) + n_ell) / float(n))
+        lines = [l for l in cleaned.split("\n") if l.strip(" ") != ""]
+        nl = float(max(len(lines), 1))
+        bullet = round6(
+            float(sum(1 for l in lines if l.lstrip(" ").startswith(("-", "*"))))
+            / nl
+        )
+        ell_lines = round6(
+            float(sum(1 for l in lines if l.rstrip(" ").endswith("..."))) / nl
+        )
+        alpha = round6(
+            float(sum(1 for t in toks if alpha_re.search(t))) / float(n)
+        )
+        stop_hits = len({t.lower() for t in toks} & stopset)
+        return (
+            float(min_words) <= float(n) <= float(max_words)
+            and float(min_mean_word_len) <= mean_len <= float(max_mean_word_len)
+            and symbol_ratio <= float(max_symbol_word_ratio)
+            and bullet <= float(max_bullet_line_ratio)
+            and ell_lines <= float(max_ellipsis_line_ratio)
+            and alpha >= float(min_alpha_word_ratio)
+            and stop_hits >= int(min_stopword_hits)
+        )
+
+    def dup_rules(items: list, cap_frac: float, cap_char: float) -> bool:
+        n = len(items)
+        if n == 0:
+            return True  # NULL metrics -> vacuously true
+        distinct = set(items)
+        frac = round6(float(n - len(distinct)) / float(n))
+        chars = sum(len(x) for x in items)
+        chars_first = sum(len(x) for x in distinct)
+        char_frac = round6(float(chars - chars_first) / float(chars))
+        return frac <= cap_frac and char_frac <= cap_char
+
+    def rep_pass(cleaned: str, toks: list) -> bool:
+        lines = [l for l in cleaned.split("\n") if l.strip(" ") != ""]
+        paras = [p for p in para_re.split(cleaned) if p.strip(" ") != ""]
+        if not dup_rules(lines, max_dup_line_frac, max_dup_line_char_frac):
+            return False
+        if not dup_rules(paras, max_dup_para_frac, max_dup_para_char_frac):
+            return False
+        nt = len(toks)
+        norm_len = len(" ".join(toks))
+        for gn, cap in zip((2, 3, 4), caps_top):
+            if nt < gn:
+                continue  # no grams -> NULL metric -> vacuously true
+            counts: dict = {}
+            for i in range(nt - gn + 1):
+                g = " ".join(toks[i : i + gn])
+                counts[g] = counts.get(g, 0) + 1
+            best_c = max(counts.values())
+            # sorted-fold tie-break: the lexicographically (UTF-8
+            # binary == code point) smallest gram among the maxima
+            best_g = min(g for g, c in counts.items() if c == best_c)
+            top = round6(float(best_c * len(best_g)) / float(norm_len))
+            if not top <= cap:
+                return False
+        return True
+
+    def make_bucket_cache():
+        import hashlib
+
+        cache: dict = {}
+
+        def bucket(t: str) -> int:
+            b = cache.get(t)
+            if b is None:
+                b = int(hashlib.md5(f"0:{t}".encode()).hexdigest()[:8], 16) % clf_dim
+                cache[t] = b
+            return b
+
+        return bucket
+
+    def kernel(batches):
+        import pandas as pd
+
+        bucket = make_bucket_cache()
+        for pdf in batches:
+            out_ids, out_cleaned, out_n, out_score = [], [], [], []
+            ids = pdf[id_col]
+            texts = pdf[text_col]
+            for i in range(len(pdf)):
+                text = texts.iat[i]
+                cleaned, ok = c4_pass(text if isinstance(text, str) else None)
+                if not ok:
+                    continue
+                toks = toks_of(cleaned)
+                if not gq_pass(cleaned, toks):
+                    continue
+                if not rep_pass(cleaned, toks):
+                    continue
+                n = len(toks)
+                acc = 0.0
+                for t in toks:
+                    acc += weights[bucket(t)]
+                z = float(clf_bias) + acc / float(n)
+                score = round6(1.0 / (1.0 + math.exp(-z)))
+                if not score >= float(clf_threshold):
+                    continue
+                out_ids.append(ids.iat[i])
+                out_cleaned.append(cleaned)
+                out_n.append(n)
+                out_score.append(score)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_ids, dtype=ids.dtype),
+                    "cleaned": pd.Series(out_cleaned, dtype="object"),
+                    "n_ws_tokens": pd.Series(out_n, dtype="int64"),
+                    "clf_score": pd.Series(out_score, dtype="float64"),
+                }
+            )
+
+    return kernel

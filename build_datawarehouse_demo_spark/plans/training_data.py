@@ -1222,6 +1222,7 @@ def clean_filter_survivors(
     clf_dim: int = 64,
     clf_weights: list[float] | None = None,
     clf_threshold: float = 0.5,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """The filter FRONT of the modern cleaning stack — C4 line filters
     → Gopher quality → Gopher repetition → linear classifier, each
@@ -1231,13 +1232,73 @@ def clean_filter_survivors(
     and filters over one scan, zero Exchange, zero join (pinned by
     tests/test_scale_layout.py::test_clean_filter_front_is_narrow).
     Returns the un-materialized survivors
-    (id, cleaned, n_ws_tokens, clf_score)."""
+    (id, cleaned, n_ws_tokens, clf_score).
+
+    ``kernel="arrow"`` (default, r20 — guide §4.2, the VERDICT r19
+    item-4 rewrite done the way the IVF family was done): the four
+    batteries run FUSED in one mapInPandas pass
+    (operators/text._make_clean_front_kernel) — the document is
+    tokenized ONCE where the JVM chain re-splits it per battery, the
+    interpreted HOF folds (mean-length aggregate, per-token md5 +
+    weight fold, sorted-gram run-length folds — none of which enter
+    whole-stage codegen) become plain vectorizable Python over Arrow
+    batches, and the md5 token-bucket lookup is memoized per worker
+    across batches. Same narrow shape: one scan, zero Exchange, zero
+    join (pinned by test_clean_filter_front_arrow_is_narrow).
+    ``kernel="jvm"`` keeps the barrier-pinned expression chain — the
+    equivalence reference (pinned row-identical by
+    tests/test_text.py::test_clean_front_kernel_identical*)."""
     from build_datawarehouse_demo_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        _make_clean_front_kernel,
         c4_line_filters,
+        default_classifier_weights,
         gopher_quality_rules,
         gopher_repetition_rules,
         quality_classifier_score,
     )
+
+    if kernel == "arrow":
+        from pyspark.sql import types as T
+
+        kfn = _make_clean_front_kernel(
+            min_words_per_line=min_words_per_line,
+            min_sentences=min_sentences,
+            min_words=min_words,
+            max_words=100_000,
+            min_mean_word_len=3.0,
+            max_mean_word_len=10.0,
+            max_symbol_word_ratio=0.1,
+            max_bullet_line_ratio=0.9,
+            max_ellipsis_line_ratio=0.3,
+            min_alpha_word_ratio=0.8,
+            min_stopword_hits=min_stopword_hits,
+            stopwords=GOPHER_STOPWORDS,
+            max_dup_line_frac=0.30,
+            max_dup_para_frac=0.30,
+            max_dup_line_char_frac=0.20,
+            max_dup_para_char_frac=0.20,
+            max_top_gram_char_frac=max_top_gram_char_frac,
+            clf_dim=clf_dim,
+            clf_weights=(
+                clf_weights
+                if clf_weights is not None
+                else default_classifier_weights(clf_dim)
+            ),
+            clf_bias=0.0,
+            clf_threshold=clf_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType, True),
+                T.StructField("cleaned", T.StringType(), True),
+                T.StructField("n_ws_tokens", T.LongType(), True),
+                T.StructField("clf_score", T.DoubleType(), True),
+            ]
+        )
+        return df.select(id_col, text_col).mapInPandas(kfn, schema=out_schema)
 
     c4 = _barrier_keep(
         c4_line_filters(

@@ -251,7 +251,7 @@ def test_clean_filter_front_is_narrow(spark):
         "doc_id long, text string",
     )
     qe = clean_filter_survivors(
-        df, min_words=3, min_stopword_hits=1, clf_threshold=0.0
+        df, min_words=3, min_stopword_hits=1, clf_threshold=0.0, kernel="jvm"
     )._jdf.queryExecution()
     optimized = qe.optimizedPlan().toString()
     physical = qe.executedPlan().toString()
@@ -265,6 +265,38 @@ def test_clean_filter_front_is_narrow(spark):
                 "feature expression leaked into a Filter — a battery's "
                 f"optimizer barrier no longer holds:\n{ln}"
             )
+
+
+def test_clean_filter_front_arrow_is_narrow(spark):
+    """The r20 default front (fused Arrow kernel) must keep the same
+    narrow shape: ONE MapInPandas over the scan, zero Exchange, zero
+    join — and ship only (id, text) into the Python boundary (guide
+    §4.1 column-pruning discipline)."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_survivors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog.\nanother "
+                "line with the same terminal punctuation style here.", "x")
+            for i in range(10)
+        ],
+        "doc_id long, text string, extra string",
+    )
+    qe = clean_filter_survivors(
+        df, min_words=3, min_stopword_hits=1, clf_threshold=0.0
+    )._jdf.queryExecution()
+    physical = qe.executedPlan().toString()
+    assert "Exchange" not in physical, physical[:2000]
+    assert "Join" not in physical, physical[:2000]
+    assert physical.count("MapInPandas") == 1, physical[:2000]
+    # the explicit (id, text) select prunes every other column before
+    # the Python boundary: neither the MapInPandas argument list nor
+    # the Project feeding it may reference `extra` (the scan line
+    # legitimately lists the source's full schema)
+    above_scan = physical.split("Scan", 1)[0]
+    assert "extra" not in above_scan, physical[:2000]
 
 
 def test_barrier_keep_survives_predicate_pushdown(spark):

@@ -1088,3 +1088,99 @@ def test_gopher_dup_ngram_rules_matches_reference(spark):
     assert got[0]["kept"] is True
     assert got[1]["kept"] is False      # the repeater fails every rule
     assert got[2]["kept"] is True       # all vacuous
+
+
+def _edge_corpus_rows():
+    """Adversarial inputs for the fused clean-front kernel equivalence
+    pins: every branch of the four batteries — C4 terminal-punctuation
+    edge cases (line terminators other than \\n, Java $ semantics),
+    marker substrings, Java-vs-Python whitespace-class and trim
+    differences, boundary-exact ratios, duplicate lines/paragraphs,
+    top-gram lexicographic ties, stopword threshold, '#'/'...'
+    symbols, zero-token and NULL documents."""
+    passing = (
+        "the quick brown fox jumps over the lazy dog today ok.\n"
+        "every good sentence here has many common words to count.\n"
+        "more of the usual filler text that reads quite naturally."
+    )
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, passing),
+        (4, passing + "\nlorem ipsum dolor sit amet."),
+        (5, passing + "\nconfig { brace."),
+        (6, passing.replace("dog today ok.", "dog JavaScript rules ok.")),
+        # \r before end-of-line: Java $ matches before a final line
+        # terminator, Python re does not — the kernel replicates Java
+        (7, "the quick brown fox jumps over the lazy dog today ok.\r\n"
+            "every good sentence here has many common words to count.\n"
+            "more of the usual filler text that reads quite naturally."),
+        # tabs and vertical tabs inside lines (Java \\s class members)
+        (8, passing.replace(" fox ", "\tfox\x0b")),
+        # non-breaking space: NOT Java \\s, NOT Spark trim()able — one
+        # fused token in both engines
+        (9, passing.replace(" fox ", "\u00a0fox ")),
+        # duplicate lines and paragraphs
+        (10, passing + "\n" + passing.split("\n")[0]),
+        (11, passing + "\n\n" + passing),
+        # heavy repetition: top-gram ties between equal-count grams
+        (12, ("alpha beta. " * 30).strip()),
+        (13, "zz aa zz aa zz aa does this tie break to the smaller gram."
+             "\nanother line with the same terminal style and words here."),
+        # symbols: hashes and ellipsis runs ('....' counts once)
+        (14, passing + "\nwow #### .... what a line of sentences there."),
+        # bullet lines / ellipsis-ended lines
+        (15, passing + "\n   - a bullet line with enough words here.\n"
+             "* another bullet line with enough words here.\n"
+             "a trailing line that simply ends with dots and more words ..."),
+        # trailing spaces before terminal punctuation (rtrim is
+        # space-only in Spark)
+        (16, passing.replace("naturally.", "naturally.   ")),
+        (17, passing.replace("naturally.", "naturally.\t")),
+        # quote-terminated lines (the C4 closing-quote rule)
+        (18, passing.replace("naturally.", 'naturally."')),
+        # upper/lower casing of markers
+        (19, passing + "\nLoReM IpSuM dolor sit amet."),
+        (20, passing + "\nthis line mentions JAVASCRIPT and some more words."),
+        # exactly at the stopword threshold after dedup of tokens
+        (21, "the the the unique wordsa wordsb wordsc wordsd worde wordf.\n"
+             "wordg wordh wordi wordj wordk wordl wordm wordn wordo wordp.\n"
+             "wordq wordr words wordt wordu wordv wordw wordx wordy wordz."),
+        # single-char and short-token mean-word-length extremes
+        (22, ("a b c d e f g h i j." + " k l m n o p q r s t.") * 3),
+        (23, (" ".join(["supercalifragilistic"] * 12) + ".") * 3),
+    ]
+    return rows
+
+
+def test_clean_front_kernel_identical_edge_corpus(spark):
+    """kernel='arrow' (fused mapInPandas front) must be ROW-IDENTICAL
+    to kernel='jvm' (the barrier-pinned expression chain) on the
+    adversarial corpus — ids, cleaned text, token counts and rounded
+    classifier scores (the r19 IVF-kernel equivalence discipline).
+    Full-fixture equivalence (sf0.01 + sf0.1 pageified documents,
+    row-identical) is recorded in OPTIMIZATION_r20.md."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        clean_filter_survivors,
+    )
+
+    df = spark.createDataFrame(_edge_corpus_rows(), "doc_id long, text string")
+    for kw in (
+        dict(),  # operator defaults
+        dict(min_words_per_line=5, min_sentences=3, min_words=30,
+             min_stopword_hits=1, max_top_gram_char_frac=(0.09, 0.08, 0.16),
+             clf_dim=64, clf_threshold=0.45),  # the pipeline's knobs
+        dict(min_words_per_line=3, min_sentences=1, min_words=5,
+             min_stopword_hits=1, max_top_gram_char_frac=(0.5, 0.5, 0.5),
+             clf_dim=16, clf_threshold=0.0),  # permissive: more rows pass
+    ):
+        jvm = sorted(
+            tuple(r) for r in clean_filter_survivors(df, kernel="jvm", **kw).collect()
+        )
+        arw = sorted(
+            tuple(r) for r in clean_filter_survivors(df, kernel="arrow", **kw).collect()
+        )
+        assert jvm == arw, (kw, jvm[:3], arw[:3])
+    # the permissive run must actually exercise survivors
+    assert len(arw) > 0
