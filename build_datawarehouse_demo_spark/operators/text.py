@@ -1685,3 +1685,111 @@ def _make_clean_front_kernel(
             )
 
     return kernel
+
+
+def _make_featured_front_kernel(
+    min_tokens: int,
+    min_quality: float,
+    lang_markers: dict,
+    id_col: str,
+    text_col: str,
+):
+    """Build the fused Arrow/Python kernel of the HEURISTIC feature
+    front (clean_normalize -> lang_id -> quality_score -> keep-filter)
+    for ``plans.training_data._featured_survivors(kernel="arrow")`` —
+    the r20 twin of _make_clean_front_kernel over the other pipeline
+    family (prepare_training_data / prepare_training_data_neardup and
+    their incremental/keep-best arms).
+
+    Shipped as a closure (the _make_kernel_helpers discipline). The
+    exact-dedup window (min id per md5(cleaned)) deliberately STAYS in
+    SQL on the kernel's output — it is the pipeline's one semantic
+    exchange, not per-row Python work.
+
+    Equivalence contract (pinned by
+    tests/test_text.py::test_featured_front_kernel_identical*): the
+    same Java-regex/trim/round conventions as _make_clean_front_kernel
+    (documented there), plus:
+
+    - ``quality`` is an UNROUNDED double output — the kernel replays
+      the JVM expression tree's exact IEEE operation order:
+      ((0.4*len_ok) + ((0.4*stop_ratio)*4.0)) + (0.2*(1.0-punct_ratio))
+      clamped by greatest/least, every operand an exact integer-count
+      ratio — bit-identical by construction;
+    - lang argmax = ascending sort of (-hits, lang) structs == max
+      hits, ties to the lexicographically first language code; zero
+      hits everywhere -> 'und';
+    - counts (stopword/marker hits, punct chars) are integer set/regex
+      counts with no float involvement.
+    """
+    import re
+
+    ws_re = re.compile(r"[ \t\n\x0B\x0C\r]+")
+    ctrl_re = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+    punct_re = re.compile(r"[^a-zA-Z0-9 \t\n\x0B\x0C\r]")
+    en_set = frozenset(lang_markers["en"])
+    marker_sets = [(lang, frozenset(ms)) for lang, ms in sorted(lang_markers.items())]
+    min_tok = int(min_tokens)
+    min_q = float(min_quality)
+
+    def toks_of(s: str) -> list:
+        return [t for t in ws_re.split(s.strip(" ")) if t]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_cleaned, out_lang, out_n, out_q = [], [], [], [], []
+            ids = pdf[id_col]
+            texts = pdf[text_col]
+            for i in range(len(pdf)):
+                text = texts.iat[i]
+                if not isinstance(text, str):
+                    continue  # NULL text: NULL n_tokens fails the filter
+                toks = toks_of(text)
+                n_tok = len(toks)
+                if n_tok < min_tok or n_tok == 0:
+                    continue  # zero tokens also always lands at 'und'
+                lowered = [t.lower() for t in toks]
+                # language argmax: (-hits, lang) ascending
+                best_lang, best_key = None, None
+                for lang, ms in marker_sets:
+                    hits = sum(1 for t in lowered if t in ms)
+                    key = (-hits, lang)
+                    if best_key is None or key < best_key:
+                        best_key, best_lang = key, lang
+                if best_key[0] == 0:
+                    continue  # 'und' fails pred_lang != 'und'
+                n_chars = len(text)
+                n_stop = sum(1 for t in lowered if t in en_set)
+                n_punct = len(punct_re.findall(text))
+                avg_len = (float(n_chars) - (float(n_tok) - 1.0)) / float(n_tok)
+                stop_ratio = float(n_stop) / float(n_tok)
+                punct_ratio = (
+                    float(n_punct) / float(n_chars) if n_chars > 0 else 0.0
+                )
+                len_ok = 1.0 if (avg_len >= 3.0 and avg_len <= 8.0) else 0.0
+                q = (0.4 * len_ok) + ((0.4 * stop_ratio) * 4.0)
+                q = q + (0.2 * (1.0 - punct_ratio))
+                q = min(1.0, max(0.0, q))
+                if not q >= min_q:
+                    continue
+                c = ctrl_re.sub("", text)
+                c = ws_re.sub(" ", c)
+                cleaned = c.strip(" ").lower()
+                out_ids.append(ids.iat[i])
+                out_cleaned.append(cleaned)
+                out_lang.append(best_lang)
+                out_n.append(n_tok)
+                out_q.append(q)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_ids, dtype=ids.dtype),
+                    "cleaned": pd.Series(out_cleaned, dtype="object"),
+                    "pred_lang": pd.Series(out_lang, dtype="object"),
+                    "n_tokens": pd.Series(out_n, dtype="int64"),
+                    "quality": pd.Series(out_q, dtype="float64"),
+                }
+            )
+
+    return kernel

@@ -34,17 +34,61 @@ def _featured_survivors(
     text_col: str,
     min_tokens: int,
     min_quality: float,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """The shared front half of both pipelines: clean -> langid ->
     quality (one codegen'd scan, optimizer barrier, see inline note) ->
     filter -> exact dedup (min id per md5(cleaned), ONE digest-keyed
     exchange). Returns the exact-dedup survivors carrying
-    (id, cleaned, pred_lang, n_tokens, quality)."""
+    (id, cleaned, pred_lang, n_tokens, quality).
+
+    ``kernel="arrow"`` (default, r20 — guide §4.2, the
+    clean_filter_survivors twin): the feature chain + keep-filter run
+    fused in one mapInPandas pass
+    (operators/text._make_featured_front_kernel) — the document is
+    tokenized ONCE where the JVM chain's interpreted HOF folds
+    re-split it per feature (the ~10-20 split() evals per row the
+    staging comments document), with bit-identical `quality` doubles
+    (exact IEEE op-order replay). The exact-dedup window stays in SQL
+    below either kernel — it is the pipeline's one semantic exchange.
+    ``kernel="jvm"`` keeps the expression chain as the equivalence
+    reference (pinned by
+    tests/test_text.py::test_featured_front_kernel_identical*)."""
     from build_datawarehouse_demo_spark.operators.text import (
+        LANG_MARKERS,
+        _make_featured_front_kernel,
         clean_normalize,
         lang_id,
         quality_score,
     )
+
+    if kernel == "arrow":
+        from pyspark.sql import types as T
+
+        kfn = _make_featured_front_kernel(
+            min_tokens=min_tokens,
+            min_quality=min_quality,
+            lang_markers=LANG_MARKERS,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType, True),
+                T.StructField("cleaned", T.StringType(), True),
+                T.StructField("pred_lang", T.StringType(), True),
+                T.StructField("n_tokens", T.LongType(), True),
+                T.StructField("quality", T.DoubleType(), True),
+            ]
+        )
+        kept = df.select(id_col, text_col).mapInPandas(kfn, schema=out_schema)
+        digest_w = Window.partitionBy(F.md5(F.col("cleaned")))
+        return (
+            kept.withColumn("__keep", F.min(id_col).over(digest_w))
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__keep")
+            .select(id_col, "cleaned", "pred_lang", "n_tokens", "quality")
+        )
 
     featured = quality_score(lang_id(clean_normalize(df, text_col), text_col), text_col)
     # Optimizer barrier: without it, PushDownPredicates substitutes the

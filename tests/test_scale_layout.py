@@ -195,16 +195,25 @@ def test_training_pipeline_barrier_keeps_filter_above_features(spark):
     split/filter/regexp chains per conjunct). Assert the optimized
     plan's shape, not the runtime, so the break is loud and immediate.
     """
+    from build_datawarehouse_demo_spark.operators.sampling import (
+        train_val_test_split,
+    )
     from build_datawarehouse_demo_spark.plans.training_data import (
-        prepare_training_data,
+        _featured_survivors,
     )
 
     df = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
         "doc_id long, text string",
     )
+    # the barrier lives on the JVM expression path — since r20 the
+    # default front is the fused Arrow kernel (no Filter to pin), so
+    # pin the kernel="jvm" reference's composed plan explicitly
     plan = (
-        prepare_training_data(df)
+        train_val_test_split(
+            _featured_survivors(df, "doc_id", "text", 5, 0.3, kernel="jvm"),
+            "doc_id",
+        )
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()

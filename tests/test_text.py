@@ -1184,3 +1184,45 @@ def test_clean_front_kernel_identical_edge_corpus(spark):
         assert jvm == arw, (kw, jvm[:3], arw[:3])
     # the permissive run must actually exercise survivors
     assert len(arw) > 0
+
+
+def test_featured_front_kernel_identical_edge_corpus(spark):
+    """_featured_survivors(kernel='arrow') must be ROW-IDENTICAL to
+    kernel='jvm' — including the UNROUNDED `quality` doubles (exact
+    IEEE op-order replay) and the post-kernel exact-dedup window.
+    Full-fixture equivalence (sf0.01 + sf0.1 documents, row-identical)
+    is recorded in OPTIMIZATION_r20.md."""
+    from build_datawarehouse_demo_spark.plans.training_data import (
+        _featured_survivors,
+    )
+
+    rows = _edge_corpus_rows() + [
+        # exact-dedup fodder: identical cleaned text under different
+        # ids (control chars and case differences collapse)
+        (100, "The Quick\x07 Brown  fox jumps over the lazy dog of it."),
+        (101, "the quick brown fox jumps over the lazy dog of it."),
+        (102, "the quick brown fox jumps over the lazy dog of it.\x7f"),
+        # marker ties: equal hits for two languages -> first code wins
+        (103, "der die le la unique filler tokens making length count."),
+        # high punctuation soup (punct_ratio branch)
+        (104, "!!! ??? *** ((( ))) $$$ %%% @@@ ### ^^^ &&& ~~~ ;;; :::"),
+        # avg token length boundaries (3 and 8)
+        (105, "abc " * 40 + "the of"),
+        (106, "abcdefgh " * 40 + "the of"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for min_tokens, min_quality in ((5, 0.3), (1, 0.0), (0, 0.5)):
+        jvm = sorted(
+            tuple(r)
+            for r in _featured_survivors(
+                df, "doc_id", "text", min_tokens, min_quality, kernel="jvm"
+            ).collect()
+        )
+        arw = sorted(
+            tuple(r)
+            for r in _featured_survivors(
+                df, "doc_id", "text", min_tokens, min_quality, kernel="arrow"
+            ).collect()
+        )
+        assert jvm == arw, ((min_tokens, min_quality), jvm[:3], arw[:3])
+    assert len(arw) > 0
