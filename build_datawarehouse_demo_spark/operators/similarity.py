@@ -126,7 +126,18 @@ def brute_force_topk(
             if nrow == 0:
                 continue
             vals = pdf["__v"].tolist()
-            id_vals = pdf[id_col].values
+            # r20 (ADVICE r19): detect NULL ids with pandas isna — a
+            # nullable int column arrives as float64 with NaN, where a
+            # plain `is None` check never fires — and order them FIRST
+            # in the id-asc presort (Spark's asc default is NULLS
+            # FIRST; the former key ordered them last, so a tie at the
+            # k boundary could keep different rows than the global
+            # window under exclude_self=False with NULL corpus ids)
+            null_mask = pdf[id_col].isna().to_numpy()
+            raw_ids = pdf[id_col].tolist()
+            id_vals = [
+                None if null_mask[i] else raw_ids[i] for i in range(nrow)
+            ]
             V, _ = rows_to_matrix(vals, d)
             block = max(1, block_cells // np_p)
             acc = []
@@ -135,16 +146,18 @@ def brute_force_topk(
                 acc.append(kernel_sims(V[s:e], Pm, pnm, d))  # (rows, probes)
             keys = np.vstack(acc)
             # presort the batch rows by id ASC once (object-safe
-            # Python ordering == Spark's for ints and UTF-8 strings);
-            # a stable sort on -key then reproduces the window's
-            # (cosine desc NULLS LAST, id asc) total order exactly —
-            # ties at the k boundary keep the same rows the global
-            # window would
-            by_id = np.asarray(
-                sorted(range(nrow), key=lambda i: (id_vals[i] is None, id_vals[i])),
-                dtype=np.int64,
+            # Python ordering == Spark's for ints and UTF-8 strings;
+            # NULL ids first, the asc default); a stable sort on -key
+            # then reproduces the window's (cosine desc NULLS LAST,
+            # id asc NULLS FIRST) total order exactly — ties at the k
+            # boundary keep the same rows the global window would
+            nulls_first = [i for i in range(nrow) if null_mask[i]]
+            non_null = sorted(
+                (i for i in range(nrow) if not null_mask[i]),
+                key=lambda i: id_vals[i],
             )
-            nn = np.asarray([id_vals[i] is not None for i in range(nrow)], dtype=bool)
+            by_id = np.asarray(nulls_first + non_null, dtype=np.int64)
+            nn = ~null_mask
             for j in range(np_p):
                 kj = keys[:, j]
                 cand = by_id
@@ -195,7 +208,15 @@ def _kernel_centroid_data(
     of the JVM kernel. The collect here is the same driver-side
     materialization the former broadcast-hash-join paid in
     BroadcastExchange — bounded by the quantizer sizing (nlist ≈ √n),
-    never corpus-scale."""
+    never corpus-scale.
+
+    Input contract (ADVICE r19, documented): centroid/probe ids must
+    be UNIQUE and vectors uniform-dimension — duplicates collapse via
+    the dict below (last row wins) and dim is inferred from the first
+    non-empty vector of the smallest id, where the JVM join path would
+    score every row as-is. Every caller (quantizer training, index
+    build/append, probe routing) produces unique-id, fixed-dim
+    centroid tables by construction."""
     import numpy as np
 
     rows = centroids.select(
@@ -277,7 +298,11 @@ def ivf_assign(
     join+max_by/window plan (the equivalence-test reference and the
     no-Arrow fallback). The arrow kernel drops centroid rows with a
     NULL centroid id (ill-formed input the JVM path would score
-    meaninglessly)."""
+    meaninglessly). Corpus ``id_col`` values must be UNIQUE (ADVICE
+    r19, documented): the kernel emits one row per INPUT row, where
+    the JVM max_by/window path groups by id and would emit one row per
+    DISTINCT id — every caller feeds unique vec ids by construction
+    (parquet key columns, chunk uids)."""
     if kernel == "arrow":
         return _ivf_assign_arrow(
             corpus, centroids, id_col, vec_col, centroid_id_col, top_n

@@ -1046,3 +1046,62 @@ def test_brute_force_kernel_identical(spark, kernel_corpus):
         a = sorted(tuple(r) for r in old_bf(kernel_corpus, k).collect())
         b = sorted(tuple(r) for r in brute_force_topk(kernel_corpus, probes, k=k).collect())
         assert a == b, f"k={k}"
+
+
+def test_brute_force_kernel_null_ids_no_exclude(spark, kernel_corpus):
+    """ADVICE r19: NULL corpus ids under exclude_self=False must rank
+    exactly like the JVM window (id asc = NULLS FIRST), including ties
+    at the k boundary — and a nullable int id column (float64/NaN in
+    pandas) must not leak NaN ids into the LongType output."""
+    from build_datawarehouse_demo_spark.operators.similarity import (
+        _as_double,
+        brute_force_topk,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    base = [tuple(r) for r in kernel_corpus.collect()]
+    # a NULL-id row duplicating vec 0's direction: cosine TIES with
+    # vec 0 and vec 30 for every probe, so the id tiebreak (nulls
+    # first) decides who survives the k boundary
+    rows = base + [(None, base[0][1])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = corpus.filter("vec_id in (0, 31)").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+
+    def old_bf(k):
+        n = corpus.sparkSession.sparkContext.defaultParallelism
+        c = corpus.repartition(n).select(
+            F.col("vec_id"), _as_double("embedding").alias("__cv")
+        )
+        p = probes.select(F.col("probe_id"), _as_double("embedding").alias("__pv"))
+        scored = c.join(F.broadcast(p)).withColumn(
+            "cosine", cosine(F.col("__pv"), F.col("__cv"))
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                F.col("rank").cast("int"),
+            )
+        )
+
+    for k in (1, 2, 3, 40):
+        # None ids are unorderable against ints — sort by repr (the
+        # comparison is multiset equality, any total order works)
+        a = sorted((tuple(r) for r in old_bf(k).collect()), key=repr)
+        b = sorted(
+            (
+                tuple(r)
+                for r in brute_force_topk(
+                    corpus, probes, k=k, exclude_self=False
+                ).collect()
+            ),
+            key=repr,
+        )
+        assert a == b, f"k={k}: {a[:4]} vs {b[:4]}"
