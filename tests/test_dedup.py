@@ -680,3 +680,40 @@ def test_keep_best_supports_string_ids(spark):
     )
     row = exact_dedup_keep_best(texts, rank_col="prio").collect()
     assert len(row) == 1 and row[0]["keep_id"] == "id9"  # NULL rank loses
+
+
+def test_minhash_kernel_identical(spark):
+    """minhash_signatures_from_arrays(kernel='arrow') must be
+    BIT-IDENTICAL to the JVM array_min/transform fold (kernel='jvm') —
+    including NULL/empty shingle arrays (NULL signatures) and NULL
+    elements (skipped, as array_min skips the null-propagated hash).
+    Full-fixture equivalence (sf0.1 + sf1 survivor corpora,
+    row-identical) is recorded in OPTIMIZATION_r20.md."""
+    from build_datawarehouse_demo_spark.operators.dedup import (
+        minhash_signatures_from_arrays,
+    )
+
+    rows = [
+        (0, ["a b c", "b c d", "c d e"]),
+        (1, ["a b c"]),                       # single shingle
+        (2, []),                              # empty -> NULL signature
+        (3, None),                            # NULL array -> NULL signature
+        (4, ["a b c", None, "z z z"]),        # NULL element skipped
+        (5, ["a b c", "b c d", "c d e"]),     # duplicate set of doc 0
+        (6, ["\u00e9 accent gram", "tab\tinside", ""]),  # unicode + empty string
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    for H in (4, 24):
+        jvm = sorted(
+            tuple(r)
+            for r in minhash_signatures_from_arrays(
+                df, H, "doc_id", kernel="jvm"
+            ).collect()
+        )
+        arw = sorted(
+            tuple(r)
+            for r in minhash_signatures_from_arrays(
+                df, H, "doc_id", kernel="arrow"
+            ).collect()
+        )
+        assert jvm == arw, (H, jvm[:2], arw[:2])
