@@ -172,8 +172,14 @@ def rag_index_build_persisted(
     from build_datawarehouse_demo_spark.operators.dedup import spread
     from build_datawarehouse_demo_spark.operators.similarity import build_ivf_index
 
-    vecs = spread(
-        hash_embed_chunks(docs, chunk_size=chunk_size, overlap=overlap, dim=dim)
+    # r20 (guide §2.5 input skew): spread the DOCS, not the embedded
+    # output — a single-file corpus arrives as one split, and with the
+    # exchange ABOVE the projection the whole chunk+md5+bucket-count
+    # amplification ran in that one task (measured 0.8s -> 0.3s warm at
+    # sf0.1, identical rows). The checkpoint inherits the same 32-way
+    # layout either way.
+    vecs = hash_embed_chunks(
+        spread(docs), chunk_size=chunk_size, overlap=overlap, dim=dim
     ).localCheckpoint()
     n = vecs.count()
     nlist = max(2, math.ceil(math.sqrt(n)))
@@ -228,8 +234,9 @@ def rag_index_append_search(
         docs_old, table_name,
         chunk_size=chunk_size, overlap=overlap, dim=dim, path=path,
     )
-    new_vecs = spread(
-        hash_embed_chunks(docs_new, chunk_size=chunk_size, overlap=overlap, dim=dim)
+    # spread the input docs (r20 — see rag_index_build_persisted note)
+    new_vecs = hash_embed_chunks(
+        spread(docs_new), chunk_size=chunk_size, overlap=overlap, dim=dim
     )
     ivf_index_append(new_vecs, table_name)
     spark = docs_old.sparkSession
@@ -277,8 +284,10 @@ def rag_index_search(
     # RE-DERIVE the embedding pass. A production pipeline persists the
     # embedded corpus at exactly this boundary (swap the checkpoint
     # for a parquet write at scale — the training_data.py discipline).
-    chunk_vecs = spread(
-        hash_embed_chunks(docs, chunk_size=chunk_size, overlap=overlap, dim=dim)
+    # r20: spread the input docs so the embed amplification runs at
+    # full parallelism (see rag_index_build_persisted note)
+    chunk_vecs = hash_embed_chunks(
+        spread(docs), chunk_size=chunk_size, overlap=overlap, dim=dim
     ).localCheckpoint()
     n_chunks = chunk_vecs.count()
     assigned, cents = build_rag_index(chunk_vecs, n_chunks)
