@@ -91,6 +91,54 @@ def _delete_partition_dirs(
         fs.delete(p, True)
 
 
+def _anchor_schema_if_emptied(
+    spark: SparkSession,
+    base: str,
+    partition_col: str,
+    template: DataFrame,
+    part_val,
+) -> None:
+    """A merge whose feed deletes the table's LAST rows removes every
+    partition directory, leaving a path with no parquet footer —
+    ``spark.read.parquet`` then fails UNABLE_TO_INFER_SCHEMA and the
+    table is bricked for every downstream reader (r20, found by the
+    hypothesis merge model test). When no data file remains, write one
+    EMPTY schema-bearing parquet file into a ``part=<part_val>``
+    directory (footer only — zero rows, no partition column, exactly
+    the sibling-file layout), so the table reads back as its empty
+    self and the next merge's target scan sees the right schema.
+    Local-filesystem targets only (the sandbox case) — on object
+    stores keep a catalog/manifest instead (S3A_CHECKLIST)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        fs.mkdirs(p)
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet"):
+            return  # data (or a prior anchor) still present
+    uri = fs.makeQualified(p).toUri()
+    if uri.getScheme() not in (None, "file"):
+        return  # non-local target: schema durability is the catalog's job
+    import os
+
+    import pyarrow.parquet as papq
+    from pyspark.sql.types import StructType
+
+    # schema-only: never scan the (now fileless) target — build the
+    # empty frame from the captured schema
+    data_schema = StructType(
+        [f for f in template.schema.fields if f.name != partition_col]
+    )
+    tbl = spark.createDataFrame([], data_schema).toArrow()
+    d = os.path.join(uri.getPath(), f"{partition_col}={part_val}")
+    os.makedirs(d, exist_ok=True)
+    papq.write_table(tbl, os.path.join(d, "part-00000-empty-anchor.parquet"))
+
+
 def _dynamic_overwrite(
     spark: SparkSession, df: DataFrame, path: str, partition_col: str
 ) -> None:
@@ -356,4 +404,10 @@ def merge_into_partitioned_parquet(
         partition_col,
         [v for v in part_vals if v not in present],
     )
+    if not present:
+        # the feed may have deleted the table's last rows — keep the
+        # path readable (schema anchor; no-op while any file remains)
+        _anchor_schema_if_emptied(
+            spark, target_path, partition_col, target, sorted(part_vals)[0]
+        )
     return sorted(part_vals)

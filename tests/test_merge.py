@@ -488,3 +488,34 @@ def test_stream_merge_delete_survives_later_stale_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.id, r.v, r.seq) for r in spark.read.parquet(target).collect()}
     assert got == {(2, 20.0, 1)}
+
+
+def test_merge_delete_all_rows_keeps_table_readable(spark, tmp_path):
+    """r20 (found by the hypothesis merge model): a feed that deletes
+    the table's LAST rows removes every partition directory — the path
+    must stay readable (empty, schema intact) and a later merge must
+    bootstrap state correctly from it."""
+    from build_datawarehouse_demo_spark.operators.merge import (
+        merge_into_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(0, 1, 5.0)], "id long, part int, v double"
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+
+    feed = spark.createDataFrame(
+        [(0, 1, 0.0, "D", 1)], "id long, part int, v double, op string, seq int"
+    )
+    merge_into_partitioned_parquet(spark, path, feed, ["id"], ["seq", "id"], "part")
+
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert set(back.columns) == {"id", "part", "v"}
+
+    feed2 = spark.createDataFrame(
+        [(7, 2, 9.0, "U", 1)], "id long, part int, v double, op string, seq int"
+    )
+    merge_into_partitioned_parquet(spark, path, feed2, ["id"], ["seq", "id"], "part")
+    rows = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(7, 2, 9.0)}
