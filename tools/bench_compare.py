@@ -29,6 +29,20 @@ sys.path.insert(0, ROOT)
 
 from bench import LANE_CLASS  # noqa: E402
 
+#: lanes whose class changed between rounds (the audited plan crossed
+#: the documented shuffle/scan rule) — printed with every comparison so
+#: a normalized-split delta isn't misread as a performance move when
+#: one side's artifact predates the reclassification:
+#:   r19: sim_ivf_trained, pipeline_rag_index_search shuffle→scan
+#:   r20: join_levenshtein_band shuffle→scan (VERDICT r19 item 1 —
+#:        the r19 materialization cut it to 4 exchanges / no shuffle
+#:        join; both sides of a comparison run under the CURRENT class)
+RECLASSIFIED = {
+    "sim_ivf_trained": "r19 shuffle->scan",
+    "pipeline_rag_index_search": "r19 shuffle->scan",
+    "join_levenshtein_band": "r20 shuffle->scan",
+}
+
 
 def _load(path: str) -> dict:
     """Accept either a raw bench line (BENCH_LOCAL_*.json) or the
@@ -134,6 +148,9 @@ def main() -> None:
         return f"{x:.3f}" if x is not None else "n/a"
 
     print(f"shared keys: {len(shared)}")
+    for k, note in RECLASSIFIED.items():
+        if k in shared:
+            print(f"note: {k} reclassified {note} — both sides use the current class")
     for c in ("scan", "shuffle"):
         keys = [k for k in shared if cls(k) == c]
         gn, go = _geomean([nn[k] for k in keys]), _geomean([no[k] for k in keys])
